@@ -1,0 +1,71 @@
+"""Temporal-resolution detection — reference entry point 2
+(`/root/reference/cartwright/analysis/time_resolution.py:8-66`), plus the
+Ray Data wrapper that computes it over a Dataset column without
+materializing the data (SURVEY.md §3.2).
+
+Scale note: the driver-side kernel runs on the **distinct** timestamp set,
+which for resolution-detectable data (regular time grids) is bounded by the
+grid size, not the row count. The distinct set is produced by a Ray
+``unique`` (hash shuffle) over a single projected int64 column.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..detectors.schemas import Resolution, TimeUnit
+from .helpers import get_uniformity, match_unit
+
+
+def detect_temporal_resolution(times: np.ndarray) -> Optional[Resolution]:
+    """Median inter-timestamp delta matched to the TimeUnit ontology
+    (`time_resolution.py:8-39`): unique → sort → adjacent diffs → median;
+    uniformity of deltas; unit = argmin relative error; resolution =
+    median/unit; error = mean|δ-med|/unit."""
+    times = np.unique(np.asarray(times, dtype=np.float64))
+    if times.size < 2:
+        return None
+    deltas = times[1:] - times[:-1]
+    avg = np.median(deltas)
+    uniformity = get_uniformity(deltas, avg)
+    scale, unit = match_unit(TimeUnit, avg)
+    error = float(np.abs(deltas - avg).mean() / unit.value)
+    return Resolution(uniformity, unit, float(scale), error)
+
+
+def convert_to_timestamps(times, fmt: str) -> np.ndarray:
+    """Strings → UTC epoch seconds (`time_resolution.py:43-66`)."""
+    return np.array([
+        datetime.strptime(str(t), fmt).replace(tzinfo=timezone.utc).timestamp()
+        for t in times
+    ])
+
+
+def detect_temporal_resolution_ds(ds, column: str,
+                                  fmt: str | None = None) -> Optional[Resolution]:
+    """Distributed wrapper: project one column, convert to epoch seconds in
+    a streaming ``map_batches``, take the distinct set (shuffle), run the
+    small kernel driver-side.
+
+    ``fmt=None`` expects the column to already be a timestamp/numeric type.
+    """
+    ds = ds.select_columns([column])
+
+    def to_seconds(t: pa.Table) -> pa.Table:
+        col = t.column(column)
+        if pa.types.is_timestamp(col.type):
+            secs = col.cast(pa.timestamp("s")).cast(pa.int64())
+        elif fmt is not None:
+            vals = convert_to_timestamps(col.to_pylist(), fmt)
+            secs = pa.array(vals.astype("int64"))
+        else:
+            secs = col.cast(pa.int64())
+        return pa.table({"ts_s": secs})
+
+    ds = ds.map_batches(to_seconds, batch_format="pyarrow")
+    distinct = ds.unique("ts_s")
+    return detect_temporal_resolution(np.array(distinct, dtype=np.int64))
