@@ -149,7 +149,10 @@ def _subsample_fuzzy(series, lookup: FuzzyLookup, need=2, subsample=5,
     """Deterministic version of the reference's 2-of-5 random-subsample fuzzy
     membership test (`geos.py:18-34`): sample with a RNG seeded on the
     series content, so the same column always classifies the same way."""
-    rng = random.Random(hash(tuple(str(v) for v in series[:16])) & 0x7FFFFFFF)
+    import hashlib
+    digest = hashlib.blake2b("\x00".join(str(v) for v in series[:16]).encode(
+        "utf-8", "replace"), digest_size=8).digest()
+    rng = random.Random(int.from_bytes(digest, "big"))
     vals = [str(v) for v in series]
     passed = 0
     for _ in range(subsample + 1):

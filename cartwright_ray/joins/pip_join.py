@@ -1,0 +1,219 @@
+"""Point-in-polygon join (north_rule: "groupby-on-cell shuffle with salted
+hot-cell splitting into a point-in-polygon join against admin-boundary
+polygon tables").
+
+Two physical plans, one semantics (generalizing the reference's
+membership-lookup joins, `cartwright/categories/geos.py:72-112`, from
+name-space to coordinate-space):
+
+- :func:`pip_join` — **broadcast plan** (default): the polygon table is
+  small-side; an actor pool builds a cell→polygons cover index once per
+  actor (``__init__``) from a ``ray.put`` handle and probes it per batch.
+  No shuffle at all — the right plan whenever polygons fit in memory.
+
+- :func:`pip_join_shuffle` — **shuffle plan**: points are hash-partitioned
+  by H3-style cell with *salted hot-cell splitting* (a first tiny
+  groupby-count pass builds the cell histogram; cells above the cap get a
+  per-row salt so no single group exceeds it), then each (cell, salt) group
+  runs the same vectorized PIP against the broadcast index. This is the
+  pattern for when co-locating by cell matters (e.g. feeding a per-cell
+  downstream aggregate); it exists mainly to make the skew machinery real
+  and testable.
+
+Both verified against :func:`brute_force_pip` (O(n·m) oracle).
+
+Partitioning assumption: polygons are indexed by cover cells at
+``cover_res``; a polygon spanning many cells costs cover-set size, points
+probe exactly one cell. Antimeridian polygons must be pre-split into two
+lon-normalized rings (see ``sources.synth.ADMIN_POLYGONS``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geo.hexgrid import hex_cell
+from ..geo.pip import points_in_polygon, polygon_bbox
+
+DEFAULT_COVER_RES = 4
+
+
+class PolygonIndex:
+    """Cell-cover index over a polygon table (list of dicts with
+    admin_id/name/ring_lat/ring_lon). Built once per actor."""
+
+    def __init__(self, polygons: list[dict], cover_res: int = DEFAULT_COVER_RES):
+        self.polygons = polygons
+        self.cover_res = cover_res
+        self.cell_to_polys: dict[int, list[int]] = {}
+        for i, poly in enumerate(polygons):
+            for cell in self._cover(poly):
+                self.cell_to_polys.setdefault(int(cell), []).append(i)
+
+    def _cover(self, poly: dict) -> np.ndarray:
+        """Cover cells of the polygon's bbox: sample a grid at sub-cell
+        spacing and collect distinct hex cells."""
+        lat0, lat1, lon0, lon1 = polygon_bbox(poly["ring_lat"], poly["ring_lon"])
+        # sub-hex sampling step: hex circumradius at cover_res in degrees of
+        # mercator-x is R0/√7^res of 360°; sample at a third of that
+        from ..geo.hexgrid import R0, SQRT7
+        step = max(1e-3, (R0 / SQRT7 ** self.cover_res) * 360.0 / 3.0)
+        lats = np.arange(lat0 - step, lat1 + 2 * step, step)
+        lons = np.arange(lon0 - step, lon1 + 2 * step, step)
+        glat, glon = np.meshgrid(lats, lons)
+        return np.unique(hex_cell(np.clip(glat.ravel(), -89.9, 89.9),
+                                  np.clip(glon.ravel(), -180, 180),
+                                  self.cover_res))
+
+    def probe(self, lat: np.ndarray, lon: np.ndarray):
+        """(point_idx, admin_id, name) arrays for all containment matches."""
+        cells = hex_cell(lat, lon, self.cover_res)
+        out_idx, out_admin, out_name = [], [], []
+        # group points by cell so each candidate polygon is tested once per
+        # cell with a vectorized PIP
+        order = np.argsort(cells, kind="stable")
+        sorted_cells = cells[order]
+        bounds = np.nonzero(np.diff(sorted_cells))[0] + 1
+        for grp in np.split(order, bounds):
+            cands = self.cell_to_polys.get(int(cells[grp[0]]))
+            if not cands:
+                continue
+            glat, glon = lat[grp], lon[grp]
+            for pi in cands:
+                poly = self.polygons[pi]
+                m = points_in_polygon(glat, glon,
+                                      poly["ring_lat"], poly["ring_lon"])
+                if m.any():
+                    hit = grp[m]
+                    out_idx.append(hit)
+                    out_admin.extend([poly["admin_id"]] * len(hit))
+                    out_name.extend([poly["name"]] * len(hit))
+        if not out_idx:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=object), np.empty(0, dtype=object))
+        return (np.concatenate(out_idx),
+                np.array(out_admin, dtype=object),
+                np.array(out_name, dtype=object))
+
+
+def _join_batch(batch: pa.Table, index: PolygonIndex) -> pa.Table:
+    lat = np.asarray(batch["lat"], dtype=np.float64)
+    lon = np.asarray(batch["lon"], dtype=np.float64)
+    idx, admin, name = index.probe(lat, lon)
+    joined = batch.take(pa.array(idx))
+    joined = joined.append_column("admin_id", pa.array(admin, pa.string()))
+    joined = joined.append_column("admin_name", pa.array(name, pa.string()))
+    return joined
+
+
+class _PIPActor:
+    """Actor-pool callable: index built once per actor from the ray.put
+    handle (SURVEY.md §7.3)."""
+
+    def __init__(self, polygons_ref, cover_res: int):
+        import ray
+        polys = ray.get(polygons_ref) if not isinstance(polygons_ref, list) \
+            else polygons_ref
+        self.index = PolygonIndex(polys, cover_res)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return _join_batch(batch, self.index)
+
+
+def pip_join(points_ds, polygons: list[dict],
+             cover_res: int = DEFAULT_COVER_RES,
+             concurrency: int = 4, batch_size: int = 8192):
+    """Broadcast PIP join: points Dataset (lat/lon columns) → inner-join
+    rows with admin_id/admin_name appended."""
+    import ray
+    polygons_ref = ray.put(polygons)
+    return points_ds.map_batches(
+        _PIPActor,
+        fn_constructor_args=(polygons_ref, cover_res),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# shuffle plan with salted hot cells
+# ---------------------------------------------------------------------------
+
+def salted_keys(ds, cell_col: str, id_col: str = "doc_id",
+                cap: int = 50_000):
+    """Append a ``pip_key`` column = "<cell>#<salt>": salt spreads any cell
+    whose global count exceeds ``cap`` over ceil(count/cap) subkeys.
+
+    Pass 1 is a tiny groupby-count (cell histogram); the hot-cell → salt-K
+    map is broadcast into the key-assignment map_batches.
+    """
+    import pyarrow.compute as pc
+
+    hist = ds.groupby(cell_col).count().to_pandas()
+    hot = {int(c): int(np.ceil(n / cap))
+           for c, n in zip(hist[cell_col], hist["count()"]) if n > cap}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cells = np.asarray(batch[cell_col]).astype(np.uint64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        salts = np.zeros(len(cells), dtype=np.int64)
+        if hot:
+            ks = np.array([hot.get(int(c), 1) for c in cells])
+            mask = ks > 1
+            if mask.any():
+                import zlib
+                idh = np.array([zlib.crc32(str(i).encode()) for i in ids[mask]],
+                               dtype=np.int64)
+                salts[mask] = idh % ks[mask]
+        keys = pa.array([f"{c}#{s}" for c, s in zip(cells, salts)])
+        return batch.append_column("pip_key", keys)
+
+    return ds.map_batches(assign, batch_format="pyarrow"), hot
+
+
+def pip_join_shuffle(points_ds, polygons: list[dict],
+                     cover_res: int = DEFAULT_COVER_RES,
+                     cap: int = 50_000):
+    """Shuffle PIP join: salted groupby on the cover cell, vectorized PIP
+    per (cell, salt) group against the broadcast polygon index."""
+    import pandas as pd
+    import ray
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        lat = np.asarray(batch["lat"], dtype=np.float64)
+        lon = np.asarray(batch["lon"], dtype=np.float64)
+        return batch.append_column(
+            "pip_cell", pa.array(hex_cell(lat, lon, cover_res), pa.uint64()))
+
+    keyed, hot = salted_keys(points_ds.map_batches(
+        add_cell, batch_format="pyarrow"), "pip_cell", cap=cap)
+
+    polygons_ref = ray.put(polygons)
+    index_holder = {}
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        # lazily build the index once per worker process
+        if "index" not in index_holder:
+            index_holder["index"] = PolygonIndex(ray.get(polygons_ref), cover_res)
+        index = index_holder["index"]
+        lat = g["lat"].to_numpy(dtype=np.float64)
+        lon = g["lon"].to_numpy(dtype=np.float64)
+        idx, admin, name = index.probe(lat, lon)
+        out = g.iloc[idx].copy()
+        out["admin_id"] = admin
+        out["admin_name"] = name
+        return out
+
+    out = keyed.groupby("pip_key").map_groups(per_group, batch_format="pandas")
+    return out.drop_columns(["pip_key", "pip_cell"])
+
+
+def brute_force_pip(lat: np.ndarray, lon: np.ndarray,
+                    polygons: list[dict]):
+    """O(n·m) oracle: (point_idx, admin_id) pairs, every polygon tested."""
+    out = []
+    for poly in polygons:
+        m = points_in_polygon(lat, lon, poly["ring_lat"], poly["ring_lon"])
+        for i in np.nonzero(m)[0]:
+            out.append((int(i), poly["admin_id"], poly["name"]))
+    return sorted(out)

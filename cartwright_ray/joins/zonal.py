@@ -1,0 +1,164 @@
+"""Raster↔vector zonal statistics (north_rule "rasterio-backed raster↔vector
+zonal stats"; reference's raster-awareness is the grid-resolution analysis,
+`cartwright/analysis/space_resolution.py:29-107`).
+
+rasterio is unavailable in this environment, so the raster source is a
+seam: ``tile_fn(z, x, y) -> (64, 64) float32`` pixel array. The default
+:func:`synth_tile_pixels` is a deterministic synthetic raster (FIXTURES.md
+F5); a rasterio-backed ``tile_fn`` drops in unchanged on a real cluster.
+
+Physical plan: the *tile space* is the dataset — the driver enumerates the
+tile ids covering the polygons' bboxes (metadata-sized), Ray shards them;
+each actor loads/generates its tiles, rasterizes the polygon masks
+(vectorized PIP over the pixel-center grid) and emits per-(polygon, tile)
+partial sums; a small ``groupby(admin_id)`` combines partials into final
+count/sum/min/max/mean. Raster pixels never leave the workers.
+
+Verified against :func:`brute_force_zonal`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geo.mercator import MAX_LAT
+from ..geo.pip import points_in_polygon, polygon_bbox
+
+TILE_SIZE = 64
+
+
+def synth_tile_pixels(z: int, x: int, y: int, size: int = TILE_SIZE) -> np.ndarray:
+    """Deterministic synthetic raster tile: smooth field + seeded noise."""
+    rng = np.random.default_rng((z * 73_856_093) ^ (x * 19_349_663) ^ (y * 83_492_791))
+    px = np.linspace(x, x + 1, size, endpoint=False)
+    py = np.linspace(y, y + 1, size, endpoint=False)
+    gx, gy = np.meshgrid(px, py)
+    n = 1 << z
+    field = np.sin(2 * np.pi * gx / n * 3) * np.cos(2 * np.pi * gy / n * 2) * 50 + 100
+    return (field + rng.normal(0, 1.0, (size, size))).astype(np.float32)
+
+
+def _tile_pixel_lonlat(z: int, x: int, y: int, size: int = TILE_SIZE):
+    """(lat, lon) of pixel centers of tile (z, x, y)."""
+    n = float(1 << z)
+    xs = (x + (np.arange(size) + 0.5) / size) / n
+    ys = (y + (np.arange(size) + 0.5) / size) / n
+    lon = xs * 360.0 - 180.0
+    lat = np.rad2deg(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * ys))))
+    glon, glat = np.meshgrid(lon, lat)
+    return glat, glon
+
+
+def _tiles_for_bbox(lat0, lat1, lon0, lon1, zoom: int):
+    from ..geo.mercator import lonlat_to_tile
+    lat0c, lat1c = np.clip([lat0, lat1], -MAX_LAT, MAX_LAT)
+    xs, ys = lonlat_to_tile(np.array([lon0, lon1]), np.array([lat0c, lat1c]), zoom)
+    # y grows southward
+    x_lo, x_hi = int(xs.min()), int(xs.max())
+    y_lo, y_hi = int(ys.min()), int(ys.max())
+    return [(zoom, x, y) for x in range(x_lo, x_hi + 1)
+            for y in range(y_lo, y_hi + 1)]
+
+
+def _partials_for_tile(z, x, y, polygons, tile_fn):
+    pixels = tile_fn(z, x, y)
+    size = pixels.shape[0]
+    glat, glon = _tile_pixel_lonlat(z, x, y, size)
+    flat_lat, flat_lon = glat.ravel(), glon.ravel()
+    flat_pix = pixels.ravel().astype(np.float64)
+    rows = []
+    for poly in polygons:
+        b = polygon_bbox(poly["ring_lat"], poly["ring_lon"])
+        # bbox reject
+        if (glat.max() < b[0] or glat.min() > b[1]
+                or glon.max() < b[2] or glon.min() > b[3]):
+            continue
+        m = points_in_polygon(flat_lat, flat_lon,
+                              poly["ring_lat"], poly["ring_lon"])
+        if not m.any():
+            continue
+        vals = flat_pix[m]
+        rows.append({"admin_id": poly["admin_id"], "px_count": int(m.sum()),
+                     "px_sum": float(vals.sum()), "px_min": float(vals.min()),
+                     "px_max": float(vals.max())})
+    return rows
+
+
+class _ZonalActor:
+    def __init__(self, polygons_ref, tile_fn):
+        import ray
+        self.polygons = (ray.get(polygons_ref)
+                         if not isinstance(polygons_ref, list) else polygons_ref)
+        self.tile_fn = tile_fn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for z, x, y in zip(batch["z"].to_pylist(), batch["x"].to_pylist(),
+                           batch["y"].to_pylist()):
+            rows.extend(_partials_for_tile(z, x, y, self.polygons, self.tile_fn))
+        if not rows:
+            return pa.table({"admin_id": pa.array([], pa.string()),
+                             "px_count": pa.array([], pa.int64()),
+                             "px_sum": pa.array([], pa.float64()),
+                             "px_min": pa.array([], pa.float64()),
+                             "px_max": pa.array([], pa.float64())})
+        return pa.Table.from_pylist(rows)
+
+
+def zonal_stats(polygons: list[dict], zoom: int = 8,
+                tile_fn=synth_tile_pixels, concurrency: int = 4):
+    """Per-polygon raster stats as a small result Dataset
+    (admin_id, px_count, mean, min, max)."""
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    tiles = set()
+    for poly in polygons:
+        b = polygon_bbox(poly["ring_lat"], poly["ring_lon"])
+        tiles.update(_tiles_for_bbox(*b, zoom))
+    tiles = sorted(tiles)
+    ds = ray.data.from_items(
+        [{"z": z, "x": x, "y": y} for z, x, y in tiles])
+
+    import ray
+    polygons_ref = ray.put(polygons)
+    partials = ds.map_batches(
+        _ZonalActor, fn_constructor_args=(polygons_ref, tile_fn),
+        batch_format="pyarrow", batch_size=8, concurrency=concurrency)
+
+    agg = partials.groupby("admin_id").aggregate(
+        Sum("px_count", alias_name="px_count"),
+        Sum("px_sum", alias_name="px_sum"),
+        Min("px_min", alias_name="px_min"),
+        Max("px_max", alias_name="px_max"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mean = pc.divide(batch["px_sum"], pc.cast(batch["px_count"], pa.float64()))
+        return batch.append_column("px_mean", mean)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def brute_force_zonal(polygons: list[dict], zoom: int = 8,
+                      tile_fn=synth_tile_pixels) -> dict:
+    """Single-threaded oracle: same math, no Ray."""
+    acc: dict[str, dict] = {}
+    tiles = set()
+    for poly in polygons:
+        b = polygon_bbox(poly["ring_lat"], poly["ring_lon"])
+        tiles.update(_tiles_for_bbox(*b, zoom))
+    for z, x, y in sorted(tiles):
+        for row in _partials_for_tile(z, x, y, polygons, tile_fn):
+            a = acc.setdefault(row["admin_id"],
+                               {"px_count": 0, "px_sum": 0.0,
+                                "px_min": np.inf, "px_max": -np.inf})
+            a["px_count"] += row["px_count"]
+            a["px_sum"] += row["px_sum"]
+            a["px_min"] = min(a["px_min"], row["px_min"])
+            a["px_max"] = max(a["px_max"], row["px_max"])
+    for a in acc.values():
+        a["px_mean"] = a["px_sum"] / a["px_count"]
+    return acc

@@ -47,7 +47,10 @@ _GEN_FORMATS = ["%Y-%m-%d", "%Y/%m/%d", "%m/%d/%Y", "%d-%m-%Y",
 
 
 def _doc_rng(seed: int, doc_id) -> np.random.Generator:
-    return np.random.default_rng((hash((int(seed), str(doc_id))) & 0x7FFFFFFF))
+    # stable across processes (python's hash() is per-process salted)
+    import hashlib
+    h = hashlib.blake2b(f"{int(seed)}|{doc_id}".encode(), digest_size=8)
+    return np.random.default_rng(int.from_bytes(h.digest(), "big"))
 
 
 def _random_point(rng) -> tuple[float, float]:

@@ -1,0 +1,104 @@
+"""Per-partition checkpointed Parquet sink (north_rule: "explicit
+per-partition checkpoints and lineage/metrics records so any failed
+partition resumes without recomputation").
+
+Layout under ``out_dir``:
+
+- ``part-<pid>.parquet`` — one file per partition (block), written to a
+  ``.tmp`` name first and atomically renamed (idempotent against retries,
+  SURVEY.md §4.2).
+- ``_manifest/<pid>.json`` — lineage/metrics record
+  ``{partition_id, row_count, bytes, checksum, status, key_range}``
+  written after the data rename (write-ahead of nothing: the data file is
+  the source of truth, the manifest marks it done).
+
+``partition_id`` is a content key: blake2 of the partition's key column
+values. Re-running the same pipeline over the same input reproduces the
+same pids, so finished partitions are skipped at the sink (the cheap,
+storage-level half of resume); a reader-side fragment filter can skip the
+corresponding *input* fragments when pids are derived from fragment paths
+(pass ``pid_fn``).
+
+The writer itself is a streaming ``map_batches`` stage — no driver-side
+collection, any number of partitions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _default_pid(batch: pa.Table, key_col: str) -> str:
+    h = hashlib.blake2b(digest_size=10)
+    col = batch.column(key_col)
+    h.update(str(len(batch)).encode())
+    for v in col.slice(0, 64).to_pylist():
+        h.update(str(v).encode("utf-8", "replace"))
+    if len(batch) > 64:
+        for v in col.slice(len(batch) - 8).to_pylist():
+            h.update(str(v).encode("utf-8", "replace"))
+    return h.hexdigest()
+
+
+def read_manifest(out_dir: str) -> dict[str, dict]:
+    mdir = os.path.join(out_dir, "_manifest")
+    if not os.path.isdir(mdir):
+        return {}
+    out = {}
+    for f in os.listdir(mdir):
+        if f.endswith(".json"):
+            try:
+                with open(os.path.join(mdir, f)) as fh:
+                    rec = json.load(fh)
+                if rec.get("status") == "done":
+                    out[rec["partition_id"]] = rec
+            except (json.JSONDecodeError, OSError):
+                continue  # torn write → treated as not-done, rewritten
+    return out
+
+
+def checkpointed_write(ds, out_dir: str, key_col: str = "doc_id",
+                       pid_fn=None):
+    """Write ``ds`` to ``out_dir`` with per-partition checkpoints; skips
+    partitions already marked done. Returns {written, skipped, rows}."""
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    done = set(read_manifest(out_dir))
+    pid_of = pid_fn or (lambda b: _default_pid(b, key_col))
+
+    def write_part(batch: pa.Table) -> pa.Table:
+        pid = pid_of(batch)
+        status = "skipped"
+        if pid not in done:
+            data_path = os.path.join(out_dir, f"part-{pid}.parquet")
+            tmp = data_path + ".tmp"
+            pq.write_table(batch, tmp)
+            os.replace(tmp, data_path)
+            rec = {
+                "partition_id": pid,
+                "row_count": len(batch),
+                "bytes": os.path.getsize(data_path),
+                "checksum": pid,
+                "status": "done",
+                "key_range": [str(batch.column(key_col)[0]),
+                              str(batch.column(key_col)[-1])] if len(batch) else [],
+            }
+            mtmp = os.path.join(out_dir, "_manifest", f"{pid}.json.tmp")
+            with open(mtmp, "w") as fh:
+                json.dump(rec, fh)
+            os.replace(mtmp, os.path.join(out_dir, "_manifest", f"{pid}.json"))
+            status = "written"
+        return pa.table({"partition_id": pa.array([pid]),
+                         "rows": pa.array([len(batch)], pa.int64()),
+                         "status": pa.array([status])})
+
+    stats = ds.map_batches(write_part, batch_format="pyarrow").to_pandas()
+    return {
+        "written": int((stats["status"] == "written").sum()),
+        "skipped": int((stats["status"] == "skipped").sum()),
+        "rows": int(stats["rows"].sum()),
+    }
