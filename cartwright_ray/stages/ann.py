@@ -1,0 +1,139 @@
+"""Similarity search over an embedding column (engine-only first-class
+component): brute-force cosine top-k as the exact baseline, LSH-bucketed
+variant as the scale path.
+
+Brute force: the query matrix is broadcast once (``ray.put``); each batch
+does one float64 matmul against it and emits per-batch local top-k
+candidates (k per query per batch — tiny); a final small sort/limit per
+query selects the global top-k. The full similarity matrix never exists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(v: np.ndarray) -> np.ndarray:
+    return v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+
+
+class _ScanActor:
+    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
+        import ray
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+        self.qids = list(q["query_id"])
+        self.qmat = _normalize(np.asarray(q["vec"], dtype=np.float64))
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(np.asarray(batch.column(self.vec_col).to_pylist(),
+                                     dtype=np.float64))
+        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        sims = self.qmat @ vecs.T                       # (n_q, n_batch)
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_id, out_s = [], [], []
+        for qi, qid in enumerate(self.qids):
+            cand = part[qi]
+            out_q.extend([qid] * len(cand))
+            out_id.extend(ids[cand].tolist())
+            out_s.extend(sims[qi, cand].tolist())
+        return pa.table({"query_id": pa.array(out_q),
+                         "vec_id": pa.array(out_id),
+                         "score": pa.array(out_s, pa.float64())})
+
+
+def ann_search(ds, queries: dict, k: int = 10, vec_col: str = "embedding",
+               id_col: str = "vec_id", concurrency: int = 4,
+               batch_size: int = 4096):
+    """Exact cosine top-k: per-batch matmul candidates → global top-k via a
+    small per-query ``map_groups``. ``queries`` = {query_id: [...], vec:
+    (n_q, d) array-like}. Returns (query_id, vec_id, rank, score)."""
+    import ray
+    queries_ref = ray.put(queries)
+    cands = ds.map_batches(
+        _ScanActor, fn_constructor_args=(queries_ref, k, vec_col, id_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, zero_copy_batch=True)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return cands.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+def lsh_ann_search(ds, queries: dict, k: int = 10, vec_col: str = "embedding",
+                   id_col: str = "vec_id", num_planes: int = 8,
+                   seed: int = 17, concurrency: int = 4):
+    """Approximate variant (scale path): random-hyperplane signature
+    pre-filter — only vectors whose signature is within hamming ≤ 1 of the
+    query's signature are scored. Same output schema; recall measured in
+    tests, not guaranteed."""
+    import ray
+
+    rng = np.random.default_rng(seed)
+    qmat = _normalize(np.asarray(queries["vec"], dtype=np.float64))
+    planes = rng.normal(size=(qmat.shape[1], num_planes))
+    qsig = ((qmat @ planes) >= 0).astype(np.uint32)
+    qbits = np.zeros(len(qsig), dtype=np.uint32)
+    for b in range(num_planes):
+        qbits |= qsig[:, b] << b
+    bundle = {"query_id": list(queries["query_id"]), "vec": qmat,
+              "qbits": qbits, "planes": planes, "num_planes": num_planes}
+    bundle_ref = ray.put(bundle)
+
+    class _LSHScan:
+        def __init__(self):
+            b = ray.get(bundle_ref)
+            self.qids = b["query_id"]
+            self.qmat = b["vec"]
+            self.qbits = b["qbits"]
+            self.planes = b["planes"]
+            self.np_ = b["num_planes"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(np.asarray(batch.column(vec_col).to_pylist(),
+                                         dtype=np.float64))
+            ids = np.asarray(batch.column(id_col).to_pylist())
+            s = (vecs @ self.planes) >= 0
+            vbits = np.zeros(len(vecs), dtype=np.uint32)
+            for b in range(self.np_):
+                vbits |= s[:, b].astype(np.uint32) << b
+            out_q, out_id, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                x = vbits ^ self.qbits[qi]
+                ham = np.zeros(len(x), dtype=np.int32)
+                xx = x.copy()
+                while xx.any():
+                    ham += (xx & 1).astype(np.int32)
+                    xx >>= 1
+                cand = np.nonzero(ham <= 1)[0]
+                if cand.size == 0:
+                    continue
+                sims = vecs[cand] @ self.qmat[qi]
+                kk = min(k, cand.size)
+                top = np.argpartition(-sims, kk - 1)[:kk]
+                out_q.extend([qid] * kk)
+                out_id.extend(ids[cand[top]].tolist())
+                out_s.extend(sims[top].tolist())
+            return pa.table({"query_id": pa.array(out_q),
+                             "vec_id": pa.array(out_id),
+                             "score": pa.array(out_s, pa.float64())})
+
+    cands = ds.map_batches(_LSHScan, batch_format="pyarrow",
+                           batch_size=4096, concurrency=concurrency)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return cands.groupby("query_id").map_groups(topk, batch_format="pandas")

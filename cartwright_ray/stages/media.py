@@ -1,0 +1,126 @@
+"""Multimodal (image/audio) stages — Ray-side plumbing is real; the codec
+is stubbed (no image/audio libraries exist in this environment).
+
+Media payloads are opaque ``binary`` columns with typed metadata. Stages
+are actor pools with deliberately small batches (payloads are wide —
+SURVEY.md "Memory-aware"): decode / feature-extract / resize / frame-sample
+all share the shape ``map_batches(Cls, concurrency=N, batch_size=small)``.
+
+The decode seam: ``decoder="stub"`` raises NotImplementedError (the honest
+default on this container); ``decoder="fake"`` produces a deterministic
+pseudo-decode from the payload bytes so the full pipeline — schema, actor
+signature, batch sizing, output layout — is testable end-to-end. A real
+PIL/ffmpeg decoder drops into ``_decode_real``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("span_idx", pa.int32()),
+    ("media_ref", pa.string()),
+    ("payload", pa.binary()),
+    ("media_type", pa.string()),     # 'image' | 'audio' | 'video'
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+])
+
+FEATURE_DIM = 64
+
+
+def media_rows_from_corpus(corpus_ds):
+    """Corpus → one row per media span with a deterministic synthetic
+    payload (stands in for the Lance blob column)."""
+    import pyarrow.compute as pc
+
+    def expand(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        doc_ids = batch.column("doc_id")
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        flat = pc.list_flatten(spans)
+        offsets = np.asarray(spans.offsets)
+        starts = offsets[np.asarray(parent)]
+        span_idx = (np.arange(offsets[0], offsets[0] + len(flat)) - starts).astype(np.int32)
+        is_media = np.asarray(pc.equal(flat.field("kind"), "media"))
+        rows = {"doc_id": [], "span_idx": [], "media_ref": [], "payload": [],
+                "media_type": [], "width": [], "height": []}
+        refs = flat.field("media_ref").to_pylist()
+        docs = doc_ids.take(parent).to_pylist()
+        for i in np.nonzero(is_media)[0]:
+            ref = refs[i]
+            payload = hashlib.blake2b(ref.encode(), digest_size=32).digest() * 8
+            rows["doc_id"].append(str(docs[i]))
+            rows["span_idx"].append(int(span_idx[i]))
+            rows["media_ref"].append(ref)
+            rows["payload"].append(payload)
+            rows["media_type"].append("image")
+            rows["width"].append(16)
+            rows["height"].append(16)
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.string()),
+            "span_idx": pa.array(rows["span_idx"], pa.int32()),
+            "media_ref": pa.array(rows["media_ref"], pa.string()),
+            "payload": pa.array(rows["payload"], pa.binary()),
+            "media_type": pa.array(rows["media_type"], pa.string()),
+            "width": pa.array(rows["width"], pa.int32()),
+            "height": pa.array(rows["height"], pa.int32()),
+        })
+
+    return corpus_ds.map_batches(expand, batch_format="pyarrow")
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: decode + feature-extract media payloads.
+
+    ``__init__`` is where a real model/codec would load (once per actor);
+    ``__call__`` processes one small batch of wide rows.
+    """
+
+    def __init__(self, decoder: str = "stub", feature_dim: int = FEATURE_DIM):
+        self.decoder = decoder
+        self.feature_dim = feature_dim
+
+    def _decode_real(self, payload: bytes) -> np.ndarray:  # pragma: no cover
+        raise NotImplementedError(
+            "real media decoding requires PIL/ffmpeg, absent in this "
+            "container; use decoder='fake' for the deterministic test path")
+
+    def _decode_fake(self, payload: bytes) -> np.ndarray:
+        """Deterministic pseudo-decode: bytes → pseudo-pixel array."""
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+        need = 16 * 16
+        arr = np.resize(arr, need).reshape(16, 16) / 255.0
+        return arr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for payload in batch.column("payload").to_pylist():
+            if self.decoder == "fake":
+                img = self._decode_fake(payload)
+            else:
+                img = self._decode_real(payload)
+            # simple pooled features: row/col means + global stats
+            f = np.concatenate([img.mean(axis=0), img.mean(axis=1),
+                                [img.mean(), img.std()] * 16])[:self.feature_dim]
+            feats.append(f.astype(np.float32).tolist())
+        out = batch.drop_columns(["payload"])   # wide bytes stop here
+        return out.append_column("feature",
+                                 pa.array(feats, pa.list_(pa.float32())))
+
+
+def extract_media_features(media_ds, decoder: str = "stub",
+                           concurrency: int = 2, batch_size: int = 64):
+    """Dataset stage; batch_size deliberately small (wide binary rows)."""
+    return media_ds.map_batches(
+        MediaFeatureExtractor, fn_constructor_kwargs={"decoder": decoder},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
