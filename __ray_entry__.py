@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline on sf0.001; ``queries()`` exposes one
+callable per implemented operator/pipeline (SURVEY.md §2); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible query (same
+column names — the driver hashes values after sorting columns by name).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in cartwright_ray) calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +14,402 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+
+# TimeUnit seconds (cartwright_ray.detectors.schemas.TimeUnit — mirrors
+# /root/reference/cartwright/schemas.py:121-132), inlined in the oracle SQL.
+_UNIT_VALUES_SQL = """
+    units(unit, dur) AS (VALUES
+        ('millisecond', 0.001), ('second', 1.0), ('minute', 60.0),
+        ('hour', 3600.0), ('day', 86400.0), ('week', 604800.0),
+        ('year', 31536000.0), ('month', 2628000.0),
+        ('decade', 315532800.0), ('century', 3155673600.0),
+        ('millennium', 31556908800.0))
+"""
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (docs → corpus → extract → encode → PIP join)
+    on /root/testdata/sf0.001."""
+    from cartwright_ray.pipelines.flagship import flagship_pipeline
+    return flagship_pipeline("/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# query callables
+# ---------------------------------------------------------------------------
+
+def _docs(sf_dir):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(sf_dir):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_text_stats(sf_dir):
+    from cartwright_ray.stages.textstats import text_stats
+    df = text_stats(_docs(sf_dir)).to_pandas()
+    df = df[["doc_id", "n_tokens", "alpha_chars", "digit_chars",
+             "space_chars", "alpha_ratio"]]
+    # floor-scale instead of round: round() ties break differently in
+    # numpy (half-even) vs DuckDB (half-away); floor on the identical
+    # IEEE double is bit-stable in both.
+    df["alpha_ratio"] = np.floor(df["alpha_ratio"] * 1e6) / 1e6
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_exact_dedup(sf_dir):
+    from cartwright_ray.stages.dedup import exact_dedup
+    df = exact_dedup(_docs(sf_dir)).to_pandas()
+    return df[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_ann(sf_dir):
+    import pyarrow.parquet as pq
+    from cartwright_ray.stages.ann import ann_search
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 500).to_pandas()
+    qrows = head[head["vec_id"] < 3].sort_values("vec_id")
+    queries = {"query_id": qrows["vec_id"].tolist(),
+               "vec": np.asarray(qrows["embedding"].tolist(), dtype=np.float64)}
+    df = ann_search(_embeddings(sf_dir), queries, k=10).to_pandas()
+    df = df[["query_id", "vec_id", "rank", "score"]]
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _q_temporal_resolution(sf_dir):
+    import ray.data
+    from cartwright_ray.analysis.time_resolution import detect_temporal_resolution_ds
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    r = detect_temporal_resolution_ds(ds, "ts")
+    return pd.DataFrame([{
+        "uniformity": r.uniformity.name,
+        "unit": r.unit.name,
+        "resolution": round(r.resolution, 6),
+        "error": round(r.error, 6),
+    }])
+
+
+def _q_classify_documents(sf_dir):
+    from cartwright_ray.detectors.cascade import classify_dataset
+    cls = classify_dataset(_docs(sf_dir))
+    rows = [{"column": c.column, "category": c.category or "",
+             "subcategory": c.subcategory or "", "format": c.format or ""}
+            for c in cls.classifications]
+    return pd.DataFrame(rows).sort_values("column").reset_index(drop=True)
+
+
+def _q_classify_events(sf_dir):
+    import ray.data
+    from cartwright_ray.detectors.cascade import classify_dataset
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    cls = classify_dataset(ds)
+    rows = [{"column": c.column, "category": c.category or "",
+             "subcategory": c.subcategory or "", "format": c.format or ""}
+            for c in cls.classifications]
+    return pd.DataFrame(rows).sort_values("column").reset_index(drop=True)
+
+
+def _q_extract_points(sf_dir):
+    from cartwright_ray.pipelines.flagship import extracted_points
+    df = extracted_points(sf_dir).to_pandas()
+    return df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+
+
+def _q_encoded_points(sf_dir):
+    from cartwright_ray.pipelines.flagship import encoded_points
+    df = encoded_points(sf_dir).to_pandas()
+    df["h3_r7"] = df["h3_r7"].astype("uint64")
+    return df[["doc_id", "span_idx", "lat", "lon", "geohash", "h3_r7",
+               "s2_token", "tile_x", "tile_y"]] \
+        .sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+
+
+def _q_pip_join_counts(sf_dir):
+    from cartwright_ray.pipelines.flagship import flagship_pipeline
+    df = flagship_pipeline(sf_dir).to_pandas()
+    out = df.groupby("admin_id").size().rename("n_points").reset_index()
+    return out.sort_values("admin_id").reset_index(drop=True)
+
+
+def _q_knn(sf_dir):
+    from cartwright_ray.joins.knn_join import knn_join
+    from cartwright_ray.pipelines.flagship import encoded_points
+    rng = np.random.default_rng(7)
+    feats = {"feat_id": [f"F{i:04d}" for i in range(1000)],
+             "lat": rng.uniform(-60, 60, 1000),
+             "lon": rng.uniform(-170, 170, 1000)}
+    df = knn_join(encoded_points(sf_dir), feats, k=3).to_pandas()
+    df = df[["doc_id", "span_idx", "neighbor_rank", "feat_id"]]
+    return df.sort_values(["doc_id", "span_idx", "neighbor_rank"]) \
+             .reset_index(drop=True)
+
+
+def _q_zonal(sf_dir):
+    from cartwright_ray.joins.zonal import zonal_stats
+    from cartwright_ray.sources.synth import ADMIN_POLYGONS
+    df = zonal_stats(ADMIN_POLYGONS[:12], zoom=7).to_pandas()
+    for c in ["px_sum", "px_min", "px_max", "px_mean"]:
+        df[c] = df[c].round(4)
+    return df.sort_values("admin_id").reset_index(drop=True)
+
+
+def _q_minhash(sf_dir):
+    from cartwright_ray.stages.dedup import minhash_lsh_dedup
+    df = minhash_lsh_dedup(_docs(sf_dir), threshold=0.8).to_pandas()
+    df = df[["dup_id", "kept_id"]]
+    return df.sort_values("dup_id").reset_index(drop=True)
+
+
+def _q_simhash(sf_dir):
+    from cartwright_ray.stages.dedup import simhash_dedup
+    df = simhash_dedup(_docs(sf_dir), max_hamming=3).to_pandas()
+    df = df[["dup_id", "kept_id", "hamming"]]
+    return df.sort_values("dup_id").reset_index(drop=True)
+
+
+def _q_embedding_dups(sf_dir):
+    from cartwright_ray.stages.dedup import embedding_near_dups
+    df = embedding_near_dups(_embeddings(sf_dir), threshold=0.9).to_pandas()
+    if len(df):
+        df["cos"] = df["cos"].round(6)
+        df = df.sort_values("dup_id").reset_index(drop=True)
+    return df[["dup_id", "kept_id", "cos"]] if len(df) else \
+        pd.DataFrame({"dup_id": [], "kept_id": [], "cos": []})
+
+
+def _q_langid(sf_dir):
+    from cartwright_ray.stages.textstats import detect_language
+    df = detect_language(_docs(sf_dir)).to_pandas()
+    out = df.groupby("lang_pred").size().rename("n_docs").reset_index()
+    return out.sort_values("lang_pred").reset_index(drop=True)
+
+
+def _q_fingerprint(sf_dir):
+    from cartwright_ray.stages.textstats import fingerprint
+    df = fingerprint(_docs(sf_dir)).to_pandas()
+    return df[["doc_id", "fingerprint"]].sort_values("doc_id") \
+                                        .reset_index(drop=True)
+
+
+def _q_media(sf_dir):
+    import ray.data
+    from cartwright_ray.sources.synth import interleave_documents
+    from cartwright_ray.stages.media import (extract_media_features,
+                                             media_rows_from_corpus)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    media = media_rows_from_corpus(interleave_documents(docs))
+    df = extract_media_features(media, decoder="fake").to_pandas()
+    df["feat_dim"] = df["feature"].map(len)
+    df = df[["doc_id", "span_idx", "media_ref", "media_type", "feat_dim"]]
+    return df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+
+
+def _q_spatial_resolution(sf_dir):
+    import ray.data
+    from cartwright_ray.analysis.space_resolution import detect_latlon_resolution_ds
+    # deterministic 1° global grid, sharded through Ray like real data
+    lats = np.arange(-60.0, 60.0, 1.0)
+    lons = np.arange(-120.0, 120.0, 1.0)
+    glat, glon = np.meshgrid(lats, lons)
+    import pyarrow as pa
+    tbl = pa.table({"lat": glat.ravel(), "lon": glon.ravel()})
+    ds = ray.data.from_arrow(tbl)
+    r = detect_latlon_resolution_ds(ds, "lat", "lon")
+    sq = r.square
+    return pd.DataFrame([{"kind": "square", "unit": sq.unit.name,
+                          "resolution": round(sq.resolution, 6),
+                          "uniformity": sq.uniformity.name}])
+
+
+def _q_lsh_ann(sf_dir):
+    import pyarrow.parquet as pq
+    from cartwright_ray.stages.ann import lsh_ann_search
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 500).to_pandas()
+    qrows = head[head["vec_id"] < 3].sort_values("vec_id")
+    queries = {"query_id": qrows["vec_id"].tolist(),
+               "vec": np.asarray(qrows["embedding"].tolist(), dtype=np.float64)}
+    df = lsh_ann_search(_embeddings(sf_dir), queries, k=10).to_pandas()
+    df["score"] = df["score"].round(6)
+    df = df[["query_id", "vec_id", "rank", "score"]]
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from cartwright_ray.pipelines import relational as rel
+    return {
+        # relational surface (groupby / broadcast join / window / top-k /
+        # global aggregate)
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "orders_by_nation": rel.orders_by_nation,
+        "events_hourly_window": rel.events_hourly_window,
+        "top_users_by_value": rel.top_users_by_value,
+        "lineitem_shipdate_minmax": rel.lineitem_shipdate_minmax,
+        # geo kernels with SQL-reproducible math
+        "tile_assignment": rel.tile_assignment,
+        "haversine_origin": rel.haversine_from_origin,
+        # text / dedup / ANN
+        "text_stats_docs": _q_text_stats,
+        "exact_dedup_docs": _q_exact_dedup,
+        "ann_topk": _q_ann,
+        "lsh_ann_topk": _q_lsh_ann,
+        "minhash_dedup_pairs": _q_minhash,
+        "simhash_dedup_pairs": _q_simhash,
+        "embedding_near_dups": _q_embedding_dups,
+        "langid_counts": _q_langid,
+        "fingerprint_docs": _q_fingerprint,
+        "media_features": _q_media,
+        # cartwright-parity inference
+        "temporal_resolution_events": _q_temporal_resolution,
+        "spatial_resolution_grid": _q_spatial_resolution,
+        "classify_documents_columns": _q_classify_documents,
+        "classify_events_columns": _q_classify_events,
+        # spatial pipeline
+        "extract_points": _q_extract_points,
+        "encoded_points": _q_encoded_points,
+        "pip_join_counts": _q_pip_join_counts,
+        "knn_join_sample": _q_knn,
+        "zonal_stats_admin": _q_zonal,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# DuckDB oracles (same column names as the matching query callables)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "orders_by_nation": """
+            SELECT n_name, count(*) AS order_count,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY n_name
+        """,
+        "events_hourly_window": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "top_users_by_value": """
+            SELECT user_id, round(sum(value), 4) AS total_value,
+                   count(*) AS n_events
+            FROM events
+            GROUP BY user_id
+            ORDER BY sum(value) DESC, user_id
+            LIMIT 10
+        """,
+        "lineitem_shipdate_minmax": """
+            SELECT min(l_shipdate) AS min_shipdate,
+                   max(l_shipdate) AS max_shipdate,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+        """,
+        "tile_assignment": """
+            SELECT vec_id, lat, lon,
+                   CAST(floor((lon + 180) / 360 * 256) AS INT) AS tile_x,
+                   CAST(floor((1 - ln(tan(radians(lat))
+                        + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1))
+                        / pi()) / 2 * 256) AS INT) AS tile_y
+            FROM (
+                SELECT vec_id,
+                       CAST((vec_id * 7919 % 170) - 85 + 0.5 AS DOUBLE) AS lat,
+                       CAST((vec_id * 104729 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+                FROM embeddings)
+            ORDER BY vec_id
+        """,
+        "haversine_origin": """
+            SELECT vec_id,
+                   round(2 * 6371.0088 * asin(sqrt(
+                       sin(radians(lat) / 2) * sin(radians(lat) / 2)
+                       + cos(radians(lat))
+                         * sin(radians(lon) / 2) * sin(radians(lon) / 2)
+                   )), 5) AS dist_km
+            FROM (
+                SELECT vec_id,
+                       CAST((vec_id * 7919 % 170) - 85 + 0.5 AS DOUBLE) AS lat,
+                       CAST((vec_id * 104729 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+                FROM embeddings)
+            ORDER BY vec_id
+        """,
+        "text_stats_docs": r"""
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '')) AS n_tokens,
+                   length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                       AS alpha_chars,
+                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                       AS digit_chars,
+                   length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g'))
+                       AS space_chars,
+                   floor((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                         / CAST(greatest(length(text), 1) AS DOUBLE) * 1e6) / 1e6
+                       AS alpha_ratio
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "exact_dedup_docs": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+            ORDER BY doc_id
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 3),
+            sims AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.qv AS DOUBLE[])), 6) AS score
+                FROM embeddings e CROSS JOIN q)
+            SELECT query_id, vec_id, rank, score FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, vec_id) - 1 AS rank
+                FROM sims)
+            WHERE rank < 10
+            ORDER BY query_id, rank
+        """,
+        "temporal_resolution_events": f"""
+            WITH d AS (SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) AS s
+                       FROM events),
+            deltas AS (SELECT s - lag(s) OVER (ORDER BY s) AS delta FROM d),
+            dd AS (SELECT CAST(delta AS DOUBLE) AS delta FROM deltas
+                   WHERE delta IS NOT NULL),
+            med AS (SELECT median(delta) AS m FROM dd),
+            {_UNIT_VALUES_SQL},
+            best AS (SELECT unit, dur FROM units
+                     ORDER BY abs(dur - (SELECT m FROM med)) / dur LIMIT 1),
+            uni AS (SELECT CASE
+                        WHEN max(abs(delta - (SELECT m FROM med)))
+                             < 1e-9 * abs((SELECT m FROM med)) THEN 'PERFECT'
+                        WHEN max(abs(delta - (SELECT m FROM med)))
+                             < 0.01 * abs((SELECT m FROM med)) THEN 'UNIFORM'
+                        ELSE 'NOT_UNIFORM' END AS uniformity
+                    FROM dd),
+            err AS (SELECT avg(abs(delta - (SELECT m FROM med))) AS e FROM dd)
+            SELECT uni.uniformity, best.unit,
+                   round((SELECT m FROM med) / best.dur, 6) AS resolution,
+                   round(err.e / best.dur, 6) AS error
+            FROM uni, best, err
+        """,
+    }

@@ -58,7 +58,12 @@ def detect_temporal_resolution_ds(ds, column: str,
     def to_seconds(t: pa.Table) -> pa.Table:
         col = t.column(column)
         if pa.types.is_timestamp(col.type):
-            secs = col.cast(pa.timestamp("s")).cast(pa.int64())
+            import pyarrow.compute as pc
+            # floor to whole seconds (a plain cast refuses to truncate)
+            secs = pc.cast(pc.floor_temporal(col, unit="second"),
+                           pa.timestamp(col.type.unit)).cast(pa.int64())
+            div = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+            secs = pc.divide(secs, div[col.type.unit])
         elif fmt is not None:
             vals = convert_to_timestamps(col.to_pylist(), fmt)
             secs = pa.array(vals.astype("int64"))

@@ -1,0 +1,197 @@
+"""Relational pipelines over the driver testdata (TPC-H-ish) — the
+engine's groupby/join/sort/window surface, each with a DuckDB-checkable
+shape (column names here must match ``__ray_entry__.oracle_sql``).
+
+Patterns demonstrated:
+- partial+final aggregation through ``groupby().aggregate`` (one shuffle);
+- broadcast hash join (small side via ``ray.put``, probe in
+  ``map_batches`` — no shuffle for dimension joins);
+- tumbling-window aggregate (truncate inside map_batches, then groupby);
+- sort/limit top-k.
+
+Float aggregates are rounded before returning: Ray and DuckDB sum in
+different orders, and the driver compares value hashes — rounding to a
+tolerance far above double rounding error makes the comparison exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _round_cols(df: pd.DataFrame, cols, nd=2) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].astype(float).round(nd)
+    return df
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-style pricing summary (groupby aggregate, column-pruned
+    read, arithmetic inside map_batches)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        charge = pc.multiply(disc_price,
+                             pc.add(pa.scalar(1.0), t["l_tax"]))
+        t = t.append_column("disc_price", disc_price)
+        return t.append_column("charge", charge)
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                        Sum("l_extendedprice", alias_name="sum_base_price"),
+                        Sum("disc_price", alias_name="sum_disc_price"),
+                        Sum("charge", alias_name="sum_charge"),
+                        Count(alias_name="count_order"))).to_pandas()
+    out = out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    return _round_cols(out, ["sum_qty", "sum_base_price", "sum_disc_price",
+                             "sum_charge"])
+
+
+def orders_by_nation(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ customer ⋈ nation via broadcast hash join, then groupby.
+    Small sides are read driver-side (they are dimension tables) and
+    shipped once with ``ray.put``."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"].to_pylist(),
+                    nation["n_name"].to_pylist()))
+    cmap = {ck: nmap[nk] for ck, nk in zip(cust["c_custkey"].to_pylist(),
+                                           cust["c_nationkey"].to_pylist())}
+    cmap_ref = ray.put(cmap)
+
+    class Probe:
+        def __init__(self):
+            self.cmap = ray.get(cmap_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self.cmap.get(ck) for ck in t["o_custkey"].to_pylist()]
+            return t.append_column("n_name", pa.array(names, pa.string()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_totalprice"])
+    out = (ds.map_batches(Probe, batch_format="pyarrow", concurrency=2)
+             .groupby("n_name")
+             .aggregate(Count(alias_name="order_count"),
+                        Sum("o_totalprice", alias_name="total_price"))
+           ).to_pandas()
+    out = out.sort_values("n_name").reset_index(drop=True)
+    return _round_cols(out, ["total_price"])
+
+
+def events_hourly_window(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour window per event_type: truncate inside map_batches
+    (no shuffle), then one grouped aggregate."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def trunc(t: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.floor_temporal(t["ts"], unit="hour"),
+                       pa.timestamp("us"))
+        return t.append_column("window_start", hour)
+
+    out = (ds.map_batches(trunc, batch_format="pyarrow")
+             .groupby(["window_start", "event_type"])
+             .aggregate(Count(alias_name="n_events"),
+                        Sum("value", alias_name="sum_value"))).to_pandas()
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    out = out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    return _round_cols(out, ["sum_value"], nd=4)
+
+
+def top_users_by_value(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k: grouped sum then sort/limit (the aggregate output is small,
+    so the sort is metadata-sized)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "value"])
+    agg = ds.groupby("user_id").aggregate(
+        Sum("value", alias_name="total_value"),
+        Count(alias_name="n_events"))
+    out = agg.sort(["total_value", "user_id"], descending=[True, False]) \
+             .limit(k).to_pandas()
+    return _round_cols(out, ["total_value"], nd=4)
+
+
+def lineitem_shipdate_minmax(sf_dir: str) -> pd.DataFrame:
+    """Global min/max/count — pure partial+final aggregate, no groupby."""
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_shipdate", "l_quantity"])
+    out = ds.aggregate(Min("l_shipdate", alias_name="min_shipdate"),
+                       Max("l_shipdate", alias_name="max_shipdate"),
+                       Sum("l_quantity", alias_name="sum_qty"),
+                       Count(alias_name="n_rows"))
+    df = pd.DataFrame([out])
+    for c in ["min_shipdate", "max_shipdate"]:
+        df[c] = df[c].astype("datetime64[us]")
+    return _round_cols(df, ["sum_qty"])
+
+
+# ---------------------------------------------------------------------------
+# derived-coordinate encode queries (SQL-reproducible tile/haversine math)
+# ---------------------------------------------------------------------------
+
+def derived_points(sf_dir: str):
+    """Deterministic lat/lon derived from embeddings.vec_id by integer
+    formulas (SQL-reproducible; keeps values off tile boundaries)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        vid = np.asarray(t["vec_id"], dtype=np.int64)
+        lat = (vid * 7919 % 170).astype(np.float64) - 85.0 + 0.5
+        lon = (vid * 104729 % 360).astype(np.float64) - 180.0 + 0.5
+        t = t.append_column("lat", pa.array(lat))
+        return t.append_column("lon", pa.array(lon))
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def tile_assignment(sf_dir: str, zoom: int = 8) -> pd.DataFrame:
+    """Web-mercator tile assignment of the derived points (vectorized
+    kernel from cartwright_ray.geo.mercator)."""
+    from ..geo.mercator import lonlat_to_tile
+
+    def assign(t: pa.Table) -> pa.Table:
+        lat = np.asarray(t["lat"], dtype=np.float64)
+        lon = np.asarray(t["lon"], dtype=np.float64)
+        x, y = lonlat_to_tile(lon, lat, zoom)
+        t = t.append_column("tile_x", pa.array(x, pa.int32()))
+        t = t.append_column("tile_y", pa.array(y, pa.int32()))
+        return t.select(["vec_id", "lat", "lon", "tile_x", "tile_y"])
+
+    out = derived_points(sf_dir).map_batches(assign, batch_format="pyarrow") \
+                                .to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def haversine_from_origin(sf_dir: str) -> pd.DataFrame:
+    """Great-circle km from (0, 0) to each derived point, rounded(5)."""
+    from ..geo.haversine import haversine_km
+
+    def dist(t: pa.Table) -> pa.Table:
+        lat = np.asarray(t["lat"], dtype=np.float64)
+        lon = np.asarray(t["lon"], dtype=np.float64)
+        d = np.round(haversine_km(np.zeros(len(lat)), np.zeros(len(lat)),
+                                  lat, lon), 5)
+        t = t.append_column("dist_km", pa.array(d))
+        return t.select(["vec_id", "dist_km"])
+
+    out = derived_points(sf_dir).map_batches(dist, batch_format="pyarrow") \
+                                .to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)

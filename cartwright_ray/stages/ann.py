@@ -49,10 +49,14 @@ class _ScanActor:
 
 def ann_search(ds, queries: dict, k: int = 10, vec_col: str = "embedding",
                id_col: str = "vec_id", concurrency: int = 4,
-               batch_size: int = 4096):
+               batch_size: int = 4096, round_decimals: int | None = 6):
     """Exact cosine top-k: per-batch matmul candidates → global top-k via a
     small per-query ``map_groups``. ``queries`` = {query_id: [...], vec:
-    (n_q, d) array-like}. Returns (query_id, vec_id, rank, score)."""
+    (n_q, d) array-like}. Returns (query_id, vec_id, rank, score).
+
+    ``round_decimals`` rounds scores *before* ranking so results are
+    bit-stable against summation-order differences (and match the DuckDB
+    oracle, which ranks by the same rounded score)."""
     import ray
     queries_ref = ray.put(queries)
     cands = ds.map_batches(
@@ -61,6 +65,8 @@ def ann_search(ds, queries: dict, k: int = 10, vec_col: str = "embedding",
         concurrency=concurrency, zero_copy_batch=True)
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
+        if round_decimals is not None:
+            g["score"] = g["score"].round(round_decimals)
         g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(len(g), dtype=np.int64)
