@@ -1,0 +1,190 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
+
+    {"metric": "e2e_seconds", "value": ..., "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "flagship_docs_per_sec": ...}
+
+``--scaling``: run the flagship pipeline twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and report both throughputs
+plus scaling efficiency = (T8/T32)/4 (sandbox stand-in for N vs 4N nodes —
+BASELINE.md).
+
+The corpus is the documents table replicated ``$BENCH_REPLICATION`` times
+(default 20 → 100k docs at sf0.1) through a deterministic doc_id suffix, so
+the benchmark measures pipeline throughput, not tiny-input overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATION = int(os.environ.get("BENCH_REPLICATION", "20"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def materialize_corpus(sf_dir: str, replication: int) -> tuple[str, int]:
+    """Setup (not timed): documents ×R → interleaved corpus parquet under
+    /tmp, written once per (sf, replication). The timed pipeline then reads
+    from storage, matching the north-star's 'streaming over Lance scans'."""
+    import pyarrow as pa
+    import ray.data
+    from cartwright_ray.sources.synth import interleave_documents
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/bench_corpus_{tag}_r{replication}"
+    marker = os.path.join(out, "_DONE")
+    import pyarrow.parquet as pq
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows \
+        * replication
+    if os.path.exists(marker):
+        return out, n_docs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def replicate(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out_ids, out_txt = [], []
+        for r in range(replication):
+            out_ids.extend(f"{i}#{r}" for i in ids)
+            out_txt.extend(texts)
+        return pa.table({"doc_id": pa.array(out_ids, pa.string()),
+                         "text": pa.array(out_txt, pa.string())})
+
+    reps = docs.map_batches(replicate, batch_format="pyarrow")
+    reps = reps.repartition(max(NUM_CPUS * 2, 32))
+    interleave_documents(reps).write_parquet(out)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out, n_docs
+
+
+def run_flagship(sf_dir: str, replication: int) -> tuple[int, float]:
+    """Timed headline: corpus parquet scan → extract → encode → PIP join."""
+    from cartwright_ray.joins.pip_join import pip_join
+    from cartwright_ray.sources.documents import read_documents
+    from cartwright_ray.sources.synth import ADMIN_POLYGONS
+    from cartwright_ray.stages.encode import encode_cells
+    from cartwright_ray.stages.extract import extract_points
+
+    corpus_path, n_docs = materialize_corpus(sf_dir, replication)
+
+    t0 = time.time()
+    corpus = read_documents(corpus_path)
+    pts = extract_points(corpus)
+    enc = encode_cells(pts)
+    joined = pip_join(enc, ADMIN_POLYGONS, concurrency=max(2, NUM_CPUS // 4))
+    n = joined.count()
+    dt = time.time() - t0
+    assert n > 0
+    return n_docs, dt
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    """Per-pipeline wall times over the benchmark tables."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+    qs = entrymod.queries()
+    picks = ["q1_pricing_summary", "events_hourly_window", "orders_by_nation",
+             "text_stats_docs", "exact_dedup_docs", "minhash_dedup_pairs",
+             "simhash_dedup_pairs", "ann_topk", "temporal_resolution_events",
+             "encoded_points", "pip_join_counts", "knn_join_sample",
+             "zonal_stats_admin"]
+    out = {}
+    for name in picks:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main_bench():
+    _init_ray(NUM_CPUS)
+    import ray
+    n_docs, flagship_sec = run_flagship(SF_DIR, REPLICATION)
+    queries = run_queries(SF_DIR)
+    queries["flagship"] = round(flagship_sec, 3)
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "e2e_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "flagship_docs": n_docs,
+        "flagship_docs_per_sec": round(n_docs / flagship_sec, 1),
+    }))
+    ray.shutdown()
+
+
+def main_worker(cpus: int):
+    """Fresh-process flagship run for the scaling protocol."""
+    os.environ["RAY_GRAFT_CPUS"] = str(cpus)
+    global NUM_CPUS
+    NUM_CPUS = cpus
+    _init_ray(cpus)
+    import ray
+    n_docs, dt = run_flagship(SF_DIR, REPLICATION)
+    print(json.dumps({"cpus": cpus, "docs": n_docs, "sec": round(dt, 3),
+                      "docs_per_sec": round(n_docs / dt, 1)}))
+    ray.shutdown()
+
+
+def main_scaling():
+    """N vs 4N parallelism in fresh processes (BASELINE.md protocol)."""
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             str(cpus)],
+            capture_output=True, text=True, timeout=3600,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [ln for ln in proc.stdout.strip().splitlines()
+                if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8 = results[8]["docs_per_sec"]
+    t32 = results[32]["docs_per_sec"]
+    eff = (t32 / t8) / 4.0
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "docs_per_sec_8cpu": t8,
+        "docs_per_sec_32cpu": t32,
+        "sec_8cpu": results[8]["sec"],
+        "sec_32cpu": results[32]["sec"],
+        "sf": SF_DIR,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    elif "--worker" in sys.argv:
+        main_worker(int(sys.argv[sys.argv.index("--worker") + 1]))
+    else:
+        main_bench()

@@ -15,6 +15,8 @@ Verified against :func:`brute_force_knn`.
 
 from __future__ import annotations
 
+from ..util import _pool
+
 import numpy as np
 import pyarrow as pa
 
@@ -75,7 +77,7 @@ def knn_join(points_ds, features: dict, k: int = 3,
     return points_ds.map_batches(
         _KNNActor, fn_constructor_args=(features_ref, k),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, zero_copy_batch=True)
+        concurrency=_pool(concurrency), zero_copy_batch=True)
 
 
 def brute_force_knn(lat, lon, features: dict, k: int = 3):

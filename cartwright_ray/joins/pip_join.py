@@ -30,6 +30,8 @@ lon-normalized rings (see ``sources.synth.ADMIN_POLYGONS``).
 
 from __future__ import annotations
 
+from ..util import _pool
+
 import numpy as np
 import pyarrow as pa
 
@@ -132,7 +134,7 @@ def pip_join(points_ds, polygons: list[dict],
         _PIPActor,
         fn_constructor_args=(polygons_ref, cover_res),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, zero_copy_batch=True)
+        concurrency=_pool(concurrency), zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

@@ -19,6 +19,8 @@ Verified against :func:`brute_force_zonal`.
 
 from __future__ import annotations
 
+from ..util import _pool
+
 import numpy as np
 import pyarrow as pa
 
@@ -125,7 +127,7 @@ def zonal_stats(polygons: list[dict], zoom: int = 8,
     polygons_ref = ray.put(polygons)
     partials = ds.map_batches(
         _ZonalActor, fn_constructor_args=(polygons_ref, tile_fn),
-        batch_format="pyarrow", batch_size=8, concurrency=concurrency)
+        batch_format="pyarrow", batch_size=8, concurrency=_pool(concurrency))
 
     agg = partials.groupby("admin_id").aggregate(
         Sum("px_count", alias_name="px_count"),

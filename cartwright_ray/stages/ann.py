@@ -10,6 +10,8 @@ query selects the global top-k. The full similarity matrix never exists.
 
 from __future__ import annotations
 
+from ..util import _pool
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -62,7 +64,7 @@ def ann_search(ds, queries: dict, k: int = 10, vec_col: str = "embedding",
     cands = ds.map_batches(
         _ScanActor, fn_constructor_args=(queries_ref, k, vec_col, id_col),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, zero_copy_batch=True)
+        concurrency=_pool(concurrency), zero_copy_batch=True)
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         if round_decimals is not None:
@@ -76,12 +78,17 @@ def ann_search(ds, queries: dict, k: int = 10, vec_col: str = "embedding",
 
 
 def lsh_ann_search(ds, queries: dict, k: int = 10, vec_col: str = "embedding",
-                   id_col: str = "vec_id", num_planes: int = 8,
-                   seed: int = 17, concurrency: int = 4):
+                   id_col: str = "vec_id", num_planes: int = 6,
+                   max_hamming: int = 2, seed: int = 17,
+                   concurrency: int = 4):
     """Approximate variant (scale path): random-hyperplane signature
-    pre-filter — only vectors whose signature is within hamming ≤ 1 of the
-    query's signature are scored. Same output schema; recall measured in
-    tests, not guaranteed."""
+    pre-filter — only vectors whose signature is within ``max_hamming`` of
+    the query's signature are scored (multi-probe). Same output schema;
+    recall measured in tests, not guaranteed: with the defaults ~1/3 of the
+    data is scanned, which on clustered real-world embeddings gives high
+    recall; on *uniform random* vectors (weak neighbor correlation) recall
+    degrades toward the scan fraction — that is inherent to sign-LSH, not a
+    bug."""
     import ray
 
     rng = np.random.default_rng(seed)
@@ -120,7 +127,7 @@ def lsh_ann_search(ds, queries: dict, k: int = 10, vec_col: str = "embedding",
                 while xx.any():
                     ham += (xx & 1).astype(np.int32)
                     xx >>= 1
-                cand = np.nonzero(ham <= 1)[0]
+                cand = np.nonzero(ham <= max_hamming)[0]
                 if cand.size == 0:
                     continue
                 sims = vecs[cand] @ self.qmat[qi]
@@ -134,7 +141,7 @@ def lsh_ann_search(ds, queries: dict, k: int = 10, vec_col: str = "embedding",
                              "score": pa.array(out_s, pa.float64())})
 
     cands = ds.map_batches(_LSHScan, batch_format="pyarrow",
-                           batch_size=4096, concurrency=concurrency)
+                           batch_size=4096, concurrency=_pool(concurrency))
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)

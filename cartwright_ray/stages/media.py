@@ -15,6 +15,8 @@ PIL/ffmpeg decoder drops into ``_decode_real``.
 
 from __future__ import annotations
 
+from ..util import _pool
+
 import hashlib
 
 import numpy as np
@@ -123,4 +125,4 @@ def extract_media_features(media_ds, decoder: str = "stub",
     return media_ds.map_batches(
         MediaFeatureExtractor, fn_constructor_kwargs={"decoder": decoder},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        concurrency=_pool(concurrency))

@@ -10,6 +10,8 @@ once per actor).
 
 from __future__ import annotations
 
+from ..util import _pool
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -106,7 +108,7 @@ class LangId:
 
 def detect_language(ds, concurrency: int = 4, batch_size: int = 4096):
     return ds.map_batches(LangId, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency)
+                          batch_size=batch_size, concurrency=_pool(concurrency))
 
 
 # ---------------------------------------------------------------------------

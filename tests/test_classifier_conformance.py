@@ -1,0 +1,103 @@
+"""Conformance corpus (FIXTURES.md F2 / SURVEY.md §5.2.1): classification
+over the reference's example CSVs must match the deterministic
+validator-cascade fixed point exactly (category, subcategory, format).
+
+Expectations derive from the reference's validators + our documented
+LSTM-surrogate gates (cartwright_ray/detectors/registry.py docstring); the
+`lng → latitude` mapping replicates the reference's own skip-table
+(`cartwright/utils.py:197` maps lng to latitude).
+"""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from cartwright_ray.detectors.cascade import classify_table, categorize
+
+REF = "/root/reference"
+
+EXPECTED = {
+    f"{REF}/examples/example_1.csv": {
+        "latitude": ("geo", "latitude", None),
+        "longitude": ("geo", "longitude", None),
+        "date": ("time", "date", "%Y-%m-%d"),
+        "value": (None, None, None),
+    },
+    f"{REF}/examples/example_2.csv": {
+        "y": ("geo", "latitude", None),
+        "x": ("geo", "longitude", None),
+        "city": ("geo", "city", None),
+        "country": ("geo", "ISO2", None),
+        "ts": ("time", "date", "%B %d, %Y"),
+        "value": (None, None, None),
+    },
+    f"{REF}/examples/example_3.csv": {
+        "lat": ("geo", "latitude", None),
+        "lng": ("geo", "latitude", None),   # sic — reference skip table
+        "region": ("geo", "region", None),  # via header fuzzy fallback
+        "place_name": ("geo", "city", None),
+        "month": ("time", "date", "%m"),
+        "day": ("time", "date", "%d"),
+        "year": ("time", "date", "%Y"),
+        "value": (None, None, None),
+    },
+    f"{REF}/examples/example_4.csv": {
+        "country": ("geo", "country_name", None),
+        "value": (None, None, None),
+        "Latitude": ("geo", "latitude", None),
+        "Longitude": ("geo", "longitude", None),
+        "Y/d/m": (None, None, None),        # %Y/%d/%m not in the catalog
+        "month_name": ("time", "date", "%B"),
+        "month_number": ("time", "date", "%m"),
+        "year": ("time", "date", "%Y"),
+        "Day_name": ("time", "date", "%A"),
+        "Day Number": ("time", "date", "%d"),
+        "bool": (None, None, None),
+    },
+    f"{REF}/cartwright/datasets/fake_data.csv": {
+        "country": ("geo", "country_name", None),
+        "value": (None, None, None),
+        "latitude": ("geo", "latitude", None),
+        "longitude": ("geo", "longitude", None),
+        "m/d/y": ("time", "date", "%m/%d/%y"),
+        "m-d-Y": ("time", "date", "%m-%d-%Y"),
+        "d/m/y": ("time", "date", "%d/%m/%y"),
+        "d Month Y": ("time", "date", "%d %B %Y"),
+        "seconds_epoch": ("time", "date", "unix_time"),
+        "month_name": ("time", "date", "%B"),
+        "month": ("time", "date", "%m"),
+        "year": ("time", "date", "%Y"),
+        "Year": ("time", "date", "%Y"),
+        "Day_name": ("time", "date", "%A"),
+        "Day Number": ("time", "date", "%d"),
+        "results": (None, None, None),
+    },
+}
+
+
+@pytest.mark.parametrize("path", list(EXPECTED))
+def test_conformance(path):
+    df = pd.read_csv(path, encoding="latin-1")
+    cls = classify_table(pa.Table.from_pandas(df))
+    got = {c.column: (c.category, c.subcategory, c.format)
+           for c in cls.classifications}
+    assert got == EXPECTED[path]
+
+
+def test_categorize_projection():
+    """categorize() drops unclassified columns (categorize.py:465-474)."""
+    df = pd.read_csv(f"{REF}/examples/example_1.csv")
+    cls = classify_table(pa.Table.from_pandas(df))
+    cat = categorize(cls)
+    assert "value" not in cat
+    assert cat["date"] == {"category": "time", "subcategory": "date",
+                           "format": "%Y-%m-%d"}
+
+
+def test_fuzzy_column_attached():
+    df = pd.read_csv(f"{REF}/examples/example_1.csv")
+    cls = classify_table(pa.Table.from_pandas(df))
+    by_col = {c.column: c for c in cls.classifications}
+    assert by_col["latitude"].fuzzyColumn.matchedKey in ("Lat", "Latitude")
+    assert by_col["latitude"].fuzzyColumn.ratio == 100
+    assert "fuzzy" in by_col["latitude"].match_type

@@ -1,0 +1,167 @@
+"""Dedup / text-analysis / similarity-search operators vs oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    import pyarrow.parquet as pq
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def test_exact_dedup(ray_session, docs_df):
+    import ray.data
+    from cartwright_ray.stages.dedup import exact_dedup
+    df = docs_df.head(100).copy()
+    clones = df.head(20).copy()
+    clones["doc_id"] = clones["doc_id"] + 10_000   # same text, larger id
+    test_df = pd.concat([df, clones])
+    out = exact_dedup(ray.data.from_pandas(test_df).repartition(4)).to_pandas()
+    # duckdb-style oracle
+    want = test_df.sort_values("doc_id").groupby("text", sort=False) \
+                  .head(1)["doc_id"]
+    assert sorted(out["doc_id"]) == sorted(want)
+
+
+def test_minhash_lsh_vs_bruteforce(ray_session, docs_df):
+    import ray.data
+    from cartwright_ray.stages.dedup import (brute_force_near_dups,
+                                             minhash_lsh_dedup)
+    df = docs_df.head(150).copy()
+    near = df.head(15).copy()
+    near["doc_id"] = near["doc_id"] + 10_000
+    near["text"] = near["text"] + " tail tweak"
+    test_df = pd.concat([df, near])
+    out = minhash_lsh_dedup(ray.data.from_pandas(test_df).repartition(4),
+                            threshold=0.8).to_pandas()
+    oracle = brute_force_near_dups(test_df["text"].tolist(),
+                                   test_df["doc_id"].tolist(), 0.8)
+    got = set(out["dup_id"])
+    want = set(oracle)
+    # LSH with 16 bands × 4 rows at jaccard≥0.8 → near-certain recall
+    assert want <= got or len(want - got) <= max(1, len(want) // 10)
+    # verify step guarantees precision
+    assert got <= want
+
+
+def test_simhash_planted(ray_session, docs_df):
+    import ray.data
+    from cartwright_ray.stages.dedup import simhash_dedup
+    df = docs_df.head(100).copy()
+    near = df.head(10).copy()
+    near["doc_id"] = near["doc_id"] + 10_000
+    test_df = pd.concat([df, near])   # identical text → hamming 0
+    out = simhash_dedup(ray.data.from_pandas(test_df).repartition(4),
+                        max_hamming=3).to_pandas()
+    planted = set(near["doc_id"])
+    assert planted <= set(out["dup_id"])
+    assert (out[out["dup_id"].isin(planted)]["hamming"] == 0).all()
+
+
+def test_embedding_near_dups_planted(ray_session):
+    import ray.data
+    from cartwright_ray.stages.dedup import embedding_near_dups
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(50, 32))
+    dup = base[:5] + rng.normal(0, 0.01, (5, 32))   # cosine ≈ 1
+    vecs = np.vstack([base, dup])
+    df = pd.DataFrame({"vec_id": np.arange(55),
+                       "embedding": [v.tolist() for v in vecs]})
+    out = embedding_near_dups(ray.data.from_pandas(df).repartition(2),
+                              threshold=0.95).to_pandas()
+    assert set(range(50, 55)) <= set(out["dup_id"])
+
+
+def test_text_stats_matches_pandas(ray_session, docs_df):
+    import ray.data
+    from cartwright_ray.stages.textstats import text_stats
+    out = text_stats(ray.data.from_pandas(docs_df.head(50))).to_pandas()
+    for _, r in out.iterrows():
+        t = r["text"]
+        assert r["n_chars_m"] == len(t)
+        assert r["n_tokens"] == len([w for w in t.split() if w])
+        assert r["alpha_chars"] == sum(c.isalpha() and c.isascii() for c in t)
+
+
+def test_langid_sentences(ray_session):
+    import ray.data
+    from cartwright_ray.stages.textstats import detect_language
+    df = pd.DataFrame({"text": [
+        "the quick brown fox jumps over the lazy dog and it was good",
+        "le chat est dans la maison et il y a du pain pour tout le monde",
+        "el perro está en la casa y es un buen día para todos los niños",
+        "der Hund ist in dem Haus und das ist ein guter Tag für alle",
+        "这是一个中文句子用来测试语言识别",
+    ]})
+    out = detect_language(ray.data.from_pandas(df), concurrency=1).to_pandas()
+    assert out["lang_pred"].tolist() == ["en", "fr", "es", "de", "zh"]
+
+
+def test_fingerprint_stability(ray_session, docs_df):
+    import ray.data
+    from cartwright_ray.stages.textstats import fingerprint
+    a = fingerprint(ray.data.from_pandas(docs_df.head(30))).to_pandas()
+    b = fingerprint(ray.data.from_pandas(docs_df.head(30))).to_pandas()
+    assert a["fingerprint"].tolist() == b["fingerprint"].tolist()
+    # near-identical docs share fingerprints more than random ones
+    assert a["fingerprint"].nunique() >= 25
+
+
+def test_ann_exact_vs_numpy(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data
+    from cartwright_ray.stages.ann import ann_search
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    V = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    queries = {"query_id": [0, 1], "vec": V[:2]}
+    out = ann_search(ray.data.from_pandas(emb).repartition(4), queries,
+                     k=5).to_pandas()
+    sims = np.round(Vn[:2] @ Vn.T, 6)
+    for qi in (0, 1):
+        order = np.lexsort((emb["vec_id"].values, -sims[qi]))[:5]
+        want = emb["vec_id"].values[order].tolist()
+        got = out[out["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+        assert got == want
+
+
+def test_lsh_ann_recall(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data
+    from cartwright_ray.stages.ann import ann_search, lsh_ann_search
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    V = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
+    queries = {"query_id": [0, 1, 2], "vec": V[:3]}
+    ds = ray.data.from_pandas(emb).repartition(2)
+    exact = ann_search(ds, queries, k=10).to_pandas()
+    approx = lsh_ann_search(ds, queries, k=10).to_pandas()
+    recalls = []
+    for qi in (0, 1, 2):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.3   # approximate path trades recall for scan cost
+
+
+def test_media_pipeline(ray_session):
+    import ray.data
+    from cartwright_ray.sources.synth import interleave_documents
+    from cartwright_ray.stages.media import (MediaFeatureExtractor,
+                                             extract_media_features,
+                                             media_rows_from_corpus)
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"]).limit(100)
+    media = media_rows_from_corpus(interleave_documents(docs))
+    out = extract_media_features(media, decoder="fake",
+                                 concurrency=1).to_pandas()
+    assert len(out) > 0
+    assert all(len(f) == 64 for f in out["feature"])
+    assert "payload" not in out.columns   # wide bytes dropped after decode
+    # the honest default refuses to pretend it can decode
+    stub = MediaFeatureExtractor(decoder="stub")
+    with pytest.raises(NotImplementedError):
+        stub._decode_real(b"bytes")

@@ -1,0 +1,125 @@
+"""Spatial-join exactness vs brute-force oracles (FIXTURES.md F5), on a
+zipf-skewed synthetic point set to exercise the salted-shuffle path."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cartwright_ray.joins.knn_join import brute_force_knn, knn_join
+from cartwright_ray.joins.pip_join import (brute_force_pip, pip_join,
+                                           pip_join_shuffle, salted_keys)
+from cartwright_ray.joins.zonal import (brute_force_zonal, synth_tile_pixels,
+                                        zonal_stats)
+from cartwright_ray.sources.synth import ADMIN_POLYGONS
+
+
+@pytest.fixture(scope="module")
+def points_df():
+    rng = np.random.default_rng(9)
+    n = 3000
+    # zipf mixture: 60% hot cluster inside the polygon tiling, rest uniform
+    hot = rng.integers(0, 2, n).astype(bool)
+    hot[: n // 2] = True
+    lat = np.where(hot, rng.normal(2.0, 0.5, n), rng.uniform(-80, 80, n))
+    lon = np.where(hot, rng.normal(5.0, 0.5, n), rng.uniform(-179, 179, n))
+    return pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(n)],
+        "span_idx": np.zeros(n, dtype=np.int32),
+        "lat": lat, "lon": lon,
+    })
+
+
+def _keys(df):
+    return sorted(zip(df["doc_id"], df["admin_id"]))
+
+
+def test_pip_broadcast_exact(ray_session, points_df):
+    import ray.data
+    ds = ray.data.from_pandas(points_df).repartition(8)
+    out = pip_join(ds, ADMIN_POLYGONS, concurrency=2).to_pandas()
+    oracle = brute_force_pip(points_df["lat"].values, points_df["lon"].values,
+                             ADMIN_POLYGONS)
+    want = sorted((points_df["doc_id"].iloc[i], a) for i, a, _ in oracle)
+    assert _keys(out) == want
+    assert len(out)  # the hot cluster guarantees matches
+
+
+def test_pip_shuffle_exact_with_salt(ray_session, points_df):
+    import ray.data
+    ds = ray.data.from_pandas(points_df).repartition(8)
+    out = pip_join_shuffle(ds, ADMIN_POLYGONS, cap=100).to_pandas()
+    oracle = brute_force_pip(points_df["lat"].values, points_df["lon"].values,
+                             ADMIN_POLYGONS)
+    want = sorted((points_df["doc_id"].iloc[i], a) for i, a, _ in oracle)
+    assert _keys(out) == want
+
+
+def test_salted_keys_split_hot_cells(ray_session, points_df):
+    import pyarrow as pa
+    import ray.data
+    from cartwright_ray.geo.hexgrid import hex_cell
+
+    df = points_df.copy()
+    df["cell"] = hex_cell(df["lat"].values, df["lon"].values, 4)
+    ds = ray.data.from_pandas(df).repartition(4)
+    keyed, hot = salted_keys(ds, "cell", cap=200)
+    assert hot, "zipf cluster should produce at least one hot cell"
+    kdf = keyed.to_pandas()
+    sizes = kdf.groupby("pip_key").size()
+    # no salted group much larger than the cap
+    assert sizes.max() <= 200 * 1.5
+
+
+def test_antimeridian_and_pole(ray_session):
+    import ray.data
+    df = pd.DataFrame({
+        "doc_id": ["east", "west", "pole", "none"],
+        "span_idx": [0, 0, 0, 0],
+        "lat": [0.0, 0.0, 87.0, 50.0],
+        "lon": [175.0, -175.0, 123.0, 100.0],
+    })
+    out = pip_join(ray.data.from_pandas(df), ADMIN_POLYGONS).to_pandas()
+    got = dict(zip(out["doc_id"], out["admin_id"]))
+    assert got.get("east") == "A900"
+    assert got.get("west") == "A900"
+    assert got.get("pole") == "A901"
+    assert "none" not in got
+
+
+def test_knn_exact(ray_session, points_df):
+    import ray.data
+    rng = np.random.default_rng(11)
+    feats = {"feat_id": [f"F{i}" for i in range(800)],
+             "lat": rng.uniform(-70, 70, 800),
+             "lon": rng.uniform(-170, 170, 800)}
+    sub = points_df.head(300)
+    out = knn_join(ray.data.from_pandas(sub).repartition(4), feats, k=3) \
+        .to_pandas()
+    oracle = brute_force_knn(sub["lat"].values, sub["lon"].values, feats, k=3)
+    want = {}
+    for i, rank, fid in oracle:
+        want.setdefault(sub["doc_id"].iloc[i], set()).add(fid)
+    got = {}
+    for _, r in out.iterrows():
+        got.setdefault(r["doc_id"], set()).add(r["feat_id"])
+    assert got == want
+
+
+def test_zonal_exact(ray_session):
+    out = zonal_stats(ADMIN_POLYGONS[:8], zoom=7, concurrency=2) \
+        .to_pandas().set_index("admin_id")
+    oracle = brute_force_zonal(ADMIN_POLYGONS[:8], zoom=7)
+    assert set(out.index) == set(oracle)
+    for a, rec in oracle.items():
+        assert out.loc[a, "px_count"] == rec["px_count"]
+        assert out.loc[a, "px_sum"] == pytest.approx(rec["px_sum"], rel=1e-12)
+        assert out.loc[a, "px_min"] == pytest.approx(rec["px_min"])
+        assert out.loc[a, "px_max"] == pytest.approx(rec["px_max"])
+        assert out.loc[a, "px_mean"] == pytest.approx(rec["px_mean"])
+
+
+def test_synth_raster_deterministic():
+    a = synth_tile_pixels(7, 10, 20)
+    b = synth_tile_pixels(7, 10, 20)
+    assert (a == b).all()
+    assert a.shape == (64, 64)
