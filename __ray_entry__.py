@@ -250,6 +250,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": rel.events_hourly_window,
         "top_users_by_value": rel.top_users_by_value,
         "lineitem_shipdate_minmax": rel.lineitem_shipdate_minmax,
+        "sessionize_events": rel.sessionize_events,
+        "value_quantiles_by_type": rel.value_quantiles_by_type,
+        "distinct_users_by_type": rel.distinct_users_by_type,
         # geo kernels with SQL-reproducible math
         "tile_assignment": rel.tile_assignment,
         "haversine_origin": rel.haversine_from_origin,
@@ -325,6 +328,37 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty,
                    count(*) AS n_rows
             FROM lineitem
+        """,
+        "sessionize_events": """
+            WITH marked AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sess AS (
+                SELECT user_id, ts, value,
+                       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                FROM marked)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   round(sum(value), 4) AS sum_value
+            FROM sess
+            GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
+        """,
+        "value_quantiles_by_type": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "tile_assignment": """
             SELECT vec_id, lat, lon,

@@ -91,10 +91,14 @@ def run_flagship(sf_dir: str, replication: int) -> tuple[int, float]:
     corpus_path, n_docs = materialize_corpus(sf_dir, replication)
 
     t0 = time.time()
-    corpus = read_documents(corpus_path)
+    # explicit block count: the corpus is ~150 MB of many small files and
+    # Ray's size-based parallelism picks tiny blocks whose per-task
+    # overhead dominates; 2 blocks/CPU keeps every core busy with
+    # meaningful batches.
+    corpus = read_documents(corpus_path, override_num_blocks=NUM_CPUS * 2)
     pts = extract_points(corpus)
     enc = encode_cells(pts)
-    joined = pip_join(enc, ADMIN_POLYGONS, concurrency=max(2, NUM_CPUS // 4))
+    joined = pip_join(enc, ADMIN_POLYGONS)   # pool autoscales to cluster CPUs
     n = joined.count()
     dt = time.time() - t0
     assert n > 0

@@ -69,7 +69,7 @@ class _KNNActor:
 
 
 def knn_join(points_ds, features: dict, k: int = 3,
-             concurrency: int = 4, batch_size: int = 8192):
+             concurrency: int | None = None, batch_size: int = 8192):
     """points Dataset (lat/lon) × broadcast features {feat_id, lat, lon}
     → k rows per point with feat_id / neighbor_rank / feat_dist_km."""
     import ray

@@ -125,7 +125,7 @@ class _PIPActor:
 
 def pip_join(points_ds, polygons: list[dict],
              cover_res: int = DEFAULT_COVER_RES,
-             concurrency: int = 4, batch_size: int = 8192):
+             concurrency: int | None = None, batch_size: int = 8192):
     """Broadcast PIP join: points Dataset (lat/lon columns) → inner-join
     rows with admin_id/admin_name appended."""
     import ray

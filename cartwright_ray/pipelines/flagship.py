@@ -30,7 +30,7 @@ def encoded_points(sf_dir: str, seed: int = 42):
     return encode_cells(extracted_points(sf_dir, seed))
 
 
-def flagship_pipeline(sf_dir: str, seed: int = 42, concurrency: int = 4):
+def flagship_pipeline(sf_dir: str, seed: int = 42, concurrency=None):
     """Full chain ending in the PIP join (inner join rows with
     admin_id/admin_name + cell/tile assignment columns)."""
     return pip_join(encoded_points(sf_dir, seed), ADMIN_POLYGONS,

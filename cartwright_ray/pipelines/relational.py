@@ -195,3 +195,68 @@ def haversine_from_origin(sf_dir: str) -> pd.DataFrame:
     out = derived_points(sf_dir).map_batches(dist, batch_format="pyarrow") \
                                 .to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# sessionization / quantiles / distinct (stateful + sketchy surface)
+# ---------------------------------------------------------------------------
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Gap-based sessionization: one shuffle on user_id, per-user ordered
+    scan inside map_groups (the canonical stateful-streaming op expressed
+    as groupby + ordered group scan)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        new_sess = (g["ts"].diff().isna()
+                    | (g["ts"].diff() > gap)).astype(np.int64)
+        g["session_id"] = new_sess.cumsum()
+        out = g.groupby("session_id").agg(
+            n_events=("ts", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            sum_value=("value", "sum")).reset_index()
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas") \
+            .to_pandas()
+    out["session_start"] = out["session_start"].astype("datetime64[us]")
+    out["session_end"] = out["session_end"].astype("datetime64[us]")
+    out = out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    return _round_cols(out, ["sum_value"], nd=4)
+
+
+def value_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact p50/p90/p99 of value per event_type (linear interpolation —
+    matches DuckDB quantile_cont). Per-group data is small after the
+    shuffle; for 100TB-scale columns swap in a distributed t-digest."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "p50": [np.percentile(v, 50)],
+            "p90": [np.percentile(v, 90)],
+            "p99": [np.percentile(v, 99)],
+        })
+
+    out = ds.groupby("event_type").map_groups(q, batch_format="pandas") \
+            .to_pandas().sort_values("event_type").reset_index(drop=True)
+    return _round_cols(out, ["p50", "p90", "p99"], nd=6)
+
+
+def distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT) as two grouped passes: dedup on (type, user) then
+    count per type — the scale-safe distinct (no per-group set building)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    dedup = ds.groupby(["event_type", "user_id"]).count()
+    out = dedup.groupby("event_type") \
+               .aggregate(Count(alias_name="n_users")).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)

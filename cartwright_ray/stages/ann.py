@@ -50,7 +50,7 @@ class _ScanActor:
 
 
 def ann_search(ds, queries: dict, k: int = 10, vec_col: str = "embedding",
-               id_col: str = "vec_id", concurrency: int = 4,
+               id_col: str = "vec_id", concurrency: int | None = None,
                batch_size: int = 4096, round_decimals: int | None = 6):
     """Exact cosine top-k: per-batch matmul candidates → global top-k via a
     small per-query ``map_groups``. ``queries`` = {query_id: [...], vec:
