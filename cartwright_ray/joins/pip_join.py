@@ -123,13 +123,44 @@ class _PIPActor:
         return _join_batch(batch, self.index)
 
 
+# worker-process-global index cache for the task plan: state is still built
+# once per worker (keyed by the broadcast ref), but tasks reuse Ray's warm
+# worker pool instead of paying actor-pool startup/ramp per dataset.
+_TASK_INDEX_CACHE: dict = {}
+
+
+def _pip_task(batch: pa.Table, polygons_ref, cover_res: int) -> pa.Table:
+    import ray
+    key = (getattr(polygons_ref, "hex", lambda: id(polygons_ref))(), cover_res)
+    idx = _TASK_INDEX_CACHE.get(key)
+    if idx is None:
+        polys = ray.get(polygons_ref) if not isinstance(polygons_ref, list) \
+            else polygons_ref
+        idx = _TASK_INDEX_CACHE.setdefault(key, PolygonIndex(polys, cover_res))
+    return _join_batch(batch, idx)
+
+
 def pip_join(points_ds, polygons: list[dict],
              cover_res: int = DEFAULT_COVER_RES,
-             concurrency: int | None = None, batch_size: int = 8192):
+             concurrency: int | None = None, batch_size: int = 8192,
+             plan: str = "tasks"):
     """Broadcast PIP join: points Dataset (lat/lon columns) → inner-join
-    rows with admin_id/admin_name appended."""
+    rows with admin_id/admin_name appended.
+
+    ``plan="tasks"`` (default): stateless tasks + per-worker index cache —
+    fuses with upstream maps and starts at full width immediately.
+    ``plan="actors"``: explicit actor pool (use when the index is heavy
+    enough that per-worker duplication matters).
+    """
     import ray
+    import functools
     polygons_ref = ray.put(polygons)
+    if plan == "tasks":
+        return points_ds.map_batches(
+            functools.partial(_pip_task, polygons_ref=polygons_ref,
+                              cover_res=cover_res),
+            batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True)
     return points_ds.map_batches(
         _PIPActor,
         fn_constructor_args=(polygons_ref, cover_res),
