@@ -94,6 +94,18 @@ def _q_temporal_resolution(sf_dir):
     }])
 
 
+def _q_temporal_resolution_by_type(sf_dir):
+    import ray.data
+    from cartwright_ray.analysis.time_resolution import (
+        detect_temporal_resolution_by_key)
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+    df = detect_temporal_resolution_by_key(ds, "event_type", "ts").to_pandas()
+    df["resolution"] = df["resolution"].round(6)
+    df["error"] = df["error"].round(6)
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
 def _q_classify_documents(sf_dir):
     from cartwright_ray.detectors.cascade import classify_dataset
     cls = classify_dataset(_docs(sf_dir))
@@ -269,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media,
         # cartwright-parity inference
         "temporal_resolution_events": _q_temporal_resolution,
+        "temporal_resolution_by_type": _q_temporal_resolution_by_type,
         "spatial_resolution_grid": _q_spatial_resolution,
         "classify_documents_columns": _q_classify_documents,
         "classify_events_columns": _q_classify_events,
@@ -422,6 +435,39 @@ def oracle_sql() -> dict[str, str]:
                 FROM sims)
             WHERE rank < 10
             ORDER BY query_id, rank
+        """,
+        "temporal_resolution_by_type": f"""
+            WITH d AS (SELECT DISTINCT event_type,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS s
+                       FROM events),
+            dd AS (SELECT event_type,
+                          CAST(s - lag(s) OVER (PARTITION BY event_type
+                               ORDER BY s) AS DOUBLE) AS delta
+                   FROM d),
+            ddv AS (SELECT event_type, delta FROM dd WHERE delta IS NOT NULL),
+            med AS (SELECT event_type, median(delta) AS m FROM ddv
+                    GROUP BY event_type),
+            {_UNIT_VALUES_SQL},
+            ranked AS (SELECT med.event_type, units.unit, units.dur, med.m,
+                              row_number() OVER (PARTITION BY med.event_type
+                                  ORDER BY abs(units.dur - med.m) / units.dur)
+                                  AS rn
+                       FROM med CROSS JOIN units),
+            best AS (SELECT event_type, unit, dur, m FROM ranked WHERE rn = 1),
+            stats AS (SELECT ddv.event_type,
+                             max(abs(ddv.delta - med.m)) AS mx,
+                             avg(abs(ddv.delta - med.m)) AS av
+                      FROM ddv JOIN med USING (event_type)
+                      GROUP BY ddv.event_type)
+            SELECT best.event_type,
+                   CASE WHEN stats.mx < 1e-9 * abs(best.m) THEN 'PERFECT'
+                        WHEN stats.mx < 0.01 * abs(best.m) THEN 'UNIFORM'
+                        ELSE 'NOT_UNIFORM' END AS uniformity,
+                   best.unit,
+                   round(best.m / best.dur, 6) AS resolution,
+                   round(stats.av / best.dur, 6) AS error
+            FROM best JOIN stats USING (event_type)
+            ORDER BY best.event_type
         """,
         "temporal_resolution_events": f"""
             WITH d AS (SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) AS s

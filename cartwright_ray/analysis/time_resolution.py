@@ -45,6 +45,51 @@ def convert_to_timestamps(times, fmt: str) -> np.ndarray:
     ])
 
 
+def detect_temporal_resolution_by_key(ds, key: str, column: str,
+                                      fmt: str | None = None):
+    """Per-key resolution (SURVEY.md §2.6 A4 'per-key' case): dedup
+    (key, second) pairs with a grouped combiner, then one ``map_groups``
+    running the small kernel per key. Returns a Dataset of
+    (key, uniformity, unit, resolution, error)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ds = ds.select_columns([key, column])
+
+    def to_seconds(t: pa.Table) -> pa.Table:
+        col = t.column(column)
+        if pa.types.is_timestamp(col.type):
+            secs = pc.cast(pc.floor_temporal(col, unit="second"),
+                           pa.timestamp(col.type.unit)).cast(pa.int64())
+            div = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+            secs = pc.divide(secs, div[col.type.unit])
+        elif fmt is not None:
+            secs = pa.array(convert_to_timestamps(col.to_pylist(), fmt)
+                            .astype("int64"))
+        else:
+            secs = col.cast(pa.int64())
+        out = pa.table({key: t.column(key), "ts_s": secs})
+        # per-block combiner: drop duplicate (key, second) pairs before the
+        # shuffle
+        return out.group_by([key, "ts_s"]).aggregate([])
+
+    dedup = ds.map_batches(to_seconds, batch_format="pyarrow") \
+              .groupby([key, "ts_s"]).count()
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        r = detect_temporal_resolution(g["ts_s"].to_numpy(dtype=np.int64))
+        if r is None:
+            return pd.DataFrame({key: [], "uniformity": [], "unit": [],
+                                 "resolution": [], "error": []})
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "uniformity": [r.uniformity.name],
+                             "unit": [r.unit.name],
+                             "resolution": [r.resolution],
+                             "error": [r.error]})
+
+    return dedup.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
 def detect_temporal_resolution_ds(ds, column: str,
                                   fmt: str | None = None) -> Optional[Resolution]:
     """Distributed wrapper: project one column, convert to epoch seconds in

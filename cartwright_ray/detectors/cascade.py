@@ -88,18 +88,34 @@ def _priority(column: str, value: str, salt: int) -> int:
     return int.from_bytes(h.digest(), "big")
 
 
-def sample_block(table: pa.Table, k: int, seed: int = 42) -> dict:
+def sample_block(table: pa.Table, k: int, seed: int = 42,
+                 max_candidates: int = 4096) -> dict:
     """Per-block partial: for every column, up to k (priority, value) pairs
     from non-null values plus the non-null count. Output is a tiny
-    single-row-per-column Arrow-able dict."""
+    single-row-per-column Arrow-able dict.
+
+    Scale bound: only ``max_candidates`` seeded positional candidates per
+    (column, block) are stringified — per-block Python work is O(k), not
+    O(rows); the count uses the Arrow null bitmap. Candidate → final
+    selection is the content-priority reservoir (partitioning-independent
+    among candidates)."""
+    import numpy as np
     cols, counts, prios, vals = [], [], [], []
+    n_rows = table.num_rows
     for name in table.column_names:
         arr = table.column(name)
         valid = arr.drop_null()
         count = len(valid)
+        if count > max_candidates:
+            rng = np.random.default_rng(
+                (seed << 16) ^ (zlib_crc(name) & 0xFFFF) ^ count)
+            pos = np.sort(rng.choice(count, size=max_candidates,
+                                     replace=False))
+            valid = valid.take(pa.array(pos))
         # stringify like the reference (str() at categorize.py:122)
         svals = [str(v) for v in valid.to_pylist()]
-        pairs = [(_priority(name, v, seed + i % 7), v) for i, v in enumerate(svals)]
+        pairs = [(_priority(name, v, seed + i % 7), v)
+                 for i, v in enumerate(svals)]
         pairs.sort(reverse=True)
         pairs = pairs[:k]
         cols.append(name)
@@ -107,6 +123,11 @@ def sample_block(table: pa.Table, k: int, seed: int = 42) -> dict:
         prios.append([p for p, _ in pairs])
         vals.append([v for _, v in pairs])
     return {"column": cols, "count": counts, "prios": prios, "values": vals}
+
+
+def zlib_crc(s: str) -> int:
+    import zlib
+    return zlib.crc32(s.encode())
 
 
 def merge_samples(partials, k: int) -> dict[str, tuple[list[str], int]]:
