@@ -33,16 +33,19 @@ COORD_RE = r"(?P<xlat>-?\d{1,2}\.\d{3,8})\s*,\s+(?P<xlon>-?\d{1,3}\.\d{3,8})"
 CODES_RE = r"\((?P<a2>[A-Z]{2})/(?P<a3>[A-Z]{3})\)"
 GEOHASH_RE = r"geohash (?P<gh>[0-9b-hj-km-np-z]{5,12})"
 
-# prioritized (regex, strftime) patterns; first non-null wins per span
+# prioritized (group, regex, strftime) branches, fused into ONE re2
+# alternation so dates cost a single extract pass per batch; branch order
+# implements the priority (re2 alternation is leftmost-first).
 DATE_PATTERNS = [
-    (r"(?P<d>\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})", "%Y-%m-%d %H:%M:%S"),
-    (r"(?P<d>\d{4}-\d{2}-\d{2})", "%Y-%m-%d"),
-    (r"(?P<d>\d{4}/\d{2}/\d{2})", "%Y/%m/%d"),
-    (r"(?P<d>\d{2}/\d{2}/\d{4})", "%m/%d/%Y"),
-    (r"(?P<d>\d{2}-\d{2}-\d{4})", "%d-%m-%Y"),
-    (r"(?P<d>(?:January|February|March|April|May|June|July|August|September|"
-     r"October|November|December) \d{1,2}, \d{4})", "%B %d, %Y"),
+    ("d1", r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}", "%Y-%m-%d %H:%M:%S"),
+    ("d2", r"\d{4}-\d{2}-\d{2}", "%Y-%m-%d"),
+    ("d3", r"\d{4}/\d{2}/\d{2}", "%Y/%m/%d"),
+    ("d4", r"\d{2}/\d{2}/\d{4}", "%m/%d/%Y"),
+    ("d5", r"\d{2}-\d{2}-\d{4}", "%d-%m-%Y"),
+    ("d6", r"(?:January|February|March|April|May|June|July|August|September|"
+     r"October|November|December) \d{1,2}, \d{4}", "%B %d, %Y"),
 ]
+DATE_RE = "|".join(f"(?P<{g}>{p})" for g, p, _ in DATE_PATTERNS)
 
 _COUNTRY_ALT = "|".join(
     sorted({n.replace("(", r"\(").replace(")", r"\)") for n in COUNTRY_NAMES},
@@ -70,10 +73,12 @@ def _flatten_spans(batch: pa.Table):
     """
     spans = batch.column("spans")
     if isinstance(spans, pa.ChunkedArray):
-        spans = spans.combine_chunks()
+        spans = (spans.chunk(0) if spans.num_chunks == 1
+                 else spans.combine_chunks())
     doc_ids = batch.column("doc_id")
     if isinstance(doc_ids, pa.ChunkedArray):
-        doc_ids = doc_ids.combine_chunks()
+        doc_ids = (doc_ids.chunk(0) if doc_ids.num_chunks == 1
+                   else doc_ids.combine_chunks())
     parent = pc.list_parent_indices(spans)
     flat = pc.list_flatten(spans)
     offsets = np.asarray(spans.offsets)
@@ -110,12 +115,16 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     lat = pc.if_else(in_range, lat, pa.scalar(None, pa.float64()))
     lon = pc.if_else(in_range, lon, pa.scalar(None, pa.float64()))
 
-    # dates (first matching pattern wins)
+    # dates — one fused alternation pass; per-branch strptime on the
+    # matched group (re2 fills exactly one branch group per match)
     ts = pa.nulls(len(flat), pa.int64())
-    for pattern, fmt in DATE_PATTERNS:
-        ext = pc.extract_regex(text, pattern)
-        parsed = pc.strptime(_first_group(ext, "d"), format=fmt, unit="s",
-                             error_is_null=True)
+    date_ext = pc.extract_regex(text, DATE_RE)
+    date_valid = pc.is_valid(date_ext)
+    for group, _, fmt in DATE_PATTERNS:
+        g = pc.if_else(date_valid, date_ext.field(group),
+                       pa.scalar(None, pa.string()))
+        g = pc.if_else(pc.equal(g, ""), pa.scalar(None, pa.string()), g)
+        parsed = pc.strptime(g, format=fmt, unit="s", error_is_null=True)
         ts = pc.if_else(pc.is_null(ts), pc.cast(parsed, pa.int64()), ts)
 
     # countries
