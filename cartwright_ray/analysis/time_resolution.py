@@ -45,6 +45,17 @@ def convert_to_timestamps(times, fmt: str) -> np.ndarray:
     ])
 
 
+def date_util_span(dates) -> list[dict]:
+    """Reference ``date_util_span`` (`cartwright/utils.py:53-59`): parse
+    each value with dateutil (dayfirst=False) → [{value, standard}]."""
+    import dateutil.parser
+    out = []
+    for d in dates:
+        parsed = dateutil.parser.parse(str(d), dayfirst=False)
+        out.append({"value": d, "standard": parsed})
+    return out
+
+
 def detect_temporal_resolution_by_key(ds, key: str, column: str,
                                       fmt: str | None = None):
     """Per-key resolution (SURVEY.md §2.6 A4 'per-key' case): dedup

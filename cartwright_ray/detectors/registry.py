@@ -320,3 +320,25 @@ REGISTRY = build_registry()
 
 def all_labels() -> list[str]:
     return [d.label for d in REGISTRY]
+
+
+def register_detector(detector: Detector, priority_before: str | None = None):
+    """User-extension surface (reference: add a class under
+    ``cartwright/categories/`` and reflection picks it up,
+    `category_helpers.py:8-29`; docs/categories.md). Here: construct a
+    :class:`Detector` (label, kind, count_fn, threshold, subcategory/format)
+    and register it, optionally before an existing label in cascade
+    priority order."""
+    if priority_before is None:
+        REGISTRY.append(detector)
+        return
+    for i, d in enumerate(REGISTRY):
+        if d.label == priority_before:
+            REGISTRY.insert(i, detector)
+            return
+    raise KeyError(f"no detector labelled {priority_before!r}")
+
+
+def unregister_detector(label: str):
+    # mutate in place — other modules hold references to this list
+    REGISTRY[:] = [d for d in REGISTRY if d.label != label]

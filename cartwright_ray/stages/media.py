@@ -126,3 +126,69 @@ def extract_media_features(media_ds, decoder: str = "stub",
         MediaFeatureExtractor, fn_constructor_kwargs={"decoder": decoder},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=_pool(concurrency))
+
+
+class MediaResize(MediaFeatureExtractor):
+    """Resize stage: decode → downsample → re-emit as binary payload with
+    updated width/height metadata. Same actor/batch shape as feature
+    extraction; the interpolation itself is numpy striding on the decoded
+    array (a PIL-backed version drops into ``_decode_real``)."""
+
+    def __init__(self, decoder: str = "stub", out_size: int = 8):
+        super().__init__(decoder=decoder)
+        self.out_size = out_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads, widths, heights = [], [], []
+        for payload in batch.column("payload").to_pylist():
+            img = (self._decode_fake(payload) if self.decoder == "fake"
+                   else self._decode_real(payload))
+            step = max(1, img.shape[0] // self.out_size)
+            small = img[::step, ::step][:self.out_size, :self.out_size]
+            payloads.append((small * 255).astype(np.uint8).tobytes())
+            widths.append(small.shape[1])
+            heights.append(small.shape[0])
+        batch = batch.drop_columns(["payload", "width", "height"])
+        batch = batch.append_column("payload", pa.array(payloads, pa.binary()))
+        batch = batch.append_column("width", pa.array(widths, pa.int32()))
+        return batch.append_column("height", pa.array(heights, pa.int32()))
+
+
+class FrameSampler(MediaFeatureExtractor):
+    """Frame-sample stage for video-typed payloads: emit every k-th
+    "frame" as its own row (doc_id, span_idx, frame_idx, payload). With a
+    real codec the decode loop changes; the Ray-side explode layout is what
+    matters here."""
+
+    def __init__(self, decoder: str = "stub", every: int = 4,
+                 n_frames: int = 16):
+        super().__init__(decoder=decoder)
+        self.every = every
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "span_idx": [], "media_ref": [],
+                "frame_idx": [], "payload": []}
+        for doc, si, ref, payload in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("span_idx").to_pylist(),
+                batch.column("media_ref").to_pylist(),
+                batch.column("payload").to_pylist()):
+            for f in range(0, self.n_frames, self.every):
+                if self.decoder == "fake":
+                    frame = hashlib.blake2b(payload + bytes([f]),
+                                            digest_size=32).digest()
+                else:
+                    frame = self._decode_real(payload)  # pragma: no cover
+                rows["doc_id"].append(doc)
+                rows["span_idx"].append(si)
+                rows["media_ref"].append(ref)
+                rows["frame_idx"].append(f)
+                rows["payload"].append(frame)
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.string()),
+            "span_idx": pa.array(rows["span_idx"], pa.int32()),
+            "media_ref": pa.array(rows["media_ref"], pa.string()),
+            "frame_idx": pa.array(rows["frame_idx"], pa.int32()),
+            "payload": pa.array(rows["payload"], pa.binary()),
+        })

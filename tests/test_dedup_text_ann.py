@@ -165,3 +165,46 @@ def test_media_pipeline(ray_session):
     stub = MediaFeatureExtractor(decoder="stub")
     with pytest.raises(NotImplementedError):
         stub._decode_real(b"bytes")
+
+
+def test_media_resize_and_frames(ray_session):
+    import ray.data
+    from cartwright_ray.sources.synth import interleave_documents
+    from cartwright_ray.stages.media import (FrameSampler, MediaResize,
+                                             media_rows_from_corpus)
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"]).limit(40)
+    media = media_rows_from_corpus(interleave_documents(docs))
+    resized = media.map_batches(MediaResize,
+                                fn_constructor_kwargs={"decoder": "fake"},
+                                batch_format="pyarrow", batch_size=32,
+                                concurrency=1).to_pandas()
+    if len(resized):
+        assert (resized["width"] == 8).all()
+        assert all(len(p) == 64 for p in resized["payload"])
+    frames = media.map_batches(FrameSampler,
+                               fn_constructor_kwargs={"decoder": "fake"},
+                               batch_format="pyarrow", batch_size=32,
+                               concurrency=1).to_pandas()
+    if len(frames):
+        assert set(frames["frame_idx"]) == {0, 4, 8, 12}
+
+
+def test_register_detector():
+    from cartwright_ray.detectors.registry import (Detector, REGISTRY,
+                                                   register_detector,
+                                                   unregister_detector)
+    from cartwright_ray.detectors.cascade import classify_series
+    n0 = len(REGISTRY)
+    det = Detector(label="hexcolor", kind="misc",
+                   count_fn=lambda s, ctx: sum(
+                       1 for v in s if str(v).startswith("#")
+                       and len(str(v)) == 7))
+    det.kind = "geo"; det.subcategory = "hexcolor"  # piggyback result shape
+    register_detector(det, priority_before="latitude")
+    try:
+        res = classify_series(["#a1b2c3", "#ffffff", "#000000"])
+        assert res["subcategory"] == "hexcolor"
+    finally:
+        unregister_detector("hexcolor")
+    assert len(REGISTRY) == n0
