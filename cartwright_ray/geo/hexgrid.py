@@ -58,10 +58,14 @@ def _res_frame(res: int):
     return radius, np.cos(theta), np.sin(theta)
 
 
-def hex_cell(lat: np.ndarray, lon: np.ndarray, res: int) -> np.ndarray:
-    """Cell id (uint64) of the hexagon containing each point at ``res``."""
+def hex_cell(lat: np.ndarray, lon: np.ndarray, res: int,
+             xy: tuple | None = None) -> np.ndarray:
+    """Cell id (uint64) of the hexagon containing each point at ``res``.
+
+    ``xy``: pre-projected mercator coordinates, so multi-resolution
+    encoders project once (see stages.encode)."""
     assert 0 <= res <= 12
-    x, y = _mercator_xy(lat, lon)
+    x, y = _mercator_xy(lat, lon) if xy is None else xy
     radius, c, s = _res_frame(res)
     xr = c * x + s * y
     yr = -s * x + c * y

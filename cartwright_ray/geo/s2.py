@@ -78,9 +78,12 @@ def s2_cell_id(lat: np.ndarray, lon: np.ndarray, level: int = 12) -> np.ndarray:
     i = np.clip((_st_from_uv(u) * (1 << MAX_LEVEL)).astype(np.int64), 0, int(lim)).astype(np.uint64)
     j = np.clip((_st_from_uv(v) * (1 << MAX_LEVEL)).astype(np.int64), 0, int(lim)).astype(np.uint64)
 
+    # Hilbert position needs only the top ``level`` bits of (i, j): the
+    # traversal from the root to the target level is `level` steps, and the
+    # finer bits are truncated out of the cell id anyway.
     pos = np.zeros(i.shape, dtype=np.uint64)
     orient = (face.astype(np.uint64) & np.uint64(_SWAP))
-    for k in range(MAX_LEVEL - 1, -1, -1):
+    for k in range(MAX_LEVEL - 1, MAX_LEVEL - 1 - level, -1):
         ik = (i >> np.uint64(k)) & np.uint64(1)
         jk = (j >> np.uint64(k)) & np.uint64(1)
         ij = (ik << np.uint64(1)) | jk
@@ -88,11 +91,9 @@ def s2_cell_id(lat: np.ndarray, lon: np.ndarray, level: int = 12) -> np.ndarray:
         pos = (pos << np.uint64(2)) | p
         orient = orient ^ _POS_TO_ORIENT[p.astype(np.int64)]
 
-    cell = (face.astype(np.uint64) << np.uint64(61)) | (pos << np.uint64(1)) | np.uint64(1)
-    if level < MAX_LEVEL:
-        lsb = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
-        cell = (cell & ~(lsb - np.uint64(1))) | lsb
-    return cell
+    shift = np.uint64(2 * (MAX_LEVEL - level) + 1)
+    lsb = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
+    return (face.astype(np.uint64) << np.uint64(61)) | (pos << shift) | lsb
 
 
 def s2_level(cell: np.ndarray) -> np.ndarray:

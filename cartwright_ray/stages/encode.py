@@ -35,8 +35,10 @@ def encode_batch(batch: pa.Table, tile_zoom: int = DEFAULT_TILE_ZOOM,
     lon = np.asarray(batch["lon"], dtype=np.float64)
 
     cols = {"geohash": pa.array(geohash_encode(lat, lon, geohash_precision))}
+    from ..geo.hexgrid import _mercator_xy
+    xy = _mercator_xy(lat, lon)   # project once for all hex resolutions
     for r in HEX_RESOLUTIONS:
-        cols[f"h3_r{r}"] = pa.array(hex_cell(lat, lon, r), pa.uint64())
+        cols[f"h3_r{r}"] = pa.array(hex_cell(lat, lon, r, xy=xy), pa.uint64())
     s2 = s2_cell_id(lat, lon, s2_level)
     cols["s2_id"] = pa.array(s2, pa.uint64())
     cols["s2_token"] = pa.array(s2_token(s2), pa.string())
@@ -50,8 +52,8 @@ def encode_batch(batch: pa.Table, tile_zoom: int = DEFAULT_TILE_ZOOM,
     return batch
 
 
-def encode_cells(points_ds, **kwargs):
+def encode_cells(points_ds, batch_size: int = 8192, **kwargs):
     """Dataset stage: extracted points → points + cell/tile columns."""
     return points_ds.map_batches(
         lambda b: encode_batch(b, **kwargs),
-        batch_format="pyarrow", zero_copy_batch=True)
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
