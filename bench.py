@@ -163,7 +163,7 @@ def main_worker(cpus: int):
 
 # --scaling uses a larger corpus so per-job fixed costs don't dominate the
 # 32-CPU run (a 2M-doc job is ~2s of parallel work at 32 cores)
-SCALING_REPLICATION = int(os.environ.get("BENCH_SCALING_REPLICATION", "1600"))
+SCALING_REPLICATION = int(os.environ.get("BENCH_SCALING_REPLICATION", "3200"))
 
 
 def main_scaling():

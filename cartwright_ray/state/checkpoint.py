@@ -63,12 +63,24 @@ def read_manifest(out_dir: str) -> dict[str, dict]:
 
 
 def checkpointed_write(ds, out_dir: str, key_col: str = "doc_id",
-                       pid_fn=None):
+                       pid_fn=None, metrics_cols: tuple = ()):
     """Write ``ds`` to ``out_dir`` with per-partition checkpoints; skips
-    partitions already marked done. Returns {written, skipped, rows}."""
+    partitions already marked done. Returns {written, skipped, rows}.
+
+    ``metrics_cols``: columns whose per-partition top-value histograms are
+    recorded in the manifest (e.g. a cell column — these metrics feed the
+    hot-cell salt factor of downstream shuffles, SURVEY.md §4.2)."""
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
     done = set(read_manifest(out_dir))
     pid_of = pid_fn or (lambda b: _default_pid(b, key_col))
+
+    def _histogram(batch: pa.Table, col: str, top: int = 20) -> dict:
+        import pyarrow.compute as pc
+        vc = batch.column(col).value_counts()
+        pairs = sorted(((str(v["values"]), int(v["counts"]))
+                        for v in vc.to_pylist()),
+                       key=lambda kv: -kv[1])[:top]
+        return dict(pairs)
 
     def write_part(batch: pa.Table) -> pa.Table:
         pid = pid_of(batch)
@@ -86,6 +98,8 @@ def checkpointed_write(ds, out_dir: str, key_col: str = "doc_id",
                 "status": "done",
                 "key_range": [str(batch.column(key_col)[0]),
                               str(batch.column(key_col)[-1])] if len(batch) else [],
+                "metrics": {c: _histogram(batch, c) for c in metrics_cols
+                            if c in batch.column_names},
             }
             mtmp = os.path.join(out_dir, "_manifest", f"{pid}.json.tmp")
             with open(mtmp, "w") as fh:

@@ -145,3 +145,16 @@ def test_driver_contract(ray_session):
     assert len(out) == 6
     out = qs["temporal_resolution_events"](SF)
     assert out["unit"].iloc[0] in ("second", "minute", "hour")
+
+
+def test_checkpoint_metrics(ray_session, tmp_path):
+    from cartwright_ray.state.checkpoint import checkpointed_write, read_manifest
+    from cartwright_ray.pipelines.flagship import encoded_points
+    out = str(tmp_path / "enc")
+    enc = encoded_points(SF)
+    stats = checkpointed_write(enc, out, metrics_cols=("h3_r5",))
+    manifest = read_manifest(out)
+    assert stats["written"] == len(manifest) > 0
+    some = next(iter(manifest.values()))
+    assert "h3_r5" in some["metrics"]
+    assert sum(some["metrics"]["h3_r5"].values()) <= some["row_count"]
