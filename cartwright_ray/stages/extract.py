@@ -167,7 +167,7 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     return out.filter(pc.fill_null(keep, False))
 
 
-def extract_points(corpus_ds, batch_size: int = 2048):
+def extract_points(corpus_ds, batch_size: int = 4096):
     """Dataset stage: interleaved corpus → extracted points (streaming)."""
     return corpus_ds.map_batches(extract_batch, batch_format="pyarrow",
                                  batch_size=batch_size,
