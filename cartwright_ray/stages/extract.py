@@ -133,26 +133,31 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     iso3 = _first_group(codes, "a3")
     cname = _first_group(pc.extract_regex(text, COUNTRY_RE), "cname")
 
-    # geohash tokens → fallback points
+    # geohash tokens → fallback points. Stay in Arrow: only the (rare)
+    # rows that actually need a decode are materialized into Python —
+    # building per-row object arrays for the whole batch is allocator-bound
+    # at scale.
     gh = _first_group(pc.extract_regex(text, GEOHASH_RE), "gh")
-    gh_np = gh.to_numpy(zero_copy_only=False)
-    need_fill = np.array([g is not None for g in gh_np]) \
-        & np.asarray(pc.is_null(lat))
-    point_src = np.where(np.asarray(pc.is_valid(lat)), "coord", None)
-    if need_fill.any():
-        dlat, dlon = geohash_decode(gh_np[need_fill])
+    point_src = pc.if_else(pc.is_valid(lat), pa.scalar("coord"),
+                           pa.scalar(None, pa.string()))
+    need_fill = pc.and_(pc.is_valid(gh), pc.is_null(lat))
+    if pc.sum(need_fill).as_py():
+        need_np = np.asarray(need_fill)
+        idx = np.nonzero(need_np)[0]
+        gh_vals = np.asarray(gh.take(pa.array(idx)).to_pylist(), dtype=object)
+        dlat, dlon = geohash_decode(gh_vals)
         lat_np = lat.to_numpy(zero_copy_only=False).astype(np.float64)
         lon_np = lon.to_numpy(zero_copy_only=False).astype(np.float64)
-        lat_np[need_fill] = dlat
-        lon_np[need_fill] = dlon
+        lat_np[idx] = dlat
+        lon_np[idx] = dlon
         # NaN (former nulls) → null again
         lat = pa.array(lat_np, pa.float64(), from_pandas=True)
         lon = pa.array(lon_np, pa.float64(), from_pandas=True)
-        point_src = np.where(need_fill, "geohash", point_src)
+        point_src = pc.if_else(need_fill, pa.scalar("geohash"), point_src)
 
     out = pa.Table.from_arrays(
         [pc.cast(doc_per_span, pa.string()), span_idx, lat, lon,
-         pa.array(point_src, pa.string()), ts, cname, iso2, iso3, gh],
+         point_src, ts, cname, iso2, iso3, gh],
         schema=EXTRACT_SCHEMA)
 
     # keep only text spans that yielded at least one extractable
