@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": rel.distinct_users_by_type,
         # geo kernels with SQL-reproducible math
         "tile_assignment": rel.tile_assignment,
+        "tile_heatmap": rel.tile_heatmap,
         "haversine_origin": rel.haversine_from_origin,
         # text / dedup / ANN
         "text_stats_docs": _q_text_stats,
@@ -385,6 +386,19 @@ def oracle_sql() -> dict[str, str]:
                        CAST((vec_id * 104729 % 360) - 180 + 0.5 AS DOUBLE) AS lon
                 FROM embeddings)
             ORDER BY vec_id
+        """,
+        "tile_heatmap": """
+            SELECT tile_x, tile_y, count(*) AS n_points FROM (
+                SELECT CAST(floor((lon + 180) / 360 * 64) AS INT) AS tile_x,
+                       CAST(floor((1 - ln(tan(radians(lat))
+                            + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1))
+                            / pi()) / 2 * 64) AS INT) AS tile_y
+                FROM (
+                    SELECT CAST((vec_id * 7919 % 170) - 85 + 0.5 AS DOUBLE) AS lat,
+                           CAST((vec_id * 104729 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+                    FROM embeddings))
+            GROUP BY tile_x, tile_y
+            ORDER BY tile_x, tile_y
         """,
         "haversine_origin": """
             SELECT vec_id,

@@ -35,3 +35,15 @@ def flagship_pipeline(sf_dir: str, seed: int = 42, concurrency=None):
     admin_id/admin_name + cell/tile assignment columns)."""
     return pip_join(encoded_points(sf_dir, seed), ADMIN_POLYGONS,
                     concurrency=concurrency)
+
+
+def flagship_to_tiles(sf_dir: str, out_dir: str, seed: int = 42):
+    """Full chain + tile-ordered resumable output: join rows sorted by
+    (tile_z, tile_x, tile_y) — co-locating each tile's rows — written
+    through the per-partition checkpoint sink (north_rule output layout)."""
+    from ..state.checkpoint import checkpointed_write
+
+    joined = flagship_pipeline(sf_dir, seed=seed)
+    tiled = joined.sort(["tile_z", "tile_x", "tile_y"])
+    return checkpointed_write(tiled, out_dir, key_col="doc_id",
+                              metrics_cols=("h3_r5",))

@@ -260,3 +260,22 @@ def distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
     out = dedup.groupby("event_type") \
                .aggregate(Count(alias_name="n_users")).to_pandas()
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def tile_heatmap(sf_dir: str, zoom: int = 6) -> pd.DataFrame:
+    """Per-tile point counts (groupby on the cell/tile key — the engine's
+    canonical cell-keyed aggregation, SQL-reproducible on derived points)."""
+    from ..geo.mercator import lonlat_to_tile
+
+    def assign(t: pa.Table) -> pa.Table:
+        lat = np.asarray(t["lat"], dtype=np.float64)
+        lon = np.asarray(t["lon"], dtype=np.float64)
+        x, y = lonlat_to_tile(lon, lat, zoom)
+        return pa.table({"tile_x": pa.array(x, pa.int32()),
+                         "tile_y": pa.array(y, pa.int32())})
+
+    out = (derived_points(sf_dir)
+           .map_batches(assign, batch_format="pyarrow")
+           .groupby(["tile_x", "tile_y"])
+           .aggregate(Count(alias_name="n_points"))).to_pandas()
+    return out.sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
