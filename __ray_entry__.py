@@ -239,6 +239,29 @@ def _q_spatial_resolution(sf_dir):
                           "uniformity": sq.uniformity.name}])
 
 
+def _q_spatial_resolution_table(sf_dir):
+    """A5 over a table-derived grid (2° spacing from embeddings.vec_id) —
+    SQL-reproducible: the oracle reimplements the axis-delta algorithm with
+    window functions."""
+    import ray.data
+    import pyarrow as pa
+    from cartwright_ray.analysis.space_resolution import detect_latlon_resolution_ds
+
+    def derive(t: pa.Table) -> pa.Table:
+        vid = np.asarray(t["vec_id"], dtype=np.int64)
+        lat = (vid % 20).astype(np.float64) * 2.0 - 20.0
+        lon = ((vid // 20) % 24).astype(np.float64) * 2.0 - 24.0
+        return pa.table({"lat": pa.array(lat), "lon": pa.array(lon)})
+
+    ds = _embeddings(sf_dir).map_batches(derive, batch_format="pyarrow")
+    r = detect_latlon_resolution_ds(ds, "lat", "lon")
+    sq = r.square
+    return pd.DataFrame([{"unit": sq.unit.name,
+                          "resolution": round(sq.resolution, 6),
+                          "error": round(sq.error, 6),
+                          "uniformity": sq.uniformity.name}])
+
+
 def _q_lsh_ann(sf_dir):
     import pyarrow.parquet as pq
     from cartwright_ray.stages.ann import lsh_ann_search
@@ -284,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_resolution_events": _q_temporal_resolution,
         "temporal_resolution_by_type": _q_temporal_resolution_by_type,
         "spatial_resolution_grid": _q_spatial_resolution,
+        "spatial_resolution_table": _q_spatial_resolution_table,
         "classify_documents_columns": _q_classify_documents,
         "classify_events_columns": _q_classify_events,
         # spatial pipeline
@@ -449,6 +473,41 @@ def oracle_sql() -> dict[str, str]:
                 FROM sims)
             WHERE rank < 10
             ORDER BY query_id, rank
+        """,
+        "spatial_resolution_table": """
+            WITH pts AS (
+                SELECT DISTINCT
+                       CAST(vec_id % 20 AS DOUBLE) * 2.0 - 20.0 AS lat,
+                       CAST((vec_id // 20) % 24 AS DOUBLE) * 2.0 - 24.0 AS lon
+                FROM embeddings),
+            rad AS (SELECT radians(lat) AS rlat, radians(lon) AS rlon FROM pts),
+            dlon AS (SELECT abs(rlon - lag(rlon) OVER
+                         (PARTITION BY rlat ORDER BY rlon)) AS d
+                     FROM rad QUALIFY d IS NOT NULL),
+            dlat AS (SELECT abs(rlat - lag(rlat) OVER
+                         (PARTITION BY rlon ORDER BY rlat)) AS d
+                     FROM rad QUALIFY d IS NOT NULL),
+            alld AS (SELECT d FROM dlon UNION ALL SELECT d FROM dlat),
+            med AS (SELECT median(d) AS m FROM alld),
+            aunits(unit, dur) AS (VALUES ('degrees', 1.0),
+                                         ('minutes', 1.0/60),
+                                         ('seconds', 1.0/3600)),
+            best AS (SELECT unit, dur FROM aunits
+                     ORDER BY abs(dur - degrees((SELECT m FROM med))) / dur
+                     LIMIT 1),
+            uni AS (SELECT CASE
+                        WHEN max(abs(d - (SELECT m FROM med)))
+                             < 1e-9 * abs((SELECT m FROM med)) THEN 'PERFECT'
+                        WHEN max(abs(d - (SELECT m FROM med)))
+                             < 0.01 * abs((SELECT m FROM med)) THEN 'UNIFORM'
+                        ELSE 'NOT_UNIFORM' END AS uniformity
+                    FROM alld),
+            err AS (SELECT avg(abs(d - (SELECT m FROM med))) AS e FROM alld)
+            SELECT best.unit,
+                   round(degrees((SELECT m FROM med)) / best.dur, 6) AS resolution,
+                   round(degrees(err.e) / best.dur, 6) AS error,
+                   uni.uniformity
+            FROM best, err, uni
         """,
         "temporal_resolution_by_type": f"""
             WITH d AS (SELECT DISTINCT event_type,
