@@ -222,13 +222,16 @@ def pip_join_shuffle(points_ds, polygons: list[dict],
         add_cell, batch_format="pyarrow"), "pip_cell", cap=cap)
 
     polygons_ref = ray.put(polygons)
-    index_holder = {}
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        # lazily build the index once per worker process
-        if "index" not in index_holder:
-            index_holder["index"] = PolygonIndex(ray.get(polygons_ref), cover_res)
-        index = index_holder["index"]
+        # per-worker index cache (module-level — a closure dict would be
+        # re-created on every task deserialization)
+        key = (getattr(polygons_ref, "hex", lambda: id(polygons_ref))(),
+               cover_res)
+        index = _TASK_INDEX_CACHE.get(key)
+        if index is None:
+            index = _TASK_INDEX_CACHE.setdefault(
+                key, PolygonIndex(ray.get(polygons_ref), cover_res))
         lat = g["lat"].to_numpy(dtype=np.float64)
         lon = g["lon"].to_numpy(dtype=np.float64)
         idx, admin, name = index.probe(lat, lon)
