@@ -275,6 +275,48 @@ def _q_lsh_ann(sf_dir):
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+
+
+def _derived_nation_boxes():
+    """25 axis-aligned box 'polygons' derived from nation keys — still real
+    polygons through the PIP machinery, but SQL-reproducible as range
+    predicates."""
+    boxes = []
+    for k in range(25):
+        lat0 = (k % 5) * 10.0 - 25.0
+        lon0 = (k // 5) * 12.0 - 30.0
+        boxes.append({"admin_id": f"N{k:02d}", "name": f"nation_{k}",
+                      "ring_lat": [lat0, lat0, lat0 + 8.0, lat0 + 8.0],
+                      "ring_lon": [lon0, lon0 + 10.0, lon0 + 10.0, lon0]})
+    return boxes
+
+
+def _q_pip_join_boxes(sf_dir):
+    """PIP join (broadcast plan) against nation-derived boxes over the
+    embeddings-derived points — fully SQL-verifiable."""
+    from cartwright_ray.joins.pip_join import pip_join
+    from cartwright_ray.pipelines.relational import derived_points
+    out = pip_join(derived_points(sf_dir), _derived_nation_boxes()).to_pandas()
+    out = out[["vec_id", "admin_id"]]
+    return out.sort_values(["vec_id", "admin_id"]).reset_index(drop=True)
+
+
+def _q_knn_join_table(sf_dir):
+    """kNN join of derived points to part-derived features — the SQL
+    oracle brute-forces the same haversine ranking."""
+    import pyarrow.parquet as pq
+    from cartwright_ray.joins.knn_join import knn_join
+    from cartwright_ray.pipelines.relational import derived_points
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    keys = np.asarray(part["p_partkey"], dtype=np.int64)
+    feats = {"feat_id": [f"P{k:05d}" for k in keys],
+             "lat": (keys * 37 % 160).astype(np.float64) - 80.0 + 0.25,
+             "lon": (keys * 91 % 340).astype(np.float64) - 170.0 + 0.25}
+    out = knn_join(derived_points(sf_dir), feats, k=3).to_pandas()
+    out = out[["vec_id", "neighbor_rank", "feat_id"]]
+    return out.sort_values(["vec_id", "neighbor_rank"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from cartwright_ray.pipelines import relational as rel
     return {
@@ -314,7 +356,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_points": _q_extract_points,
         "encoded_points": _q_encoded_points,
         "pip_join_counts": _q_pip_join_counts,
+        "pip_join_boxes": _q_pip_join_boxes,
         "knn_join_sample": _q_knn,
+        "knn_join_table": _q_knn_join_table,
         "zonal_stats_admin": _q_zonal,
     }
 
@@ -508,6 +552,51 @@ def oracle_sql() -> dict[str, str]:
                    round(degrees(err.e) / best.dur, 6) AS error,
                    uni.uniformity
             FROM best, err, uni
+        """,
+        "pip_join_boxes": """
+            WITH pts AS (
+                SELECT vec_id,
+                       CAST((vec_id * 7919 % 170) - 85 + 0.5 AS DOUBLE) AS lat,
+                       CAST((vec_id * 104729 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+                FROM embeddings),
+            boxes AS (
+                SELECT 'N' || lpad(CAST(k AS VARCHAR), 2, '0') AS admin_id,
+                       (k % 5) * 10.0 - 25.0 AS lat0,
+                       (k % 5) * 10.0 - 25.0 + 8.0 AS lat1,
+                       (k // 5) * 12.0 - 30.0 AS lon0,
+                       (k // 5) * 12.0 - 30.0 + 10.0 AS lon1
+                FROM range(25) t(k))
+            SELECT vec_id, admin_id
+            FROM pts JOIN boxes
+              ON pts.lat > boxes.lat0 AND pts.lat < boxes.lat1
+             AND pts.lon > boxes.lon0 AND pts.lon < boxes.lon1
+            ORDER BY vec_id, admin_id
+        """,
+        "knn_join_table": """
+            WITH pts AS (
+                SELECT vec_id,
+                       CAST((vec_id * 7919 % 170) - 85 + 0.5 AS DOUBLE) AS lat,
+                       CAST((vec_id * 104729 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+                FROM embeddings),
+            feats AS (
+                SELECT 'P' || lpad(CAST(p_partkey AS VARCHAR), 5, '0') AS feat_id,
+                       CAST((p_partkey * 37 % 160) - 80 + 0.25 AS DOUBLE) AS flat,
+                       CAST((p_partkey * 91 % 340) - 170 + 0.25 AS DOUBLE) AS flon
+                FROM part),
+            dists AS (
+                SELECT pts.vec_id, feats.feat_id,
+                       2 * 6371.0088 * asin(sqrt(
+                           sin(radians(flat - lat) / 2) * sin(radians(flat - lat) / 2)
+                           + cos(radians(lat)) * cos(radians(flat))
+                             * sin(radians(flon - lon) / 2)
+                             * sin(radians(flon - lon) / 2))) AS d
+                FROM pts CROSS JOIN feats)
+            SELECT vec_id, CAST(rnk AS INT) AS neighbor_rank, feat_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d, feat_id) - 1 AS rnk
+                FROM dists)
+            WHERE rnk < 3
+            ORDER BY vec_id, neighbor_rank
         """,
         "temporal_resolution_by_type": f"""
             WITH d AS (SELECT DISTINCT event_type,
