@@ -330,6 +330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": rel.sessionize_events,
         "value_quantiles_by_type": rel.value_quantiles_by_type,
         "distinct_users_by_type": rel.distinct_users_by_type,
+        "asof_join_rates": rel.asof_join_rates,
+        "user_running_value": rel.user_running_value,
         # geo kernels with SQL-reproducible math
         "tile_assignment": rel.tile_assignment,
         "tile_heatmap": rel.tile_heatmap,
@@ -410,6 +412,25 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty,
                    count(*) AS n_rows
             FROM lineitem
+        """,
+        "asof_join_rates": """
+            WITH rates AS (
+                SELECT CAST(k AS BIGINT) AS rate_day,
+                       TIMESTAMP '2024-01-01 00:00:00'
+                           + k * INTERVAL 1 DAY AS rate_ts,
+                       round(100.0 + k * 0.25, 2) AS rate
+                FROM range(60) t(k))
+            SELECT event_id, rate_day, rate
+            FROM events ASOF JOIN rates ON events.ts >= rates.rate_ts
+            ORDER BY event_id
+        """,
+        "user_running_value": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4)
+                       AS running_value
+            FROM events
+            ORDER BY event_id
         """,
         "sessionize_events": """
             WITH marked AS (

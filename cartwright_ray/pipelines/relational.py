@@ -279,3 +279,56 @@ def tile_heatmap(sf_dir: str, zoom: int = 6) -> pd.DataFrame:
            .groupby(["tile_x", "tile_y"])
            .aggregate(Count(alias_name="n_points"))).to_pandas()
     return out.sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+
+
+def asof_join_rates(sf_dir: str) -> pd.DataFrame:
+    """Backward as-of join: each event picks the latest rate row with
+    rate_ts <= event ts. The small side is sorted once driver-side and
+    broadcast; each batch does a vectorized ``np.searchsorted`` — no
+    ordering requirement on the big side, no shuffle (the Ray-native as-of
+    join for dimension-sized right sides)."""
+    import datetime
+
+    # deterministic daily rate table (SQL-reproducible via range())
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    days = np.arange(60)
+    rate_ts = base + days * np.timedelta64(86400, "s")
+    rates = np.round(100.0 + days * 0.25, 2)
+    rate_ts_i = rate_ts.astype("datetime64[us]").astype(np.int64)
+    import ray
+    bundle_ref = ray.put((rate_ts_i, rates, days))
+
+    def probe(t: pa.Table) -> pa.Table:
+        ts_i, rvals, dvals = ray.get(bundle_ref)
+        ev_ts = np.asarray(t["ts"].cast(pa.timestamp("us")).cast(pa.int64()))
+        idx = np.searchsorted(ts_i, ev_ts, side="right") - 1
+        ok = idx >= 0
+        rate = np.where(ok, rvals[np.clip(idx, 0, None)], np.nan)
+        day = np.where(ok, dvals[np.clip(idx, 0, None)], -1)
+        out = pa.table({
+            "event_id": t["event_id"],
+            "rate_day": pa.array(day.astype(np.int64)),
+            "rate": pa.array(rate, pa.float64(), from_pandas=True),
+        })
+        return out
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts"])
+    out = ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def user_running_value(sf_dir: str) -> pd.DataFrame:
+    """Per-user running sum ordered by (ts, event_id) — ordered window scan
+    after one shuffle on the partition key."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        g["running_value"] = g["value"].cumsum().round(4)
+        return g[["user_id", "event_id", "running_value"]]
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas") \
+            .to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
