@@ -185,13 +185,30 @@ def _q_simhash(sf_dir):
 
 
 def _q_embedding_dups(sf_dir):
+    """Near-dup detection over the embeddings table augmented with exact
+    clones of vec_id < 20 (ids shifted by 100000) — the clones are the
+    known answer; random vectors must NOT pair up."""
+    import pyarrow as pa
+    import ray.data
+    ds = _embeddings(sf_dir)
+
+    def clone(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        dup = t.filter(pc.less(t["vec_id"], 20))
+        if dup.num_rows:
+            dup = dup.set_column(
+                t.column_names.index("vec_id"), "vec_id",
+                pc.add(dup["vec_id"], 100000))
+            return pa.concat_tables([t, dup])
+        return t
+
     from cartwright_ray.stages.dedup import embedding_near_dups
-    df = embedding_near_dups(_embeddings(sf_dir), threshold=0.9).to_pandas()
-    if len(df):
-        df["cos"] = df["cos"].round(6)
-        df = df.sort_values("dup_id").reset_index(drop=True)
-    return df[["dup_id", "kept_id", "cos"]] if len(df) else \
-        pd.DataFrame({"dup_id": [], "kept_id": [], "cos": []})
+    df = embedding_near_dups(ds.map_batches(clone, batch_format="pyarrow"),
+                             threshold=0.99).to_pandas()
+    if not len(df):
+        return pd.DataFrame({"dup_id": [], "kept_id": []})
+    return df[["dup_id", "kept_id"]].sort_values("dup_id") \
+                                    .reset_index(drop=True)
 
 
 def _q_langid(sf_dir):

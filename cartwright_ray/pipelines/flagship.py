@@ -37,13 +37,29 @@ def flagship_pipeline(sf_dir: str, seed: int = 42, concurrency=None):
                     concurrency=concurrency)
 
 
-def flagship_to_tiles(sf_dir: str, out_dir: str, seed: int = 42):
-    """Full chain + tile-ordered resumable output: join rows sorted by
-    (tile_z, tile_x, tile_y) — co-locating each tile's rows — written
-    through the per-partition checkpoint sink (north_rule output layout)."""
-    from ..state.checkpoint import checkpointed_write
+def flagship_to_tiles(sf_dir: str, out_dir: str, seed: int = 42,
+                      block: int = 16):
+    """Full chain + tile-partitioned resumable output: join rows grouped
+    into (zoom, x//block, y//block) tile blocks — partition ids are pure
+    key functions, so a re-run resumes exactly (north_rule output layout).
+    Rows are tile-sorted *within* each partition; a global sort would make
+    partition boundaries depend on sampled ranges and break resume
+    (see state.checkpoint.checkpointed_write_by_key)."""
+    import pyarrow as pa
+
+    from ..state.checkpoint import checkpointed_write_by_key
 
     joined = flagship_pipeline(sf_dir, seed=seed)
-    tiled = joined.sort(["tile_z", "tile_x", "tile_y"])
-    return checkpointed_write(tiled, out_dir, key_col="doc_id",
-                              metrics_cols=("h3_r5",))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import numpy as np
+        z = np.asarray(t["tile_z"], dtype=np.int64)
+        x = np.asarray(t["tile_x"], dtype=np.int64) // block
+        y = np.asarray(t["tile_y"], dtype=np.int64) // block
+        part = [f"z{zz}-{xx}-{yy}" for zz, xx, yy in zip(z, x, y)]
+        return t.append_column("tile_part", pa.array(part, pa.string()))
+
+    keyed = joined.map_batches(add_part, batch_format="pyarrow")
+    return checkpointed_write_by_key(
+        keyed, out_dir, "tile_part",
+        sort_within=["tile_z", "tile_x", "tile_y", "doc_id", "span_idx"])

@@ -116,3 +116,53 @@ def checkpointed_write(ds, out_dir: str, key_col: str = "doc_id",
         "skipped": int((stats["status"] == "skipped").sum()),
         "rows": int(stats["rows"].sum()),
     }
+
+
+def checkpointed_write_by_key(ds, out_dir: str, part_col: str,
+                              sort_within: list | None = None):
+    """Key-partitioned resumable sink: one file per distinct ``part_col``
+    value, written from a ``groupby`` shuffle so partition membership — and
+    therefore the partition id — is a pure function of the data, not of
+    block boundaries.
+
+    This is the writer to use after wide operations: a content-hashed pid
+    (``checkpointed_write``) is only stable for deterministic-partition
+    (map-only) pipelines, while a global ``sort`` samples its range
+    boundaries and splits blocks differently run to run. Keyed partitions
+    resume exactly: re-running skips every finished key.
+    """
+    import re as _re
+
+    import pandas as pd
+
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    done = set(read_manifest(out_dir))
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        pid = _re.sub(r"[^A-Za-z0-9_.-]", "_", str(g[part_col].iloc[0]))
+        status = "skipped"
+        if pid not in done:
+            if sort_within:
+                g = g.sort_values(sort_within)
+            data_path = os.path.join(out_dir, f"part-{pid}.parquet")
+            tmp = data_path + ".tmp"
+            g.to_parquet(tmp)
+            os.replace(tmp, data_path)
+            rec = {"partition_id": pid, "row_count": len(g),
+                   "bytes": os.path.getsize(data_path), "checksum": pid,
+                   "status": "done", "key": str(g[part_col].iloc[0])}
+            mtmp = os.path.join(out_dir, "_manifest", f"{pid}.json.tmp")
+            with open(mtmp, "w") as fh:
+                json.dump(rec, fh)
+            os.replace(mtmp, os.path.join(out_dir, "_manifest", f"{pid}.json"))
+            status = "written"
+        return pd.DataFrame({"partition_id": [pid], "rows": [len(g)],
+                             "status": [status]})
+
+    stats = ds.groupby(part_col).map_groups(
+        write_group, batch_format="pandas").to_pandas()
+    return {
+        "written": int((stats["status"] == "written").sum()),
+        "skipped": int((stats["status"] == "skipped").sum()),
+        "rows": int(stats["rows"].sum()),
+    }

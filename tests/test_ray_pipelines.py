@@ -158,3 +158,21 @@ def test_checkpoint_metrics(ray_session, tmp_path):
     some = next(iter(manifest.values()))
     assert "h3_r5" in some["metrics"]
     assert sum(some["metrics"]["h3_r5"].values()) <= some["row_count"]
+
+
+def test_tile_sink_resume_exact(ray_session, tmp_path):
+    """Key-partitioned tile sink: re-run skips everything; a lost
+    partition is rebuilt alone (resume survives the wide shuffle)."""
+    from cartwright_ray.pipelines.flagship import flagship_to_tiles
+    from cartwright_ray.state.checkpoint import read_manifest
+    out = str(tmp_path / "tiles")
+    s1 = flagship_to_tiles(SF, out)
+    assert s1["written"] > 1 and s1["skipped"] == 0
+    s2 = flagship_to_tiles(SF, out)
+    assert s2["written"] == 0 and s2["skipped"] == s1["written"]
+    lost = sorted(read_manifest(out))[0]
+    os.remove(os.path.join(out, f"part-{lost}.parquet"))
+    os.remove(os.path.join(out, "_manifest", f"{lost}.json"))
+    s3 = flagship_to_tiles(SF, out)
+    assert s3["written"] == 1 and s3["skipped"] == s1["written"] - 1
+    assert s3["rows"] == s1["rows"]
