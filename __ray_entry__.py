@@ -30,6 +30,42 @@ _UNIT_VALUES_SQL = """
 """
 
 
+def _ensure_worker_importability():
+    """Ray workers inherit sys.path from the driver *at ray.init time*; the
+    driver inits Ray before importing this module, so if its CWD/sys.path
+    didn't already include this repo, workers would fail to import
+    ``cartwright_ray`` when deserializing our UDFs. Registering the whole
+    package for cloudpickle by-value serialization makes every shipped
+    callable self-contained, independent of worker sys.path."""
+    import importlib
+    import os
+    import pkgutil
+    import sys
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    pkg = importlib.import_module("cartwright_ray")
+    for m in pkgutil.walk_packages(pkg.__path__, prefix="cartwright_ray."):
+        try:
+            importlib.import_module(m.name)
+        except Exception:
+            pass
+    try:
+        from ray import cloudpickle
+        for name, mod in list(sys.modules.items()):
+            if mod is not None and name.split(".")[0] == "cartwright_ray":
+                try:
+                    cloudpickle.register_pickle_by_value(mod)
+                except Exception:
+                    pass
+    except ImportError:
+        pass
+
+
+_ensure_worker_importability()
+
+
 def entry() -> Any:
     """Flagship pipeline (docs → corpus → extract → encode → PIP join)
     on /root/testdata/sf0.001."""

@@ -35,7 +35,7 @@ from ..util import _pool
 import numpy as np
 import pyarrow as pa
 
-from ..geo.hexgrid import hex_cell
+from ..geo.hexgrid import R0, SQRT7, hex_cell
 from ..geo.pip import points_in_polygon, polygon_bbox
 
 DEFAULT_COVER_RES = 4
@@ -59,7 +59,6 @@ class PolygonIndex:
         lat0, lat1, lon0, lon1 = polygon_bbox(poly["ring_lat"], poly["ring_lon"])
         # sub-hex sampling step: hex circumradius at cover_res in degrees of
         # mercator-x is R0/√7^res of 360°; sample at a third of that
-        from ..geo.hexgrid import R0, SQRT7
         step = max(1e-3, (R0 / SQRT7 ** self.cover_res) * 360.0 / 3.0)
         lats = np.arange(lat0 - step, lat1 + 2 * step, step)
         lons = np.arange(lon0 - step, lon1 + 2 * step, step)

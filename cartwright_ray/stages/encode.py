@@ -13,7 +13,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..geo.geohash import geohash_encode
-from ..geo.hexgrid import hex_cell
+from ..geo.hexgrid import _mercator_xy, hex_cell
 from ..geo.mercator import lonlat_to_tile
 from ..geo.s2 import s2_cell_id, s2_token
 
@@ -35,7 +35,6 @@ def encode_batch(batch: pa.Table, tile_zoom: int = DEFAULT_TILE_ZOOM,
     lon = np.asarray(batch["lon"], dtype=np.float64)
 
     cols = {"geohash": pa.array(geohash_encode(lat, lon, geohash_precision))}
-    from ..geo.hexgrid import _mercator_xy
     xy = _mercator_xy(lat, lon)   # project once for all hex resolutions
     for r in HEX_RESOLUTIONS:
         cols[f"h3_r{r}"] = pa.array(hex_cell(lat, lon, r, xy=xy), pa.uint64())
