@@ -384,6 +384,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_by_type": rel.value_quantiles_by_type,
         "distinct_users_by_type": rel.distinct_users_by_type,
         "asof_join_rates": rel.asof_join_rates,
+        "semi_join_orders_building": rel.semi_join_orders_building,
+        "customers_without_orders": rel.customers_without_orders,
+        "top_orders_per_customer": rel.top_orders_per_customer,
         "user_running_value": rel.user_running_value,
         # geo kernels with SQL-reproducible math
         "tile_assignment": rel.tile_assignment,
@@ -465,6 +468,30 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty,
                    count(*) AS n_rows
             FROM lineitem
+        """,
+        "semi_join_orders_building": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+            ORDER BY o_orderkey
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   CAST(rnk AS BIGINT) AS order_rank
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) - 1 AS rnk
+                FROM orders)
+            WHERE rnk < 2
+            ORDER BY o_custkey, order_rank
         """,
         "asof_join_rates": """
             WITH rates AS (

@@ -332,3 +332,76 @@ def user_running_value(sf_dir: str) -> pd.DataFrame:
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas") \
             .to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def semi_join_orders_building(sf_dir: str) -> pd.DataFrame:
+    """Broadcast semi-join: orders whose customer is in the BUILDING
+    segment (small side → ray.put set, big side filtered in map_batches
+    with pc.is_in — the engine's membership-join shape, same as the ISO
+    validators at corpus scale)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = [k for k, seg in zip(cust["c_custkey"].to_pylist(),
+                                cust["c_mktsegment"].to_pylist())
+            if seg == "BUILDING"]
+    keys_ref = ray.put(set(keys))
+
+    def probe(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = pc.is_in(t["o_custkey"],
+                        value_set=pa.array(sorted(ks), pa.int64()))
+        return t.filter(mask)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey",
+                                        "o_totalprice"])
+    out = ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("o_orderkey").reset_index(drop=True)
+    return _round_cols(out, ["o_totalprice"])
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti-join: customers with no orders. The distinct order-customer
+    set is produced by a grouped dedup (shuffle) and broadcast back —
+    scale-safe while the *distinct key* set fits a broadcast; beyond that
+    the plan flips to a cell/hash-partitioned join."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey"])
+    have = set(ds.unique("o_custkey"))
+    have_ref = ray.put(have)
+
+    def anti(t: pa.Table) -> pa.Table:
+        hs = ray.get(have_ref)
+        mask = pc.invert(pc.is_in(
+            t["c_custkey"], value_set=pa.array(sorted(hs), pa.int64())))
+        return t.filter(mask)
+
+    cds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                columns=["c_custkey", "c_name"])
+    out = cds.map_batches(anti, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                            "c_name": pd.Series([], dtype="object")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 2) -> pd.DataFrame:
+    """Per-group top-k: each customer's k most expensive orders (ordered
+    scan inside map_groups after one shuffle on the group key)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderkey",
+                                        "o_totalprice"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["order_rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    out = ds.groupby("o_custkey").map_groups(topk, batch_format="pandas") \
+            .to_pandas()
+    out = out.sort_values(["o_custkey", "order_rank"]).reset_index(drop=True)
+    return _round_cols(out, ["o_totalprice"])
