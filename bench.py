@@ -32,6 +32,9 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICATION = int(os.environ.get("BENCH_REPLICATION", "20"))
 
+# run from any CWD: make the repo importable for this process...
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def _init_ray(num_cpus: int):
     import ray
@@ -41,6 +44,9 @@ def _init_ray(num_cpus: int):
     import ray.data
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+    # ...and for Ray workers (cloudpickle by-value registration of the
+    # whole package, done at __ray_entry__ import)
+    import __ray_entry__  # noqa: F401
     return ray
 
 
