@@ -29,11 +29,17 @@ def _to_input(df=None, path=None, ds=None):
 
 
 def columns_classified(*, df=None, path=None, ds=None,
-                       number_of_samples: int = 100) -> Classifications:
-    """Reference ``CartwrightClassify.columns_classified`` equivalent."""
+                       number_of_samples: int = 100,
+                       seconds_to_finish: float | None = None) -> Classifications:
+    """Reference ``CartwrightClassify.columns_classified`` equivalent.
+
+    ``seconds_to_finish`` mirrors the reference's wall-clock budget
+    (columns past the budget → category 'timeout'); None (default)
+    disables it — the cascade is bounded anyway."""
     kind, obj = _to_input(df, path, ds)
     if kind == "table":
-        return cascade.classify_table(obj, num_samples=number_of_samples)
+        return cascade.classify_table(obj, num_samples=number_of_samples,
+                                      seconds_to_finish=seconds_to_finish)
     return cascade.classify_dataset(obj, num_samples=number_of_samples)
 
 

@@ -175,16 +175,29 @@ def _finalize(columns: list[str], results: dict[str, dict]) -> Classifications:
     return Classifications(classifications=out)
 
 
-def _classify_sampled(columns, sampled, ctx=None) -> Classifications:
+def _classify_sampled(columns, sampled, ctx=None,
+                      seconds_to_finish: float | None = None) -> Classifications:
     """Shared tail of classify_table / classify_dataset.
 
     ``sampled``: {column: (samples, non_null_count)}.
+
+    ``seconds_to_finish``: optional wall-clock budget mirroring the
+    reference (`categorize.py:63,213`): columns not reached before it
+    expires are labelled ``timeout``. Default None — the engine prefers a
+    bounded candidate list over wall-clock cutoffs (SURVEY.md §4.2), the
+    parameter exists for API parity.
     """
+    import time as _time
+    t0 = _time.perf_counter()
     skip_idx, skip_matched = skip_matches(columns)
     skip_set = set(skip_idx)
     results: dict[str, dict] = {}
     for i, col in enumerate(columns):
         samples, count = sampled.get(col, ([], 0))
+        if (seconds_to_finish is not None and i not in skip_set
+                and _time.perf_counter() - t0 > seconds_to_finish):
+            results[col] = _timeout_result()
+            continue
         if i in skip_set:
             # skipped(): fuzzy geo result from the header match
             # (categorize.py:40-58)
@@ -205,13 +218,15 @@ def _classify_sampled(columns, sampled, ctx=None) -> Classifications:
 
 
 def classify_table(table: pa.Table, num_samples: int = DEFAULT_NUM_SAMPLES,
-                   seed: int = 42) -> Classifications:
+                   seed: int = 42,
+                   seconds_to_finish: float | None = None) -> Classifications:
     """Local (single-block) classification — fixtures/tests and small frames.
     Equivalent of ``CartwrightClassify.columns_classified(df=...)``."""
     k = max(1, num_samples - 1)
     part = sample_block(table, k, seed)
     sampled = merge_samples([part], k)
-    return _classify_sampled(table.column_names, sampled)
+    return _classify_sampled(table.column_names, sampled,
+                             seconds_to_finish=seconds_to_finish)
 
 
 def classify_dataset(ds, num_samples: int = DEFAULT_NUM_SAMPLES,

@@ -101,3 +101,29 @@ def test_fuzzy_column_attached():
     assert by_col["latitude"].fuzzyColumn.matchedKey in ("Lat", "Latitude")
     assert by_col["latitude"].fuzzyColumn.ratio == 100
     assert "fuzzy" in by_col["latitude"].match_type
+
+
+def test_latlong_composite_column():
+    """V3: "lat, lon" composite strings classify as geo/latlong
+    (`cartwright/categories/geos.py:161-178`; note the reference's own
+    Subcategory enum lacks 'latlong' — we keep the class label)."""
+    import random
+    r = random.Random(1)
+    vals = [f"{r.uniform(-90, 90):.4f}, {r.uniform(-180, 180):.4f}"
+            for _ in range(60)]
+    tbl = pa.table({"position": pa.array(vals)})
+    cls = classify_table(tbl)
+    c = cls.classifications[0]
+    assert c.category == "geo" and c.subcategory == "latlong"
+
+
+def test_timeout_budget_parity():
+    """seconds_to_finish=0 labels every non-skipped column 'timeout'
+    (reference `categorize.py:213,275-283`)."""
+    df = pd.read_csv(f"{REF}/examples/example_1.csv")
+    cls = classify_table(pa.Table.from_pandas(df), seconds_to_finish=0.0)
+    got = {c.column: c.category for c in cls.classifications}
+    # latitude/longitude are header-skipped → still classified via skip path
+    assert got["latitude"] == "geo" and got["longitude"] == "geo"
+    assert got["date"] == "timeout"
+    assert got["value"] == "timeout"
