@@ -127,6 +127,12 @@ def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
     shingle → minhash (vectorized) → band → bucket ``groupby`` → exact
     jaccard verify within buckets. Returns a Dataset of duplicate pairs
     ``(dup_id, kept_id, jac)`` with dup_id > kept_id.
+
+    Scale note: band rows carry the document text so the in-bucket verify
+    can compute *exact* jaccard — a bands× duplication of text through the
+    shuffle. At corpus scale, swap the verify to signature-estimated
+    jaccard (carry the 64×u64 signature instead of text; standard MinHash
+    practice, ±1/√perms estimate error) — the pipeline shape is unchanged.
     """
     rows = num_perm // bands
 

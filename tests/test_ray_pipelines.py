@@ -176,3 +176,18 @@ def test_tile_sink_resume_exact(ray_session, tmp_path):
     s3 = flagship_to_tiles(SF, out)
     assert s3["written"] == 1 and s3["skipped"] == s1["written"] - 1
     assert s3["rows"] == s1["rows"]
+
+
+def test_classify_dataset_nested_columns(ray_session):
+    """Nested list/struct columns must classify (to None) without
+    crashing — the corpus schema itself is a valid classification input."""
+    from cartwright_ray.detectors.cascade import classify_dataset
+    from cartwright_ray.sources.synth import interleave_documents
+    import ray.data
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"]).limit(50)
+    corpus = interleave_documents(docs)
+    cls = classify_dataset(corpus)
+    got = {c.column: c.category for c in cls.classifications}
+    assert set(got) == {"doc_id", "spans"}
+    assert got["spans"] is None
