@@ -16,7 +16,7 @@ warmup, and report both throughputs plus scaling efficiency =
 BENCH.md / BASELINE.md discuss the single-node caveats).
 
 The corpus is the documents table replicated ``$BENCH_REPLICATION`` times
-(default 20 → 100k docs at sf0.1) through a deterministic doc_id suffix, so
+(default 100 → 500k docs at sf0.1) through a deterministic doc_id suffix, so
 the benchmark measures pipeline throughput, not tiny-input overhead.
 """
 
@@ -30,7 +30,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATION = int(os.environ.get("BENCH_REPLICATION", "20"))
+REPLICATION = int(os.environ.get("BENCH_REPLICATION", "100"))
 
 # run from any CWD: make the repo importable for this process...
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -137,6 +137,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 def main_bench():
     _init_ray(NUM_CPUS)
     import ray
+    run_flagship(SF_DIR, REPLICATION)            # warmup (untimed)
     n_docs, flagship_sec = run_flagship(SF_DIR, REPLICATION)
     queries = run_queries(SF_DIR)
     queries["flagship"] = round(flagship_sec, 3)

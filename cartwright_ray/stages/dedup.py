@@ -113,9 +113,23 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / len(a | b)
 
 
+_SHINGLE_MEMO: dict = {}
+
+
 def _shingle_set(text: str, k: int = 4) -> set:
-    h, _ = _shingle_hashes([text], k)
-    return set(h.tolist())
+    """Worker-global memo: in LSH verify the same doc appears in up to
+    ``bands`` buckets — recomputing its shingle set each time dominates the
+    verify stage."""
+    import hashlib
+    key = (hashlib.blake2b(text.encode("utf-8", "replace"),
+                           digest_size=8).digest(), k)
+    got = _SHINGLE_MEMO.get(key)
+    if got is None:
+        if len(_SHINGLE_MEMO) > 50_000:   # bound worker memory
+            _SHINGLE_MEMO.clear()
+        h, _ = _shingle_hashes([text], k)
+        got = _SHINGLE_MEMO.setdefault(key, frozenset(h.tolist()))
+    return got
 
 
 def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
