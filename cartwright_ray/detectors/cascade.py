@@ -79,12 +79,20 @@ def _default_ctx() -> DetectorContext:
 # sampling
 # ---------------------------------------------------------------------------
 
-def _priority(column: str, value: str, salt: int) -> int:
+def _priority(column: str, value: str, occ: int, seed: int) -> int:
     """Deterministic pseudo-random priority for distributed reservoir
-    sampling: global top-k by priority == a seeded uniform sample,
-    mergeable across blocks without coordination."""
-    h = hashlib.blake2b(f"{column}\x00{value}\x00{salt}".encode("utf-8", "replace"),
-                        digest_size=8)
+    sampling: global top-k by priority ~= a seeded uniform sample,
+    mergeable across blocks without coordination.
+
+    The salt is CONTENT-ONLY plus the value's per-block occurrence index
+    (ADVICE r01): a value's priority never depends on its absolute position
+    in a block, so the merged top-k is independent of block boundaries for
+    distinct values; repeated values differ only in their occurrence
+    indices (which keeps frequent values from flooding the sample with one
+    shared priority while staying position-free)."""
+    h = hashlib.blake2b(
+        f"{column}\x00{value}\x00{occ}\x00{seed}".encode("utf-8", "replace"),
+        digest_size=8)
     return int.from_bytes(h.digest(), "big")
 
 
@@ -114,8 +122,12 @@ def sample_block(table: pa.Table, k: int, seed: int = 42,
             valid = valid.take(pa.array(pos))
         # stringify like the reference (str() at categorize.py:122)
         svals = [str(v) for v in valid.to_pylist()]
-        pairs = [(_priority(name, v, seed + i % 7), v)
-                 for i, v in enumerate(svals)]
+        occ: dict[str, int] = {}
+        pairs = []
+        for v in svals:
+            o = occ.get(v, 0)
+            occ[v] = o + 1
+            pairs.append((_priority(name, v, o, seed), v))
         pairs.sort(reverse=True)
         pairs = pairs[:k]
         cols.append(name)

@@ -147,22 +147,26 @@ def _count(series, pred) -> int:
 def _subsample_fuzzy(series, lookup: FuzzyLookup, need=2, subsample=5,
                      score=90) -> int:
     """Deterministic version of the reference's 2-of-5 random-subsample fuzzy
-    membership test (`geos.py:18-34`): sample with a RNG seeded on the
-    series content, so the same column always classifies the same way."""
+    membership test (`geos.py:18-34`): draw ``min(subsample, n)`` DISTINCT
+    indices (like the reference's ``random.sample``) with a RNG seeded on
+    the FULL series content, so the same column always classifies the same
+    way and columns sharing only a prefix draw different samples
+    (ADVICE r01)."""
     import hashlib
-    digest = hashlib.blake2b("\x00".join(str(v) for v in series[:16]).encode(
-        "utf-8", "replace"), digest_size=8).digest()
-    rng = random.Random(int.from_bytes(digest, "big"))
     vals = [str(v) for v in series]
+    digest = hashlib.blake2b("\x00".join(vals).encode("utf-8", "replace"),
+                             digest_size=8).digest()
+    rng = random.Random(int.from_bytes(digest, "big"))
+    n_draw = min(subsample, len(vals))
+    idx = rng.sample(range(len(vals)), n_draw)
     passed = 0
-    for _ in range(subsample + 1):
-        if passed >= need:
-            break
-        v = rng.sample(vals, 1)[0]
-        m = lookup.best(v)
+    for i in idx:
+        m = lookup.best(vals[i])
         if m is not None and m[1] > score:
             passed += 1
-    return len(series) if passed >= need else 0
+            if passed >= need:
+                break
+    return len(series) if passed >= min(need, n_draw) else 0
 
 
 @dataclass

@@ -8,8 +8,9 @@ All variants follow the same scale shape:
    shingles are packed into integers, minhash/simhash are matrix ops with
    ``np.minimum.reduceat`` / bit-count reductions, never a Python loop per
    shingle);
-2. a **hash-partition shuffle on the signature key** (``groupby``) so each
-   group is small;
+2. a **hash-partition shuffle on a narrow signature key** (``groupby``) so
+   each group is small — the document text NEVER enters the shuffle
+   (signatures/ids only);
 3. a **per-group verify/select** (``map_groups``) that emits survivors or
    duplicate pairs.
 
@@ -55,6 +56,15 @@ def _shingle_hashes(texts: list[str], k: int = 4) -> tuple[np.ndarray, np.ndarra
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
+# byte-popcount lookup table (vectorized hamming; no per-element bin())
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array via the byte LUT."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    return _POP8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+
 
 def _minhash_sig(shingles: np.ndarray, counts: np.ndarray,
                  num_perm: int, seed: int = 7) -> np.ndarray:
@@ -83,24 +93,47 @@ def _minhash_sig(shingles: np.ndarray, counts: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
-    """Exact duplicate removal: hash-partition by a content hash of
-    ``col``, keep the min-``id_col`` row per group (SURVEY.md §2.7 T7
-    generalized). Survivors keep all original columns."""
-    import hashlib
+    """Exact duplicate removal (SURVEY.md §2.7 T7 generalized), id-shuffle
+    plan: only ``(content_hash, id)`` pairs travel through the shuffle —
+    the document text stays in place.
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        hs = [hashlib.blake2b(str(v).encode("utf-8", "replace"),
-                              digest_size=8).hexdigest()
-              for v in batch.column(col).to_pylist()]
-        return batch.append_column("content_hash", pa.array(hs, pa.string()))
+    1. ``map_batches``: vectorized 128-bit content hash (two independent
+       64-bit siphash passes, ``pd.util.hash_array`` — C loop, no per-row
+       Python) → narrow (h1, h2, id) rows;
+    2. ``groupby((h1, h2)).min(id)`` → winner ids (one per distinct text);
+    3. winners broadcast once (``ray.put``) → streaming ``pc.is_in``
+       semi-join filter over the original dataset. Survivors keep all
+       original columns.
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    Scale boundary: the winner-id set must fit a broadcast (ids only, not
+    rows). Beyond that, replace step 3 with a hash-partitioned semi-join
+    keyed on the same (h1, h2).
+    """
+    import ray
+    from ray.data.aggregate import Min
 
-    return (ds.map_batches(add_hash, batch_format="pyarrow")
-              .groupby("content_hash")
-              .map_groups(first_per_group, batch_format="pandas")
-              .drop_columns(["content_hash"]))
+    def key_rows(batch: pa.Table) -> pa.Table:
+        texts = np.asarray(
+            [v if isinstance(v, str) else str(v)
+             for v in batch.column(col).to_pylist()], dtype=object)
+        h1 = pd.util.hash_array(texts, hash_key="cartwright_dedp0")  # 16-byte keys
+        h2 = pd.util.hash_array(texts, hash_key="cartwright_dedp1")
+        return pa.table({"h1": pa.array(h1, pa.uint64()),
+                         "h2": pa.array(h2, pa.uint64()),
+                         id_col: batch.column(id_col)})
+
+    winners = (ds.map_batches(key_rows, batch_format="pyarrow")
+                 .groupby(["h1", "h2"])
+                 .aggregate(Min(id_col, alias_name="keep_id")))
+    keep = winners.select_columns(["keep_id"]).to_pandas()["keep_id"]
+    keep_arr = pa.array(np.sort(keep.to_numpy()))
+    keep_ref = ray.put(keep_arr)
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keep_ref)
+        return batch.filter(pc.is_in(batch.column(id_col), value_set=ks))
+
+    return ds.map_batches(survivors, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -116,10 +149,9 @@ def jaccard(a: set, b: set) -> float:
 _SHINGLE_MEMO: dict = {}
 
 
-def _shingle_set(text: str, k: int = 4) -> set:
-    """Worker-global memo: in LSH verify the same doc appears in up to
-    ``bands`` buckets — recomputing its shingle set each time dominates the
-    verify stage."""
+def _shingle_set(text: str, k: int = 4) -> frozenset:
+    """Worker-global memo for the exact-verify path (same doc can appear in
+    several candidate pairs)."""
     import hashlib
     key = (hashlib.blake2b(text.encode("utf-8", "replace"),
                            digest_size=8).digest(), k)
@@ -132,69 +164,146 @@ def _shingle_set(text: str, k: int = 4) -> set:
     return got
 
 
+def _pairs_from_group(ids: list, sim_fn, threshold: float):
+    """First smaller-id partner with sim >= threshold, per doc."""
+    dup, kept, sims = [], [], []
+    for i in range(1, len(ids)):
+        for j in range(i):
+            s = sim_fn(i, j)
+            if s >= threshold:
+                dup.append(ids[i]); kept.append(ids[j]); sims.append(s)
+                break
+    return dup, kept, sims
+
+
 def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16,
                       threshold: float = 0.8, shingle_k: int = 4,
-                      seed: int = 7):
+                      seed: int = 7, verify: str = "estimate"):
     """MinHash+LSH near-dup detection.
 
-    shingle → minhash (vectorized) → band → bucket ``groupby`` → exact
-    jaccard verify within buckets. Returns a Dataset of duplicate pairs
-    ``(dup_id, kept_id, jac)`` with dup_id > kept_id.
+    shingle → minhash (vectorized) → band rows carrying the uint32-packed
+    signature (NOT the text) → bucket ``groupby`` on the numeric
+    (band, band_hash) key → in-bucket verify. Returns a Dataset of
+    duplicate pairs ``(dup_id, kept_id, jac)`` with dup_id > kept_id.
 
-    Scale note: band rows carry the document text so the in-bucket verify
-    can compute *exact* jaccard — a bands× duplication of text through the
-    shuffle. At corpus scale, swap the verify to signature-estimated
-    jaccard (carry the 64×u64 signature instead of text; standard MinHash
-    practice, ±1/√perms estimate error) — the pipeline shape is unchanged.
+    ``verify="estimate"`` (default, the 100-TB path): jaccard is estimated
+    from the carried signatures (fraction of equal components, ±1/√num_perm
+    — standard MinHash practice), so the shuffle carries
+    ``bands × num_perm × 4`` bytes per doc and no text.
+
+    ``verify="exact"``: a *second pass* re-verifies the estimated candidate
+    pairs with exact jaccard — candidate ids are broadcast, only their
+    texts are pulled (streaming filter), and the (small) candidate set is
+    verified vectorized. Exact precision at the cost of one extra read.
+    Candidates for the second pass are taken at ``threshold - 0.2`` so
+    estimate noise cannot drop a true pair.
     """
     rows = num_perm // bands
 
     def signatures(batch: pa.Table) -> pa.Table:
         texts = batch.column(col).to_pylist()
-        ids = batch.column(id_col).to_pylist()
+        ids_arr = batch.column(id_col)
+        n = len(texts)
         sigs = _minhash_sig(*_shingle_hashes(texts, shingle_k), num_perm, seed)
-        # one output row per (doc, band)
-        band_keys, out_ids, out_texts = [], [], []
+        sig32 = (sigs & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        band_col = np.repeat(np.arange(bands, dtype=np.int32), n)
+        bh_all = np.empty(bands * n, dtype=np.uint64)
         for bi in range(bands):
             band = sigs[:, bi * rows:(bi + 1) * rows]
-            # band hash: fold the band's values; prefix with band index so
-            # buckets never collide across bands
-            bh = np.zeros(len(ids), dtype=np.uint64)
+            bh = np.zeros(n, dtype=np.uint64)
             for c in range(rows):
                 bh = bh * np.uint64(1099511628211) + band[:, c]
-            band_keys.extend([f"{bi}:{int(v)}" for v in bh])
-            out_ids.extend(ids)
-            out_texts.extend(texts)
-        return pa.table({"band_key": pa.array(band_keys, pa.string()),
-                         id_col: pa.array(out_ids),
-                         col: pa.array(out_texts, pa.string())})
+            bh_all[bi * n:(bi + 1) * n] = bh
+        flat_sig = pa.array(np.tile(sig32, (bands, 1)).ravel())
+        sig_list = pa.FixedSizeListArray.from_arrays(flat_sig, num_perm)
+        tiled_ids = ids_arr.take(pa.array(np.tile(np.arange(n), bands)))
+        return pa.table({"band": pa.array(band_col),
+                         "bh": pa.array(bh_all),
+                         id_col: tiled_ids,
+                         "sig": sig_list})
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"dup_id": [], "kept_id": [], "jac": []})
-        g = g.sort_values(id_col).drop_duplicates(id_col)
-        ids = g[id_col].tolist()
-        sets = [_shingle_set(t, shingle_k) for t in g[col]]
-        dup, kept, jacs = [], [], []
-        for i in range(1, len(ids)):
-            for j in range(i):
-                jc = jaccard(sets[i], sets[j])
-                if jc >= threshold:
-                    dup.append(ids[i]); kept.append(ids[j]); jacs.append(jc)
-                    break
-        return pd.DataFrame({"dup_id": dup, "kept_id": kept, "jac": jacs})
+    est_threshold = threshold if verify == "estimate" else max(0.0, threshold - 0.2)
+
+    def bucket_verify(g: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("dup_id", g.schema.field(id_col).type),
+                                ("kept_id", g.schema.field(id_col).type),
+                                ("jac", pa.float64())])
+        if g.num_rows < 2:
+            return out_schema.empty_table()
+        order = pc.sort_indices(g.column(id_col))
+        g = g.take(order)
+        ids_np = g.column(id_col).to_pylist()
+        # drop duplicate ids (same doc from several input blocks can't
+        # happen — one row per (doc, band) — but be safe)
+        seen = {}
+        keep_idx = [i for i, v in enumerate(ids_np)
+                    if seen.setdefault(v, i) == i]
+        if len(keep_idx) < 2:
+            return out_schema.empty_table()
+        g = g.take(pa.array(keep_idx))
+        ids = [ids_np[i] for i in keep_idx]
+        sig_col = g.column("sig")
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        m = len(ids)
+        sigs = np.asarray(sig_col.flatten()).reshape(m, num_perm)
+        eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+        dup, kept, jacs = _pairs_from_group(
+            ids, lambda i, j: float(eq[i, j]), est_threshold)
+        return pa.table({"dup_id": pa.array(dup, out_schema.field(0).type),
+                         "kept_id": pa.array(kept, out_schema.field(1).type),
+                         "jac": pa.array(jacs, pa.float64())})
 
     pairs = (ds.map_batches(signatures, batch_format="pyarrow")
-               .groupby("band_key")
-               .map_groups(verify, batch_format="pandas"))
+               .groupby(["band", "bh"])
+               .map_groups(bucket_verify, batch_format="pyarrow"))
 
     # a doc may surface in several bands → keep one (min kept_id) pair
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values("kept_id").head(1)
 
-    return pairs.groupby("dup_id").map_groups(dedup_pairs,
+    cand = pairs.groupby("dup_id").map_groups(dedup_pairs,
                                               batch_format="pandas")
+    if verify == "estimate":
+        return cand
+    return _exact_verify_pairs(ds, cand, col, id_col, threshold, shingle_k)
+
+
+def _exact_verify_pairs(ds, cand_ds, col: str, id_col: str,
+                        threshold: float, shingle_k: int):
+    """Second pass: exact jaccard over the (small) candidate pair set.
+
+    Candidate ids are broadcast; only their texts are pulled out of the
+    corpus with a streaming filter — the corpus itself is never collected.
+    """
+    import ray
+    import ray.data
+
+    cand = cand_ds.to_pandas()
+    if not len(cand):
+        return ray.data.from_pandas(pd.DataFrame(
+            {"dup_id": [], "kept_id": [], "jac": []}))
+    need_ids = set(cand["dup_id"]) | set(cand["kept_id"])
+    need_arr = pa.array(sorted(need_ids))
+    need_ref = ray.put(need_arr)
+
+    def pull(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column(id_col), value_set=ray.get(need_ref))
+        return batch.filter(m).select([id_col, col])
+
+    texts = ds.map_batches(pull, batch_format="pyarrow").to_pandas()
+    text_of = dict(zip(texts[id_col], texts[col]))
+    out = {"dup_id": [], "kept_id": [], "jac": []}
+    for dup_id, kept_id in zip(cand["dup_id"], cand["kept_id"]):
+        a = _shingle_set(str(text_of.get(dup_id, "")), shingle_k)
+        b = _shingle_set(str(text_of.get(kept_id, "")), shingle_k)
+        jc = jaccard(a, b)
+        if jc >= threshold:
+            out["dup_id"].append(dup_id)
+            out["kept_id"].append(kept_id)
+            out["jac"].append(jc)
+    return ray.data.from_pandas(pd.DataFrame(out))
 
 
 def brute_force_near_dups(texts, ids, threshold=0.8, shingle_k=4):
@@ -243,21 +352,23 @@ def simhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, shingle_k: int = 4, seed: int = 11):
     """SimHash near-dup: 4×16-bit band buckets (any doc pair within
     hamming ≤ 3 of 64 bits shares ≥1 exact 16-bit band), verify hamming in
-    group. Emits (dup_id, kept_id, hamming) pairs."""
+    group (vectorized LUT popcount). Shuffle rows are (band_key, id,
+    simhash) — 20 bytes, no text. Emits (dup_id, kept_id, hamming)."""
 
     def signatures(batch: pa.Table) -> pa.Table:
         texts = batch.column(col).to_pylist()
-        ids = batch.column(id_col).to_pylist()
+        ids_arr = batch.column(id_col)
+        n = len(texts)
         sig = simhash_signatures(texts, shingle_k, seed)
-        keys, out_ids, out_sigs = [], [], []
+        # numeric band key: band_index * 2^16 + band_value
+        keys = np.empty(4 * n, dtype=np.int64)
         for b in range(4):
-            band = (sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)
-            keys.extend([f"{b}:{int(v)}" for v in band])
-            out_ids.extend(ids)
-            out_sigs.extend(sig.tolist())
-        return pa.table({"band_key": pa.array(keys, pa.string()),
-                         id_col: pa.array(out_ids),
-                         "simhash": pa.array(out_sigs, pa.uint64())})
+            band = ((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            keys[b * n:(b + 1) * n] = (b << 16) + band
+        tiled_ids = ids_arr.take(pa.array(np.tile(np.arange(n), 4)))
+        return pa.table({"band_key": pa.array(keys),
+                         id_col: tiled_ids,
+                         "simhash": pa.array(np.tile(sig, 4), pa.uint64())})
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -267,8 +378,7 @@ def simhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
         sigs = g["simhash"].to_numpy(dtype=np.uint64)
         dup, kept, ham = [], [], []
         for i in range(1, len(ids)):
-            x = sigs[:i] ^ sigs[i]
-            counts = np.array([bin(int(v)).count("1") for v in x])
+            counts = _popcount64(sigs[:i] ^ sigs[i])
             hits = np.nonzero(counts <= max_hamming)[0]
             if hits.size:
                 j = hits[0]
@@ -294,51 +404,68 @@ def embedding_near_dups(ds, vec_col: str = "embedding",
                         id_col: str = "vec_id", threshold: float = 0.95,
                         num_planes: int = 16, seed: int = 13):
     """Near-dup by embedding cosine: LSH-bucket on random-hyperplane sign
-    signature (``groupby``), verify exact cosine within buckets. Emits
-    (dup_id, kept_id, cos) pairs. Pairs split across buckets with no shared
-    signature are missed — the standard LSH trade-off; raise ``num_planes``
-    bands for higher recall."""
+    signature (``groupby`` on a numeric (band, bits) key), verify exact
+    cosine within buckets. Emits (dup_id, kept_id, cos) pairs. Pairs split
+    across buckets with no shared signature are missed — the standard LSH
+    trade-off; raise ``num_planes`` / bands for higher recall.
+
+    Vectorized throughout: signature emission is a matmul + packbits; the
+    2× vector duplication (one copy per half-signature band) is inherent to
+    the two-band probe and carries the vectors as a zero-copy
+    FixedSizeList."""
+    from .ann import _vecs_from_arrow
+
+    half = num_planes // 2
 
     def signatures(batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
-        ids = batch.column(id_col).to_pylist()
+        vecs = _vecs_from_arrow(batch.column(vec_col)).astype(np.float64)
+        n, d = vecs.shape
         rng = np.random.default_rng(seed)
-        planes = rng.normal(size=(vecs.shape[1], num_planes))
-        signs = (vecs @ planes) >= 0
-        keys = ["".join("1" if s else "0" for s in row) for row in signs]
-        # two bands of half the planes each → better recall near threshold
-        half = num_planes // 2
-        out = {"band_key": [], id_col: [], "vec": []}
-        for row_key, i, v in zip(keys, ids, vecs):
-            out["band_key"].append("a:" + row_key[:half])
-            out[id_col].append(i)
-            out["vec"].append(v.tolist())
-            out["band_key"].append("b:" + row_key[half:])
-            out[id_col].append(i)
-            out["vec"].append(v.tolist())
-        return pa.table({"band_key": pa.array(out["band_key"], pa.string()),
-                         id_col: pa.array(out[id_col]),
-                         "vec": pa.array(out["vec"], pa.list_(pa.float64()))})
+        planes = rng.normal(size=(d, num_planes))
+        signs = (vecs @ planes) >= 0                       # (n, planes)
+        pow2a = (1 << np.arange(half, dtype=np.int64))
+        bits_a = signs[:, :half] @ pow2a
+        bits_b = signs[:, half:num_planes] @ pow2a[:num_planes - half]
+        band = np.concatenate([np.zeros(n, np.int64), np.ones(n, np.int64)])
+        bkey = np.concatenate([bits_a, bits_b]).astype(np.int64)
+        ids2 = batch.column(id_col).take(
+            pa.array(np.tile(np.arange(n), 2)))
+        flat = pa.array(np.vstack([vecs, vecs]).ravel(), pa.float64())
+        vec_list = pa.FixedSizeListArray.from_arrays(flat, d)
+        return pa.table({"band": pa.array(band), "bkey": pa.array(bkey),
+                         id_col: ids2, "vec": vec_list})
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"dup_id": [], "kept_id": [], "cos": []})
-        g = g.sort_values(id_col).drop_duplicates(id_col)
-        ids = g[id_col].tolist()
-        v = np.asarray(g["vec"].tolist(), dtype=np.float64)
+    def verify(g: pa.Table) -> pa.Table:
+        id_type = g.schema.field(id_col).type
+        out_schema = pa.schema([("dup_id", id_type), ("kept_id", id_type),
+                                ("cos", pa.float64())])
+        if g.num_rows < 2:
+            return out_schema.empty_table()
+        g = g.take(pc.sort_indices(g.column(id_col)))
+        ids_all = g.column(id_col).to_pylist()
+        seen = {}
+        keep_idx = [i for i, v in enumerate(ids_all)
+                    if seen.setdefault(v, i) == i]
+        if len(keep_idx) < 2:
+            return out_schema.empty_table()
+        g = g.take(pa.array(keep_idx))
+        ids = [ids_all[i] for i in keep_idx]
+        vec_arr = g.column("vec")
+        if isinstance(vec_arr, pa.ChunkedArray):
+            vec_arr = vec_arr.combine_chunks()
+        d = vec_arr.type.list_size
+        v = np.asarray(vec_arr.flatten()).reshape(len(ids), d)
         v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
         sims = v @ v.T
-        dup, kept, cos = [], [], []
-        for i in range(1, len(ids)):
-            hits = np.nonzero(sims[i, :i] >= threshold)[0]
-            if hits.size:
-                j = hits[0]
-                dup.append(ids[i]); kept.append(ids[j]); cos.append(float(sims[i, j]))
-        return pd.DataFrame({"dup_id": dup, "kept_id": kept, "cos": cos})
+        dup, kept, cos = _pairs_from_group(
+            ids, lambda i, j: float(sims[i, j]), threshold)
+        return pa.table({"dup_id": pa.array(dup, id_type),
+                         "kept_id": pa.array(kept, id_type),
+                         "cos": pa.array(cos, pa.float64())})
 
     pairs = (ds.map_batches(signatures, batch_format="pyarrow")
-               .groupby("band_key")
-               .map_groups(verify, batch_format="pandas"))
+               .groupby(["band", "bkey"])
+               .map_groups(verify, batch_format="pyarrow"))
 
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values("kept_id").head(1)

@@ -117,22 +117,52 @@ def detect_language(ds, concurrency: int = 4, batch_size: int = 4096):
 
 def fingerprint_batch(batch: pa.Table, col: str = "text",
                       window: int = 8, stride: int = 16) -> pa.Table:
-    """Winnowing-style fingerprint: rolling 8-byte hashes (vectorized
-    sliding window), min per stride window, blake2 of the min sequence."""
+    """Winnowing-style fingerprint: rolling 8-byte hashes, min per stride
+    window, blake2 of the min sequence.
+
+    Batched across the whole Arrow batch (VERDICT r01 fix 7): all docs are
+    concatenated into ONE byte buffer, the rolling hash is a single
+    vectorized sliding-window pass, and per-doc stride minima come from one
+    ``np.minimum.reduceat`` — the only per-doc Python left is the final
+    blake2 call (one per doc). Output values are identical to the per-doc
+    formulation (windows crossing doc boundaries are masked out)."""
     import hashlib
-    fps = []
-    for t in batch.column(col).to_pylist():
-        b = np.frombuffer(str(t).lower().encode("utf-8", "replace"), np.uint8)
-        if b.size < window:
-            b = np.pad(b, (0, window - b.size))
-        win = np.lib.stride_tricks.sliding_window_view(b, window).astype(np.uint64)
-        h = np.zeros(win.shape[0], dtype=np.uint64)
-        for j in range(window):
-            h = h * np.uint64(1099511628211) + win[:, j]
-        n_keep = max(1, h.size // stride)
-        mins = [int(h[i * stride:(i + 1) * stride].min()) for i in range(n_keep)]
-        fps.append(hashlib.blake2b(np.array(mins, dtype=np.uint64).tobytes(),
-                                   digest_size=8).hexdigest())
+    texts = [str(t).lower().encode("utf-8", "replace")
+             for t in batch.column(col).to_pylist()]
+    if not texts:
+        return batch.append_column("fingerprint", pa.array([], pa.string()))
+    padded = [t if len(t) >= window else t + b"\x00" * (window - len(t))
+              for t in texts]
+    lens = np.array([len(t) for t in padded], dtype=np.int64)
+    buf = np.frombuffer(b"".join(padded), dtype=np.uint8)
+    win = np.lib.stride_tricks.sliding_window_view(buf, window).astype(np.uint64)
+    h = np.zeros(win.shape[0], dtype=np.uint64)
+    for j in range(window):
+        h = h * np.uint64(1099511628211) + win[:, j]
+    doc_starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=doc_starts[1:])
+    n_windows = lens - window + 1                    # valid windows per doc
+    n_keep = np.maximum(1, n_windows // stride)      # kept stride segments
+    # reduceat boundaries: n_keep stride starts per doc, plus one "drop"
+    # boundary at the end of the kept region (covers dropped tail windows
+    # AND the cross-boundary garbage windows before the next doc)
+    total_keep = int(n_keep.sum())
+    seg_doc = np.repeat(np.arange(len(lens)), n_keep)
+    keep_csum = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(n_keep[:-1], out=keep_csum[1:])
+    within = (np.arange(total_keep) - keep_csum[seg_doc]) * stride
+    keep_bounds = doc_starts[seg_doc] + within
+    drop_bounds = doc_starts + np.minimum(n_keep * stride, n_windows)
+    drop_mask = drop_bounds < len(h)
+    bounds = np.concatenate([keep_bounds, drop_bounds[drop_mask]])
+    flags = np.concatenate([np.ones(total_keep, dtype=bool),
+                            np.zeros(int(drop_mask.sum()), dtype=bool)])
+    order = np.argsort(bounds, kind="stable")
+    mins = np.minimum.reduceat(h, bounds[order])[flags[order]]
+    offs = np.concatenate([[0], np.cumsum(n_keep)])
+    fps = [hashlib.blake2b(mins[offs[d]:offs[d + 1]].tobytes(),
+                           digest_size=8).hexdigest()
+           for d in range(len(lens))]
     return batch.append_column("fingerprint", pa.array(fps, pa.string()))
 
 

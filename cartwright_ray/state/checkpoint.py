@@ -34,14 +34,27 @@ import pyarrow.parquet as pq
 
 
 def _default_pid(batch: pa.Table, key_col: str) -> str:
+    """Content pid: blake2 over ALL key values (vectorized row hashes, not
+    a head/tail sample — two partitions agreeing on a sample can no longer
+    collide, ADVICE r01).
+
+    Precondition (documented, not assumed): content pids give exact resume
+    only when the pipeline reproduces identical block boundaries run to run
+    (map-only pipelines over the same input files). After wide ops /
+    re-split reads, use :func:`checkpointed_write_by_key`, whose partition
+    membership is a pure key function.
+    """
+    import numpy as np
+    import pandas as pd
+    vals = batch.column(key_col).to_numpy(zero_copy_only=False)
+    try:
+        hv = pd.util.hash_array(vals)
+    except TypeError:
+        hv = pd.util.hash_array(
+            np.array([str(v) for v in vals], dtype=object))
     h = hashlib.blake2b(digest_size=10)
-    col = batch.column(key_col)
-    h.update(str(len(batch)).encode())
-    for v in col.slice(0, 64).to_pylist():
-        h.update(str(v).encode("utf-8", "replace"))
-    if len(batch) > 64:
-        for v in col.slice(len(batch) - 8).to_pylist():
-            h.update(str(v).encode("utf-8", "replace"))
+    h.update(len(batch).to_bytes(8, "little"))
+    h.update(np.ascontiguousarray(hv).tobytes())
     return h.hexdigest()
 
 
@@ -136,12 +149,22 @@ def checkpointed_write_by_key(ds, out_dir: str, part_col: str,
     import pandas as pd
 
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
-    done = set(read_manifest(out_dir))
+    done = read_manifest(out_dir)
 
     def write_group(g: pd.DataFrame) -> pd.DataFrame:
-        pid = _re.sub(r"[^A-Za-z0-9_.-]", "_", str(g[part_col].iloc[0]))
+        raw_key = str(g[part_col].iloc[0])
+        # sanitized name + short content hash: distinct raw keys that
+        # sanitize identically ('a b' vs 'a_b', 'x/1' vs 'x_1') can no
+        # longer collide to one pid (ADVICE r01); the raw key is stored in
+        # the manifest and verified on skip.
+        pid = (_re.sub(r"[^A-Za-z0-9_.-]", "_", raw_key) + "-"
+               + hashlib.blake2b(raw_key.encode("utf-8", "replace"),
+                                 digest_size=4).hexdigest())
         status = "skipped"
-        if pid not in done:
+        prev = done.get(pid)
+        if prev is not None and prev.get("key") != raw_key:
+            prev = None   # hash collision (astronomically unlikely): rewrite
+        if prev is None:
             if sort_within:
                 g = g.sort_values(sort_within)
             data_path = os.path.join(out_dir, f"part-{pid}.parquet")
@@ -150,7 +173,7 @@ def checkpointed_write_by_key(ds, out_dir: str, part_col: str,
             os.replace(tmp, data_path)
             rec = {"partition_id": pid, "row_count": len(g),
                    "bytes": os.path.getsize(data_path), "checksum": pid,
-                   "status": "done", "key": str(g[part_col].iloc[0])}
+                   "status": "done", "key": raw_key}
             mtmp = os.path.join(out_dir, "_manifest", f"{pid}.json.tmp")
             with open(mtmp, "w") as fh:
                 json.dump(rec, fh)

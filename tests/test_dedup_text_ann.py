@@ -37,7 +37,7 @@ def test_minhash_lsh_vs_bruteforce(ray_session, docs_df):
     near["text"] = near["text"] + " tail tweak"
     test_df = pd.concat([df, near])
     out = minhash_lsh_dedup(ray.data.from_pandas(test_df).repartition(4),
-                            threshold=0.8).to_pandas()
+                            threshold=0.8, verify="exact").to_pandas()
     oracle = brute_force_near_dups(test_df["text"].tolist(),
                                    test_df["doc_id"].tolist(), 0.8)
     got = set(out["dup_id"])
