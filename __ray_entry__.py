@@ -162,61 +162,149 @@ def _q_classify_events(sf_dir):
     return pd.DataFrame(rows).sort_values("column").reset_index(drop=True)
 
 
+def _q_classify_derived(sf_dir):
+    """Classification cascade over the derived typed table — lat/lon
+    decimal strings, %Y-%m-%d dates, ISO3 codes, country names and a plain
+    numeric column, each labelled deterministically (oracle: golden VALUES
+    of the expected classification)."""
+    from cartwright_ray.detectors.cascade import classify_dataset
+    from cartwright_ray.pipelines.derived import derived_typed_table
+    cls = classify_dataset(derived_typed_table(sf_dir))
+    rows = [{"column": c.column, "category": c.category or "",
+             "subcategory": c.subcategory or "", "format": c.format or ""}
+            for c in cls.classifications]
+    return pd.DataFrame(rows).sort_values("column").reset_index(drop=True)
+
+
+def _q_classify_time_resolution(sf_dir):
+    """Classification → temporal-resolution integration (VERDICT r01 task
+    9): date-classified string columns of the derived typed table get their
+    resolution computed by parsing with the detected format and running the
+    A4 kernel — classification and analysis halves joined in one query.
+    The oracle replays the median-delta/unit-match math over the derived
+    date formula with window functions."""
+    from cartwright_ray.analysis.time_resolution import (
+        detect_temporal_resolution_ds)
+    from cartwright_ray.detectors.cascade import classify_dataset
+    from cartwright_ray.pipelines.derived import derived_typed_table
+    ds = derived_typed_table(sf_dir)
+    cls = classify_dataset(ds)
+    rows = []
+    for c in cls.classifications:
+        if c.category == "time" and c.subcategory == "date" and c.format:
+            r = detect_temporal_resolution_ds(ds, c.column, fmt=c.format)
+            rows.append({"column": c.column, "format": c.format,
+                         "uniformity": r.uniformity.name,
+                         "unit": r.unit.name,
+                         "resolution": round(r.resolution, 6),
+                         "error": round(r.error, 6)})
+    return pd.DataFrame(rows).sort_values("column").reset_index(drop=True)
+
+
 def _q_extract_points(sf_dir):
-    from cartwright_ray.pipelines.flagship import extracted_points
-    df = extracted_points(sf_dir).to_pandas()
+    """Real extraction stage over the formula-derived corpus
+    (pipelines.derived) — every output value is a pure function of doc_id,
+    so the DuckDB oracle reconstructs it with arithmetic CTEs."""
+    from cartwright_ray.pipelines.derived import derived_corpus_extracted
+    df = derived_corpus_extracted(sf_dir).to_pandas()
+    df = df[["doc_id", "span_idx", "lat", "lon", "point_src", "ts",
+             "country", "iso2", "iso3"]]
+    df["ts"] = df["ts"].fillna(-1).astype("int64")
+    for c in ["country", "iso2", "iso3"]:
+        df[c] = df[c].fillna("")
     return df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
 
 
 def _q_encoded_points(sf_dir):
-    from cartwright_ray.pipelines.flagship import encoded_points
-    df = encoded_points(sf_dir).to_pandas()
-    df["h3_r7"] = df["h3_r7"].astype("uint64")
-    return df[["doc_id", "span_idx", "lat", "lon", "geohash", "h3_r7",
-               "s2_token", "tile_x", "tile_y"]] \
-        .sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    """Real encode stage over the derived extraction; the oracle rebuilds
+    the geohash from its quantize+interleave bit formula and the tile ids
+    from the mercator floor formulas. (H3/S2 cells are covered by the
+    golden kernel tests in tests/test_geo_kernels.py — no closed-form
+    ANSI-SQL equivalent.)"""
+    from cartwright_ray.pipelines.derived import derived_corpus_encoded
+    df = derived_corpus_encoded(sf_dir).to_pandas()
+    df = df[["doc_id", "span_idx", "lat", "lon", "geohash",
+             "tile_x", "tile_y"]]
+    return df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
 
 
 def _q_pip_join_counts(sf_dir):
-    from cartwright_ray.pipelines.flagship import flagship_pipeline
-    df = flagship_pipeline(sf_dir).to_pandas()
-    out = df.groupby("admin_id").size().rename("n_points").reset_index()
+    """Broadcast PIP join vs the real (jittered) ADMIN_POLYGONS over the
+    derived points, aggregated to per-admin counts IN RAY (the driver
+    collects only the ~30-row result); the oracle replays the identical
+    even-odd crossing test over a VALUES edge table."""
+    from ray.data.aggregate import Count
+
+    from cartwright_ray.joins.pip_join import pip_join
+    from cartwright_ray.pipelines.relational import derived_points
+    from cartwright_ray.sources.synth import ADMIN_POLYGONS
+    joined = pip_join(derived_points(sf_dir), ADMIN_POLYGONS)
+    out = joined.groupby("admin_id") \
+                .aggregate(Count(alias_name="n_points")).to_pandas()
     return out.sort_values("admin_id").reset_index(drop=True)
 
 
 def _q_knn(sf_dir):
+    """kNN join of the derived-corpus extraction against part-derived
+    features — the oracle brute-forces the same haversine ranking."""
+    import pyarrow.parquet as pq
+
     from cartwright_ray.joins.knn_join import knn_join
-    from cartwright_ray.pipelines.flagship import encoded_points
-    rng = np.random.default_rng(7)
-    feats = {"feat_id": [f"F{i:04d}" for i in range(1000)],
-             "lat": rng.uniform(-60, 60, 1000),
-             "lon": rng.uniform(-170, 170, 1000)}
-    df = knn_join(encoded_points(sf_dir), feats, k=3).to_pandas()
+    from cartwright_ray.pipelines.derived import derived_corpus_extracted
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    keys = np.sort(np.asarray(part["p_partkey"], dtype=np.int64))
+    feats = {"feat_id": [f"P{k:05d}" for k in keys],
+             "lat": (keys * 37 % 160).astype(np.float64) - 80.0 + 0.25,
+             "lon": (keys * 91 % 340).astype(np.float64) - 170.0 + 0.25}
+    df = knn_join(derived_corpus_extracted(sf_dir), feats, k=3).to_pandas()
     df = df[["doc_id", "span_idx", "neighbor_rank", "feat_id"]]
     return df.sort_values(["doc_id", "span_idx", "neighbor_rank"]) \
              .reset_index(drop=True)
 
 
+def _zonal_tile_fn(z, x, y, size=64):
+    """Integer synthetic raster for the oracled zonal query: pixel value =
+    (gx*7 + gy*13) % 1000 over GLOBAL pixel indices — exact in float and
+    in SQL (sums of integers, no trig in the values)."""
+    ix = x * size + np.arange(size, dtype=np.int64)
+    iy = y * size + np.arange(size, dtype=np.int64)
+    gx, gy = np.meshgrid(ix, iy)
+    return ((gx * 7 + gy * 13) % 1000).astype(np.float32)
+
+
 def _q_zonal(sf_dir):
+    """Zonal stats over nation-derived boxes with the integer raster —
+    fully SQL-verifiable (pixel membership by the same crossing test,
+    pixel values exact integers). The trig-noise raster variant stays in
+    tests/test_joins.py against brute_force_zonal."""
     from cartwright_ray.joins.zonal import zonal_stats
-    from cartwright_ray.sources.synth import ADMIN_POLYGONS
-    df = zonal_stats(ADMIN_POLYGONS[:12], zoom=7).to_pandas()
-    for c in ["px_sum", "px_min", "px_max", "px_mean"]:
-        df[c] = df[c].round(4)
-    return df.sort_values("admin_id").reset_index(drop=True)
+    df = zonal_stats(_derived_nation_boxes()[:12], zoom=7,
+                     tile_fn=_zonal_tile_fn).to_pandas()
+    df["px_count"] = df["px_count"].astype("int64")
+    return df[["admin_id", "px_count", "px_sum", "px_min", "px_max",
+               "px_mean"]].sort_values("admin_id").reset_index(drop=True)
 
 
 def _q_minhash(sf_dir):
+    """MinHash LSH over the planted-clone corpus: the oracle is the planted
+    answer (clone ids pair with their originals; the high-entropy derived
+    texts share <1% jaccard so nothing else pairs)."""
+    from cartwright_ray.pipelines.derived import planted_clone_docs
     from cartwright_ray.stages.dedup import minhash_lsh_dedup
-    df = minhash_lsh_dedup(_docs(sf_dir), threshold=0.8).to_pandas()
+    df = minhash_lsh_dedup(planted_clone_docs(sf_dir),
+                           threshold=0.8).to_pandas()
     df = df[["dup_id", "kept_id"]]
     return df.sort_values("dup_id").reset_index(drop=True)
 
 
 def _q_simhash(sf_dir):
+    """SimHash over the planted-clone corpus (clones → hamming 0)."""
+    from cartwright_ray.pipelines.derived import planted_clone_docs
     from cartwright_ray.stages.dedup import simhash_dedup
-    df = simhash_dedup(_docs(sf_dir), max_hamming=3).to_pandas()
+    df = simhash_dedup(planted_clone_docs(sf_dir),
+                       max_hamming=3).to_pandas()
     df = df[["dup_id", "kept_id", "hamming"]]
+    df["hamming"] = df["hamming"].astype("int64")
     return df.sort_values("dup_id").reset_index(drop=True)
 
 
@@ -248,29 +336,48 @@ def _q_embedding_dups(sf_dir):
 
 
 def _q_langid(sf_dir):
+    """LangId actor pool over the language-derived corpus; per-language
+    counts aggregated IN RAY (groupby, not a driver pandas groupby). The
+    oracle maps doc_id % 4 → language."""
+    from ray.data.aggregate import Count
+
+    from cartwright_ray.pipelines.derived import lang_derived_docs
     from cartwright_ray.stages.textstats import detect_language
-    df = detect_language(_docs(sf_dir)).to_pandas()
-    out = df.groupby("lang_pred").size().rename("n_docs").reset_index()
+    out = detect_language(lang_derived_docs(sf_dir)) \
+        .groupby("lang_pred").aggregate(Count(alias_name="n_docs")) \
+        .to_pandas()
     return out.sort_values("lang_pred").reset_index(drop=True)
 
 
 def _q_fingerprint(sf_dir):
+    """Fingerprints over the planted-clone corpus, grouped IN RAY by
+    fingerprint into (doc_id, canon_id = min id sharing the fingerprint).
+    Verifies both determinism (clones collide) and collision-freeness
+    (distinct texts don't) against the id-arithmetic oracle."""
+    from cartwright_ray.pipelines.derived import planted_clone_docs
     from cartwright_ray.stages.textstats import fingerprint
-    df = fingerprint(_docs(sf_dir)).to_pandas()
-    return df[["doc_id", "fingerprint"]].sort_values("doc_id") \
-                                        .reset_index(drop=True)
+
+    def canon(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": g["doc_id"],
+                             "canon_id": g["doc_id"].min()})
+
+    out = fingerprint(planted_clone_docs(sf_dir)) \
+        .select_columns(["doc_id", "fingerprint"]) \
+        .groupby("fingerprint").map_groups(canon, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_media(sf_dir):
-    import ray.data
-    from cartwright_ray.sources.synth import interleave_documents
+    """Media actor-pool pipeline over the derived corpus: media spans are
+    at span_idx 1 of every doc_id % 5 == 0 document, so the output layout
+    is a pure function of doc_id (oracle: arithmetic)."""
+    from cartwright_ray.pipelines.derived import derived_corpus
     from cartwright_ray.stages.media import (extract_media_features,
                                              media_rows_from_corpus)
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
-    media = media_rows_from_corpus(interleave_documents(docs))
+    media = media_rows_from_corpus(derived_corpus(sf_dir))
     df = extract_media_features(media, decoder="fake").to_pandas()
-    df["feat_dim"] = df["feature"].map(len)
+    df["feat_dim"] = df["feature"].map(len).astype("int64")
     df = df[["doc_id", "span_idx", "media_ref", "media_type", "feat_dim"]]
     return df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
 
@@ -410,6 +517,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_resolution_table": _q_spatial_resolution_table,
         "classify_documents_columns": _q_classify_documents,
         "classify_events_columns": _q_classify_events,
+        "classify_derived_columns": _q_classify_derived,
+        "classify_time_resolution": _q_classify_time_resolution,
         # spatial pipeline
         "extract_points": _q_extract_points,
         "encoded_points": _q_encoded_points,
@@ -424,6 +533,172 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles (same column names as the matching query callables)
 # ---------------------------------------------------------------------------
+
+# derived-corpus extraction points (mirrors pipelines.derived.derived_corpus:
+# span 0 for every doc, span 2 for doc_id % 3 == 0)
+_DPTS_SQL = """
+    dpts AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS span_idx,
+               CAST((doc_id * 7919 % 170) - 85 + 0.5 AS DOUBLE) AS lat,
+               CAST((doc_id * 104729 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+        FROM documents
+        UNION ALL
+        SELECT CAST(doc_id AS VARCHAR), CAST(2 AS INT),
+               CAST((doc_id * 7433 % 170) - 85 + 0.25 AS DOUBLE),
+               CAST((doc_id * 15161 % 360) - 180 + 0.25 AS DOUBLE)
+        FROM documents WHERE doc_id % 3 = 0)
+"""
+
+
+def _derived_countries_values() -> str:
+    from cartwright_ray.pipelines.derived import DERIVED_COUNTRIES
+    rows = ", ".join(f"({i}, '{n}', '{a2}', '{a3}')"
+                     for i, (n, a2, a3) in enumerate(DERIVED_COUNTRIES))
+    return f"c(idx, country, iso2, iso3) AS (VALUES {rows})"
+
+
+def _geohash_chars_sql(precision: int = 9) -> str:
+    """SQL expression rebuilding geo.geohash.geohash_encode from columns
+    ``lati``/``loni`` (the 30-bit quantized coordinates): char c takes the
+    five MSB-first bits 5c..5c+4 of the lon/lat bit interleave (lon first),
+    looked up in the base-32 alphabet."""
+    chars = []
+    for c in range(precision):
+        terms = []
+        for j in range(5):
+            bitpos = 59 - (5 * c + j)           # LSB index in the 60-bit code
+            if bitpos % 2 == 1:
+                src, i = "loni", (bitpos - 1) // 2
+            else:
+                src, i = "lati", bitpos // 2
+            terms.append(f"(({src} >> {i}) & 1) * {1 << (4 - j)}")
+        val = " + ".join(terms)
+        chars.append("substring('0123456789bcdefghjkmnpqrstuvwxyz', "
+                     f"CAST({val} AS INT) + 1, 1)")
+    return " || ".join(chars)
+
+
+def _pip_edges_values() -> str:
+    """VALUES edge table of sources.synth.ADMIN_POLYGONS (one row per ring
+    edge, including the closing edge) — full-precision float literals so
+    the crossing test is the same IEEE arithmetic as geo.pip."""
+    from cartwright_ray.sources.synth import ADMIN_POLYGONS
+    rows = []
+    for pidx, poly in enumerate(ADMIN_POLYGONS):
+        ry, rx = poly["ring_lat"], poly["ring_lon"]
+        j = len(ry) - 1
+        for i in range(len(ry)):
+            rows.append(f"({pidx}, '{poly['admin_id']}', {float(ry[i])!r}, "
+                        f"{float(rx[i])!r}, {float(ry[j])!r}, {float(rx[j])!r})")
+            j = i
+    return ("edges(pidx, admin_id, yi, xi, yj, xj) AS (VALUES "
+            + ", ".join(rows) + ")")
+
+
+def _lsh_planes_arrays(dim: int = 64, num_planes: int = 6,
+                       seed: int = 17) -> list[str]:
+    """The exact hyperplane literals stages.ann.lsh_ann_search draws from
+    rng(seed) for 64-dim embeddings, as DOUBLE[] SQL arrays."""
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(dim, num_planes))
+    return ["[" + ", ".join(repr(float(v)) for v in planes[:, j])
+            + "]::DOUBLE[]" for j in range(num_planes)]
+
+
+def _zonal_oracle_sql(zoom: int = 7, size: int = 64) -> str:
+    """Pixel-exact zonal oracle: per-box GLOBAL pixel index ranges are
+    precomputed here (the boxes are static), pixels enumerated with
+    constant-bound range() (DuckDB's range table function can't take
+    lateral column args), membership by strict bbox compares (pixel
+    lat/lon never equals a box bound — see _q_zonal), values by the same
+    integer formula as _zonal_tile_fn."""
+    import math
+    n_px = (1 << zoom) * size
+
+    def y_of(lat):
+        t = math.tan(math.radians(lat))
+        return (1 - math.log(t + math.sqrt(t * t + 1)) / math.pi) / 2 * n_px
+
+    rows = []
+    max_w = max_h = 0
+    for k in range(12):
+        lat0 = (k % 5) * 10.0 - 25.0
+        lat1 = lat0 + 8.0
+        lon0 = (k // 5) * 12.0 - 30.0
+        lon1 = lon0 + 10.0
+        ix0 = math.floor((lon0 + 180.0) / 360.0 * n_px) - 2
+        nx = math.ceil((lon1 + 180.0) / 360.0 * n_px) + 2 - ix0
+        iy0 = math.floor(y_of(lat1)) - 2
+        ny = math.ceil(y_of(lat0)) + 2 - iy0
+        max_w, max_h = max(max_w, nx), max(max_h, ny)
+        rows.append(f"('N{k:02d}', {lat0!r}, {lat1!r}, {lon0!r}, {lon1!r}, "
+                    f"{ix0}, {nx}, {iy0}, {ny})")
+    boxes = ("boxes(admin_id, lat0, lat1, lon0, lon1, ix0, nx, iy0, ny) "
+             "AS (VALUES " + ", ".join(rows) + ")")
+    return f"""
+        WITH {boxes},
+        px AS (
+            SELECT b.admin_id, b.lat0, b.lat1, b.lon0, b.lon1,
+                   b.ix0 + gx.i AS ix, b.iy0 + gy.j AS iy
+            FROM boxes b
+            CROSS JOIN range(0, {max_w}) gx(i)
+            CROSS JOIN range(0, {max_h}) gy(j)
+            WHERE gx.i < b.nx AND gy.j < b.ny),
+        geo AS (
+            SELECT admin_id, ix, iy, lat0, lat1, lon0, lon1,
+                   ((ix + 0.5) / {float(n_px)!r}) * 360.0 - 180.0 AS plon,
+                   degrees(atan((exp(pi() * (1.0 - 2.0 * ((iy + 0.5) / {float(n_px)!r})))
+                        - exp(-pi() * (1.0 - 2.0 * ((iy + 0.5) / {float(n_px)!r}))))
+                        / 2.0)) AS plat
+            FROM px),
+        inb AS (
+            SELECT admin_id, (ix * 7 + iy * 13) % 1000 AS v
+            FROM geo
+            WHERE plat > lat0 AND plat < lat1
+              AND plon > lon0 AND plon < lon1)
+        SELECT admin_id, count(*) AS px_count,
+               CAST(sum(v) AS DOUBLE) AS px_sum,
+               CAST(min(v) AS DOUBLE) AS px_min,
+               CAST(max(v) AS DOUBLE) AS px_max,
+               CAST(sum(v) AS DOUBLE) / count(*) AS px_mean
+        FROM inb GROUP BY admin_id ORDER BY admin_id
+    """
+
+
+def _lsh_ann_oracle_sql(k: int = 10, max_hamming: int = 2) -> str:
+    """Replays the sign-LSH pre-filter with the engine's exact hyperplane
+    literals (sign of the plane dot is scale-invariant, so the oracle can
+    use the raw vectors), then the rounded-cosine top-k ranking."""
+    planes = _lsh_planes_arrays()
+    ham_terms = " + ".join(
+        f"(CASE WHEN (list_dot_product(e.ev, {p}) >= 0)"
+        f" <> (list_dot_product(q.qv, {p}) >= 0) THEN 1 ELSE 0 END)"
+        for p in planes)
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 3),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+              FROM embeddings),
+        cand AS (
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(e.ev, q.qv), 6) AS score
+            FROM e CROSS JOIN q
+            WHERE ({ham_terms}) <= {max_hamming})
+        SELECT query_id, vec_id, rank, score FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, vec_id) - 1 AS rank
+            FROM cand)
+        WHERE rank < {k}
+        ORDER BY query_id, rank
+    """
+
+
+def _classify_values(rows: list[tuple]) -> str:
+    vals = ", ".join("(" + ", ".join(f"'{v}'" for v in r) + ")" for r in rows)
+    return ("SELECT * FROM (VALUES " + vals
+            + ') t("column", category, subcategory, format) ORDER BY "column"')
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -694,7 +969,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM pts CROSS JOIN feats)
             SELECT vec_id, CAST(rnk AS INT) AS neighbor_rank, feat_id FROM (
                 SELECT *, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY d, feat_id) - 1 AS rnk
+                    PARTITION BY vec_id ORDER BY round(d, 6), feat_id) - 1 AS rnk
                 FROM dists)
             WHERE rnk < 3
             ORDER BY vec_id, neighbor_rank
@@ -751,6 +1026,168 @@ def oracle_sql() -> dict[str, str]:
                     FROM dd),
             err AS (SELECT avg(abs(delta - (SELECT m FROM med))) AS e FROM dd)
             SELECT uni.uniformity, best.unit,
+                   round((SELECT m FROM med) / best.dur, 6) AS resolution,
+                   round(err.e / best.dur, 6) AS error
+            FROM uni, best, err
+        """,
+        # ------------------------------------------------------------------
+        # derived-corpus / planted-answer oracles (round 2)
+        # ------------------------------------------------------------------
+        "extract_points": f"""
+            WITH {_derived_countries_values()},
+            base AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       CAST(0 AS INT) AS span_idx,
+                       CAST((doc_id * 7919 % 170) - 85 + 0.5 AS DOUBLE) AS lat,
+                       CAST((doc_id * 104729 % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+                       'coord' AS point_src,
+                       CAST(epoch(TIMESTAMP '2020-01-01'
+                            + (doc_id * 13 % 1000) * INTERVAL 1 DAY) AS BIGINT)
+                           AS ts,
+                       c.country, c.iso2, c.iso3
+                FROM documents JOIN c ON c.idx = doc_id % 8
+                UNION ALL
+                SELECT CAST(doc_id AS VARCHAR), CAST(2 AS INT),
+                       CAST((doc_id * 7433 % 170) - 85 + 0.25 AS DOUBLE),
+                       CAST((doc_id * 15161 % 360) - 180 + 0.25 AS DOUBLE),
+                       'coord', CAST(-1 AS BIGINT), '', '', ''
+                FROM documents WHERE doc_id % 3 = 0)
+            SELECT * FROM base ORDER BY doc_id, span_idx
+        """,
+        "encoded_points": f"""
+            WITH {_DPTS_SQL},
+            q AS (
+                SELECT doc_id, span_idx, lat, lon,
+                       CAST(least(greatest(floor((lat + 90.0) / 180.0
+                            * 1073741824.0), 0.0), 1073741823.0) AS BIGINT)
+                           AS lati,
+                       CAST(least(greatest(floor((lon + 180.0) / 360.0
+                            * 1073741824.0), 0.0), 1073741823.0) AS BIGINT)
+                           AS loni
+                FROM dpts)
+            SELECT doc_id, span_idx, lat, lon,
+                   {_geohash_chars_sql(9)} AS geohash,
+                   CAST(floor((lon + 180) / 360 * 4096) AS INT) AS tile_x,
+                   CAST(floor((1 - ln(tan(radians(lat))
+                        + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1))
+                        / pi()) / 2 * 4096) AS INT) AS tile_y
+            FROM q ORDER BY doc_id, span_idx
+        """,
+        "pip_join_counts": f"""
+            WITH pts AS (
+                SELECT vec_id,
+                       CAST((vec_id * 7919 % 170) - 85 + 0.5 AS DOUBLE) AS lat,
+                       CAST((vec_id * 104729 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+                FROM embeddings),
+            {_pip_edges_values()},
+            inside AS (
+                SELECT p.vec_id, e.pidx, e.admin_id
+                FROM pts p CROSS JOIN edges e
+                WHERE ((e.yi > p.lat) <> (e.yj > p.lat))
+                  AND p.lon < (e.xj - e.xi) * (p.lat - e.yi)
+                      / (e.yj - e.yi) + e.xi
+                GROUP BY p.vec_id, e.pidx, e.admin_id
+                HAVING count(*) % 2 = 1)
+            SELECT admin_id, count(*) AS n_points
+            FROM inside GROUP BY admin_id ORDER BY admin_id
+        """,
+        "knn_join_sample": f"""
+            WITH {_DPTS_SQL},
+            feats AS (
+                SELECT 'P' || lpad(CAST(p_partkey AS VARCHAR), 5, '0') AS feat_id,
+                       CAST((p_partkey * 37 % 160) - 80 + 0.25 AS DOUBLE) AS flat,
+                       CAST((p_partkey * 91 % 340) - 170 + 0.25 AS DOUBLE) AS flon
+                FROM part),
+            dists AS (
+                SELECT d.doc_id, d.span_idx, f.feat_id,
+                       2 * 6371.0088 * asin(sqrt(
+                           sin(radians(flat - lat) / 2) * sin(radians(flat - lat) / 2)
+                           + cos(radians(lat)) * cos(radians(flat))
+                             * sin(radians(flon - lon) / 2)
+                             * sin(radians(flon - lon) / 2))) AS dist
+                FROM dpts d CROSS JOIN feats f)
+            SELECT doc_id, span_idx, CAST(rnk AS INT) AS neighbor_rank, feat_id
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id, span_idx
+                    ORDER BY round(dist, 6), feat_id) - 1 AS rnk
+                FROM dists)
+            WHERE rnk < 3
+            ORDER BY doc_id, span_idx, neighbor_rank
+        """,
+        "zonal_stats_admin": _zonal_oracle_sql(),
+        "minhash_dedup_pairs": """
+            SELECT doc_id + 100000 AS dup_id, doc_id AS kept_id
+            FROM documents WHERE doc_id < 25 ORDER BY dup_id
+        """,
+        "simhash_dedup_pairs": """
+            SELECT doc_id + 100000 AS dup_id, doc_id AS kept_id,
+                   CAST(0 AS BIGINT) AS hamming
+            FROM documents WHERE doc_id < 25 ORDER BY dup_id
+        """,
+        "embedding_near_dups": """
+            SELECT vec_id + 100000 AS dup_id, vec_id AS kept_id
+            FROM embeddings WHERE vec_id < 20 ORDER BY dup_id
+        """,
+        "langid_counts": """
+            SELECT CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'fr'
+                        WHEN 2 THEN 'es' ELSE 'de' END AS lang_pred,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "fingerprint_docs": """
+            SELECT doc_id, doc_id AS canon_id FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id < 25
+            ORDER BY 1
+        """,
+        "media_features": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(1 AS INT) AS span_idx,
+                   'media://' || CAST(doc_id AS VARCHAR) || '/1' AS media_ref,
+                   'image' AS media_type, CAST(64 AS BIGINT) AS feat_dim
+            FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id
+        """,
+        "lsh_ann_topk": _lsh_ann_oracle_sql(),
+        "spatial_resolution_grid": """
+            SELECT 'square' AS kind, 'degrees' AS unit,
+                   CAST(1.0 AS DOUBLE) AS resolution, 'PERFECT' AS uniformity
+        """,
+        "classify_documents_columns": _classify_values([
+            ("doc_id", "", "", ""), ("lang", "", "", ""),
+            ("n_chars", "", "", ""), ("source", "", "", ""),
+            ("text", "", "", "")]),
+        "classify_events_columns": _classify_values([
+            ("event_id", "", "", ""), ("event_type", "", "", ""),
+            ("props", "", "", ""), ("ts", "", "", ""),
+            ("user_id", "", "", ""), ("value", "", "", "")]),
+        "classify_derived_columns": _classify_values([
+            ("cname", "geo", "country_name", ""),
+            ("date_str", "time", "date", "%Y-%m-%d"),
+            ("iso3", "geo", "ISO3", ""),
+            ("lat_str", "geo", "latitude", ""),
+            ("lon_str", "geo", "longitude", ""),
+            ("val", "", "", "")]),
+        "classify_time_resolution": f"""
+            WITH d AS (SELECT DISTINCT CAST(1577836800
+                            + (doc_id * 13 % 1000) * 86400 AS BIGINT) AS s
+                       FROM documents),
+            deltas AS (SELECT CAST(s - lag(s) OVER (ORDER BY s) AS DOUBLE)
+                           AS delta FROM d),
+            dd AS (SELECT delta FROM deltas WHERE delta IS NOT NULL),
+            med AS (SELECT median(delta) AS m FROM dd),
+            {_UNIT_VALUES_SQL},
+            best AS (SELECT unit, dur FROM units
+                     ORDER BY abs(dur - (SELECT m FROM med)) / dur LIMIT 1),
+            uni AS (SELECT CASE
+                        WHEN max(abs(delta - (SELECT m FROM med)))
+                             < 1e-9 * abs((SELECT m FROM med)) THEN 'PERFECT'
+                        WHEN max(abs(delta - (SELECT m FROM med)))
+                             < 0.01 * abs((SELECT m FROM med)) THEN 'UNIFORM'
+                        ELSE 'NOT_UNIFORM' END AS uniformity
+                    FROM dd),
+            err AS (SELECT avg(abs(delta - (SELECT m FROM med))) AS e FROM dd)
+            SELECT 'date_str' AS "column", '%Y-%m-%d' AS format,
+                   uni.uniformity, best.unit,
                    round((SELECT m FROM med) / best.dur, 6) AS resolution,
                    round(err.e / best.dur, 6) AS error
             FROM uni, best, err

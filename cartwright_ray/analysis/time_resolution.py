@@ -45,6 +45,19 @@ def convert_to_timestamps(times, fmt: str) -> np.ndarray:
     ])
 
 
+def _strings_to_seconds(col: pa.Array, fmt: str) -> pa.Array:
+    """Vectorized strptime → int64 epoch seconds (Arrow kernel, assumes
+    UTC like the reference's replace(tzinfo=utc)); falls back to the
+    per-value reference parser for formats Arrow can't handle."""
+    import pyarrow.compute as pc
+    try:
+        parsed = pc.strptime(pc.cast(col, pa.string()), format=fmt, unit="s")
+        return pc.cast(parsed, pa.int64())
+    except pa.ArrowInvalid:
+        return pa.array(
+            convert_to_timestamps(col.to_pylist(), fmt).astype("int64"))
+
+
 def date_util_span(dates) -> list[dict]:
     """Reference ``date_util_span`` (`cartwright/utils.py:53-59`): parse
     each value with dateutil (dayfirst=False) → [{value, standard}]."""
@@ -75,8 +88,7 @@ def detect_temporal_resolution_by_key(ds, key: str, column: str,
             div = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
             secs = pc.divide(secs, div[col.type.unit])
         elif fmt is not None:
-            secs = pa.array(convert_to_timestamps(col.to_pylist(), fmt)
-                            .astype("int64"))
+            secs = _strings_to_seconds(col, fmt)
         else:
             secs = col.cast(pa.int64())
         out = pa.table({key: t.column(key), "ts_s": secs})
@@ -121,8 +133,7 @@ def detect_temporal_resolution_ds(ds, column: str,
             div = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
             secs = pc.divide(secs, div[col.type.unit])
         elif fmt is not None:
-            vals = convert_to_timestamps(col.to_pylist(), fmt)
-            secs = pa.array(vals.astype("int64"))
+            secs = _strings_to_seconds(col, fmt)
         else:
             secs = col.cast(pa.int64())
         return pa.table({"ts_s": secs})

@@ -31,13 +31,27 @@ def _unit_xyz(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
 
 
 class _KNNActor:
+    """Ranking contract: neighbors are ordered by haversine distance
+    ROUNDED to 6 decimals (1 mm) with feat_id tiebreak — the same order
+    the DuckDB oracle's ``ORDER BY round(dist, 6), feat_id`` produces.
+    Candidates come from the dot-product top-(k+margin) (dot is monotone
+    in distance on the unit sphere; the margin absorbs float near-ties and
+    duplicate feature positions), then the candidate set is re-ranked by
+    rounded distance with a stable sort over id-ordered candidates."""
+
+    _MARGIN = 16
+
     def __init__(self, features_ref, k: int):
         import ray
         feats = ray.get(features_ref) if not isinstance(features_ref, dict) \
             else features_ref
-        self.feat_ids = np.asarray(feats["feat_id"], dtype=object)
-        self.flat = np.asarray(feats["lat"], dtype=np.float64)
-        self.flon = np.asarray(feats["lon"], dtype=np.float64)
+        ids = np.asarray(feats["feat_id"], dtype=object)
+        flat = np.asarray(feats["lat"], dtype=np.float64)
+        flon = np.asarray(feats["lon"], dtype=np.float64)
+        order = np.argsort(ids, kind="stable")   # id-ordered → stable ties
+        self.feat_ids = ids[order]
+        self.flat = flat[order]
+        self.flon = flon[order]
         self.xyz = _unit_xyz(self.flat, self.flon)   # (m, 3), built once
         self.k = k
 
@@ -45,14 +59,20 @@ class _KNNActor:
         lat = np.asarray(batch["lat"], dtype=np.float64)
         lon = np.asarray(batch["lon"], dtype=np.float64)
         q = _unit_xyz(lat, lon)                      # (n, 3)
-        n, k = len(lat), self.k
+        n, m = len(lat), len(self.flat)
+        k = min(self.k, m)
+        cand_n = min(m, k + self._MARGIN)
         idx = np.empty((n, k), dtype=np.int64)
         for lo in range(0, n, 4096):                 # bound matmul memory
             hi = min(lo + 4096, n)
             dots = q[lo:hi] @ self.xyz.T             # (chunk, m)
-            part = np.argpartition(-dots, k - 1, axis=1)[:, :k]
-            row = np.take_along_axis(dots, part, axis=1)
-            order = np.argsort(-row, axis=1, kind="stable")
+            part = np.argpartition(-dots, cand_n - 1, axis=1)[:, :cand_n]
+            part = np.sort(part, axis=1)             # feat-id order
+            cd = haversine_km(
+                np.repeat(lat[lo:hi], cand_n).reshape(-1, cand_n),
+                np.repeat(lon[lo:hi], cand_n).reshape(-1, cand_n),
+                self.flat[part], self.flon[part])
+            order = np.argsort(np.round(cd, 6), axis=1, kind="stable")[:, :k]
             idx[lo:hi] = np.take_along_axis(part, order, axis=1)
         # explode to k rows per point
         point_rep = np.repeat(np.arange(n), k)
@@ -89,6 +109,8 @@ def brute_force_knn(lat, lon, features: dict, k: int = 3):
     for i, (la, lo) in enumerate(zip(lat, lon)):
         d = haversine_km(np.full(len(flat), la), np.full(len(flat), lo),
                          flat, flon)
-        for rank, j in enumerate(np.argsort(d, kind="stable")[:k]):
+        order = sorted(range(len(fids)),
+                       key=lambda j: (round(float(d[j]), 6), fids[j]))
+        for rank, j in enumerate(order[:k]):
             out.append((i, rank, fids[j]))
     return out

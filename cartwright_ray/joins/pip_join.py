@@ -35,7 +35,7 @@ from ..util import _pool
 import numpy as np
 import pyarrow as pa
 
-from ..geo.hexgrid import R0, SQRT7, hex_cell
+from ..geo.hexgrid import R0, SQRT7, _mercator_xy, hex_cell
 from ..geo.pip import points_in_polygon, polygon_bbox
 
 DEFAULT_COVER_RES = 4
@@ -55,17 +55,24 @@ class PolygonIndex:
 
     def _cover(self, poly: dict) -> np.ndarray:
         """Cover cells of the polygon's bbox: sample a grid at sub-cell
-        spacing and collect distinct hex cells."""
+        spacing IN MERCATOR XY SPACE (the space the hex grid lives in) and
+        collect distinct hex cells.
+
+        Sampling in lat/lon degrees under-covers near the poles — mercator
+        stretches, so one degree of latitude spans many cells there and a
+        degree-step grid skips cells, silently dropping joins (caught by
+        the derived-points oracle in round 2)."""
         lat0, lat1, lon0, lon1 = polygon_bbox(poly["ring_lat"], poly["ring_lon"])
-        # sub-hex sampling step: hex circumradius at cover_res in degrees of
-        # mercator-x is R0/√7^res of 360°; sample at a third of that
-        step = max(1e-3, (R0 / SQRT7 ** self.cover_res) * 360.0 / 3.0)
-        lats = np.arange(lat0 - step, lat1 + 2 * step, step)
-        lons = np.arange(lon0 - step, lon1 + 2 * step, step)
-        glat, glon = np.meshgrid(lats, lons)
-        return np.unique(hex_cell(np.clip(glat.ravel(), -89.9, 89.9),
-                                  np.clip(glon.ravel(), -180, 180),
-                                  self.cover_res))
+        (x0,), (y0,) = _mercator_xy(np.array([lat1]), np.array([lon0]))
+        (x1,), (y1,) = _mercator_xy(np.array([lat0]), np.array([lon1]))
+        # hex circumradius at cover_res in mercator units; sample at a third
+        step = (R0 / SQRT7 ** self.cover_res) / 3.0
+        xs = np.arange(x0 - step, x1 + 2 * step, step)
+        ys = np.arange(y0 - step, y1 + 2 * step, step)
+        gx, gy = np.meshgrid(xs, ys)
+        zeros = np.zeros(gx.size)
+        return np.unique(hex_cell(zeros, zeros, self.cover_res,
+                                  xy=(gx.ravel(), gy.ravel())))
 
     def probe(self, lat: np.ndarray, lon: np.ndarray):
         """(point_idx, admin_id, name) arrays for all containment matches."""
