@@ -127,3 +127,23 @@ def test_timeout_budget_parity():
     assert got["latitude"] == "geo" and got["longitude"] == "geo"
     assert got["date"] == "timeout"
     assert got["value"] == "timeout"
+
+
+def test_city_column_classifies():
+    """Round-2 gazetteer expansion (VERDICT r01 task 6): a realistic mixed
+    city column — large and mid-size cities across continents, some with
+    multi-word names — classifies geo/city via the 2-of-5 fuzzy subsample
+    (`/root/reference/cartwright/categories/geos.py:18-34` semantics)."""
+    from cartwright_ray.detectors.cascade import classify_series
+    col = ["Kalamazoo", "Ouagadougou", "Chiang Mai", "Bobo-Dioulasso",
+           "Kisumu", "Santa Cruz de la Sierra", "Pietermaritzburg",
+           "Nizhny Novgorod", "Gold Coast", "Cluj-Napoca", "Antofagasta",
+           "Thiruvananthapuram"]
+    res = classify_series(col)
+    assert res["category"] == "geo"
+    assert res["subcategory"] == "city"
+
+
+def test_gazetteer_size():
+    from cartwright_ray.resources import CITIES
+    assert len(set(CITIES)) > 2000   # round-2 expansion floor

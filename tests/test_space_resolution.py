@@ -26,6 +26,39 @@ def test_golden_grids(step):
     assert r.square.uniformity == Uniformity.PERFECT
 
 
+_REF_GRIDS = "/root/reference/tests/test_data"
+
+
+@pytest.mark.parametrize("fname,scale", [
+    ("0.5_degree.csv", 0.5),
+    ("1_degree.csv", 1.0),
+    ("1_degree(1).csv", 1.0),
+    ("2_degree.csv", 2.0),
+    ("2.5_degree.csv", 2.5),
+    ("5_degree.csv", 5.0),
+])
+def test_reference_golden_grid_files(fname, scale):
+    """Read the reference's OWN fixture CSVs (expectations from
+    `/root/reference/tests/test_geospatial_resolution_detection.py:12-28`):
+    unit degrees, |resolution - scale| < 1e-6, square detection."""
+    import os
+
+    import pandas as pd
+    path = os.path.join(_REF_GRIDS, fname)
+    if not os.path.exists(path):
+        pytest.skip("reference fixture files unavailable")
+    df = pd.read_csv(path)
+    lat = df.iloc[:, df.columns.get_loc("lat") if "lat" in df.columns else 0] \
+            .to_numpy(dtype=float)
+    lon = df.iloc[:, df.columns.get_loc("lon") if "lon" in df.columns else 1] \
+            .to_numpy(dtype=float)
+    r = detect_latlon_resolution(lat, lon)
+    assert r is not None, fname
+    assert r.square is not None, fname
+    assert r.square.unit == AngleUnit.degrees, fname
+    assert abs(r.square.resolution - scale) < 1e-6, fname
+
+
 @pytest.mark.parametrize("step", [1.0, 2.0])
 def test_column_order_irrelevant(step):
     lat, lon = global_grid(step)
