@@ -252,11 +252,15 @@ def _q_knn(sf_dir):
     from cartwright_ray.joins.knn_join import knn_join
     from cartwright_ray.pipelines.derived import derived_corpus_extracted
     part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
-    keys = np.sort(np.asarray(part["p_partkey"], dtype=np.int64))
+    # bound the broadcast side to the 2000 smallest keys (all of them at
+    # sf0.01; keeps the brute-force O(points x feats) cost flat across sf —
+    # mirrored by the oracle's ORDER BY/LIMIT)
+    keys = np.sort(np.asarray(part["p_partkey"], dtype=np.int64))[:2000]
     feats = {"feat_id": [f"P{k:05d}" for k in keys],
              "lat": (keys * 37 % 160).astype(np.float64) - 80.0 + 0.25,
              "lon": (keys * 91 % 340).astype(np.float64) - 170.0 + 0.25}
-    df = knn_join(derived_corpus_extracted(sf_dir), feats, k=3).to_pandas()
+    df = knn_join(derived_corpus_extracted(sf_dir), feats, k=3,
+                  batch_size=1024).to_pandas()
     df = df[["doc_id", "span_idx", "neighbor_rank", "feat_id"]]
     return df.sort_values(["doc_id", "span_idx", "neighbor_rank"]) \
              .reset_index(drop=True)
@@ -1097,7 +1101,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'P' || lpad(CAST(p_partkey AS VARCHAR), 5, '0') AS feat_id,
                        CAST((p_partkey * 37 % 160) - 80 + 0.25 AS DOUBLE) AS flat,
                        CAST((p_partkey * 91 % 340) - 170 + 0.25 AS DOUBLE) AS flon
-                FROM part),
+                FROM (SELECT p_partkey FROM part
+                      ORDER BY p_partkey LIMIT 2000)),
             dists AS (
                 SELECT d.doc_id, d.span_idx, f.feat_id,
                        2 * 6371.0088 * asin(sqrt(
