@@ -79,31 +79,36 @@ _STOPWORDS = {
 
 
 class LangId:
-    """Actor-pool callable: stopword tables + token regex compiled once per
-    actor (``__init__``), vectorized-ish scoring per batch."""
+    """Actor-pool callable: stopword value-set arrays built once per actor
+    (``__init__``); per batch the scoring is Arrow kernels end to end —
+    tokenize (split), per-language ``pc.is_in`` membership over the
+    flattened token array, per-doc sums via one ``np.add.at`` on the list
+    parent indices (round 2: replaced the per-doc Python loop)."""
+
+    LANG_ORDER = ("en", "fr", "es", "de")   # tie-break: first wins
 
     def __init__(self):
-        import re
-        self.word_re = re.compile(r"[a-zA-ZÀ-ÿ]+")
-        self.cjk_re = re.compile(r"[一-鿿]")
-        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
-
-    def detect(self, text: str) -> str:
-        if self.cjk_re.search(text):
-            return "zh"
-        words = [w.lower() for w in self.word_re.findall(text)]
-        if not words:
-            return "und"
-        best_lang, best = "und", 0
-        for lang, tab in self.tables.items():
-            score = sum(1 for w in words if w in tab)
-            if score > best:
-                best_lang, best = lang, score
-        return best_lang if best > 0 else "und"
+        self.value_sets = [pa.array(sorted(_STOPWORDS[lang]))
+                           for lang in self.LANG_ORDER]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        langs = [self.detect(t) for t in batch.column("text").to_pylist()]
-        return batch.append_column("lang_pred", pa.array(langs, pa.string()))
+        text = batch.column("text")
+        n = len(batch)
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), r"[^a-zà-ÿ]+")
+        flat = pc.list_flatten(toks)
+        parents = np.asarray(pc.list_parent_indices(toks))
+        scores = np.zeros((len(self.LANG_ORDER), n), dtype=np.int64)
+        for li, vs in enumerate(self.value_sets):
+            hits = np.asarray(pc.cast(pc.is_in(flat, value_set=vs), pa.int64()))
+            np.add.at(scores[li], parents, hits)
+        best = scores.argmax(axis=0)             # first max wins (tie-break)
+        best_score = scores.max(axis=0)
+        langs = np.array(self.LANG_ORDER, dtype=object)[best]
+        langs[best_score == 0] = "und"
+        cjk = np.asarray(pc.match_substring_regex(text, r"[一-鿿]"))
+        langs[cjk] = "zh"
+        return batch.append_column(
+            "lang_pred", pa.array(langs.tolist(), pa.string()))
 
 
 def detect_language(ds, concurrency: int = 4, batch_size: int = 4096):
@@ -135,10 +140,11 @@ def fingerprint_batch(batch: pa.Table, col: str = "text",
               for t in texts]
     lens = np.array([len(t) for t in padded], dtype=np.int64)
     buf = np.frombuffer(b"".join(padded), dtype=np.uint8)
-    win = np.lib.stride_tricks.sliding_window_view(buf, window).astype(np.uint64)
-    h = np.zeros(win.shape[0], dtype=np.uint64)
+    # contiguous-slice rolling fold (strided 2D astype is far slower)
+    n_win = buf.size - window + 1
+    h = np.zeros(n_win, dtype=np.uint64)
     for j in range(window):
-        h = h * np.uint64(1099511628211) + win[:, j]
+        h = h * np.uint64(1099511628211) + buf[j:j + n_win].astype(np.uint64)
     doc_starts = np.zeros(len(lens), dtype=np.int64)
     np.cumsum(lens[:-1], out=doc_starts[1:])
     n_windows = lens - window + 1                    # valid windows per doc
