@@ -244,6 +244,41 @@ def _q_pip_join_counts(sf_dir):
     return out.sort_values("admin_id").reset_index(drop=True)
 
 
+def _q_pip_join_counts_shuffle(sf_dir):
+    """SAME semantics as pip_join_counts through the OTHER physical plan:
+    salted groupby-on-cell shuffle (north_rule's hot-cell machinery) —
+    driver-verified against the identical crossing-test oracle."""
+    from ray.data.aggregate import Count
+
+    from cartwright_ray.joins.pip_join import pip_join_shuffle
+    from cartwright_ray.pipelines.relational import derived_points
+    from cartwright_ray.sources.synth import ADMIN_POLYGONS
+    pts = derived_points(sf_dir).map_batches(
+        lambda t: t.append_column(
+            "doc_id", t["vec_id"].cast(__import__("pyarrow").string())),
+        batch_format="pyarrow")
+    joined = pip_join_shuffle(pts, ADMIN_POLYGONS, cap=200)
+    out = joined.groupby("admin_id") \
+                .aggregate(Count(alias_name="n_points")).to_pandas()
+    return out.sort_values("admin_id").reset_index(drop=True)
+
+
+def _q_media_frames(sf_dir):
+    """FrameSampler explode layout over the derived corpus media rows:
+    frames {0, 4, 8, 12} per media span — pure doc_id arithmetic."""
+    from cartwright_ray.pipelines.derived import derived_corpus
+    from cartwright_ray.stages.media import FrameSampler, media_rows_from_corpus
+    media = media_rows_from_corpus(derived_corpus(sf_dir))
+    frames = media.map_batches(FrameSampler,
+                               fn_constructor_kwargs={"decoder": "fake"},
+                               batch_format="pyarrow", batch_size=64,
+                               concurrency=(1, 4))
+    df = frames.to_pandas()
+    df["frame_idx"] = df["frame_idx"].astype("int64")
+    df = df[["doc_id", "span_idx", "media_ref", "frame_idx"]]
+    return df.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
 def _q_knn(sf_dir):
     """kNN join of the derived-corpus extraction against part-derived
     features — the oracle brute-forces the same haversine ranking."""
@@ -527,7 +562,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_points": _q_extract_points,
         "encoded_points": _q_encoded_points,
         "pip_join_counts": _q_pip_join_counts,
+        "pip_join_counts_shuffle": _q_pip_join_counts_shuffle,
         "pip_join_boxes": _q_pip_join_boxes,
+        "media_frames": _q_media_frames,
         "knn_join_sample": _q_knn,
         "knn_join_table": _q_knn_join_table,
         "zonal_stats_admin": _q_zonal,
@@ -705,7 +742,15 @@ def _classify_values(rows: list[tuple]) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
+        "media_frames": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(1 AS INT) AS span_idx,
+                   'media://' || CAST(doc_id AS VARCHAR) || '/1' AS media_ref,
+                   CAST(f AS BIGINT) AS frame_idx
+            FROM documents, (VALUES (0), (4), (8), (12)) t(f)
+            WHERE doc_id % 5 = 0
+            ORDER BY doc_id, frame_idx
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -1198,3 +1243,5 @@ def oracle_sql() -> dict[str, str]:
             FROM uni, best, err
         """,
     }
+    out["pip_join_counts_shuffle"] = out["pip_join_counts"]
+    return out

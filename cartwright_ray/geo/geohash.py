@@ -75,11 +75,7 @@ def geohash_decode(hashes) -> tuple[np.ndarray, np.ndarray]:
     return lat, lon
 
 
-def geohash_encode(lat: np.ndarray, lon: np.ndarray, precision: int = 9) -> np.ndarray:
-    """Geohash strings at the given precision (chars), vectorized.
-
-    Returns a numpy array of fixed-length byte strings decoded to ``<U``.
-    """
+def _geohash_bytes(lat: np.ndarray, lon: np.ndarray, precision: int) -> np.ndarray:
     assert 1 <= precision <= 12
     g = geohash_uint(lat, lon)
     n = g.shape[0]
@@ -87,4 +83,27 @@ def geohash_encode(lat: np.ndarray, lon: np.ndarray, precision: int = 9) -> np.n
     for c in range(precision):
         shift = np.uint64(60 - 5 * (c + 1))
         out[:, c] = _BASE32[((g >> shift) & np.uint64(31)).astype(np.int64)]
+    return out
+
+
+def geohash_encode_arrow(lat: np.ndarray, lon: np.ndarray,
+                         precision: int = 9):
+    """Geohash strings as an Arrow StringArray built straight from the
+    fixed-width byte matrix — no numpy-unicode / Python-object round trip
+    (round 2 encode fast path)."""
+    import pyarrow as pa
+    out = _geohash_bytes(lat, lon, precision)
+    n = out.shape[0]
+    offsets = (np.arange(n + 1, dtype=np.int32) * precision)
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()),
+        pa.py_buffer(np.ascontiguousarray(out).tobytes()))
+
+
+def geohash_encode(lat: np.ndarray, lon: np.ndarray, precision: int = 9) -> np.ndarray:
+    """Geohash strings at the given precision (chars), vectorized.
+
+    Returns a numpy array of fixed-length byte strings decoded to ``<U``.
+    """
+    out = _geohash_bytes(lat, lon, precision)
     return out.view(f"S{precision}").ravel().astype(str)

@@ -118,11 +118,41 @@ def s2_parent(cell: np.ndarray, level: int) -> np.ndarray:
     return (cell & ~(lsb - np.uint64(1))) | lsb
 
 
+_HEX = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
+def s2_token_arrow(cell: np.ndarray):
+    """Canonical hex tokens (16 hex digits, trailing zeros stripped) as an
+    Arrow StringArray built straight from numpy buffers — no per-row
+    Python (round 2: the format()/rstrip loop was an encode hot spot)."""
+    import pyarrow as pa
+    cell = np.asarray(cell, dtype=np.uint64)
+    n = cell.shape[0]
+    digs = np.empty((n, 16), dtype=np.uint8)
+    run = np.ones(n, dtype=bool)           # still inside the trailing-0 run
+    tz = np.zeros(n, dtype=np.int64)
+    for j in range(16):
+        nib = ((cell >> np.uint64(4 * j)) & np.uint64(15)).astype(np.int64)
+        digs[:, 15 - j] = _HEX[nib]
+        run &= nib == 0
+        tz += run
+    lengths = 16 - tz
+    zero = lengths == 0                    # cell id 0 → token "X"
+    lengths[zero] = 1
+    digs[zero, 0] = ord("X")
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    total = int(starts[-1] + lengths[-1]) if n else 0
+    row = np.repeat(np.arange(n), lengths)
+    col = np.arange(total) - np.repeat(starts, lengths)
+    values = digs[row, col]
+    offsets = np.empty(n + 1, dtype=np.int32)
+    offsets[0] = 0
+    np.cumsum(lengths, out=offsets[1:])
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(values.tobytes()))
+
+
 def s2_token(cell: np.ndarray) -> np.ndarray:
     """Canonical hex token: 16 hex digits with trailing zeros stripped."""
-    cell = np.asarray(cell, dtype=np.uint64)
-    out = []
-    for c in cell:
-        h = format(int(c), "016x").rstrip("0")
-        out.append(h if h else "X")
-    return np.array(out, dtype=object)
+    return np.asarray(s2_token_arrow(cell).to_pylist(), dtype=object)

@@ -49,9 +49,15 @@ class PolygonIndex:
         self.polygons = polygons
         self.cover_res = cover_res
         self.cell_to_polys: dict[int, list[int]] = {}
+        self._cover_sorted: list[np.ndarray] = []
         for i, poly in enumerate(polygons):
-            for cell in self._cover(poly):
+            cover = self._cover(poly)
+            self._cover_sorted.append(np.sort(cover))
+            for cell in cover:
                 self.cell_to_polys.setdefault(int(cell), []).append(i)
+        self._all_cover_sorted = (
+            np.unique(np.concatenate(self._cover_sorted))
+            if self._cover_sorted else np.empty(0, np.uint64))
 
     def _cover(self, poly: dict) -> np.ndarray:
         """Cover cells of the polygon's bbox: sample a grid at sub-cell
@@ -75,28 +81,40 @@ class PolygonIndex:
                                   xy=(gx.ravel(), gy.ravel())))
 
     def probe(self, lat: np.ndarray, lon: np.ndarray):
-        """(point_idx, admin_id, name) arrays for all containment matches."""
+        """(point_idx, admin_id, name) arrays for all containment matches.
+
+        Per batch: ONE cell encode, then one vectorized pass per polygon —
+        candidate selection is a sorted-cover ``searchsorted`` membership
+        test over the whole batch (round 2: replaced the per-cell-group
+        Python loop, whose iteration count grew with batch cell diversity).
+        Batches whose cells intersect no cover are rejected by a global
+        membership test first."""
         cells = hex_cell(lat, lon, self.cover_res)
+        any_cover = self._all_cover_sorted
+        pos = np.searchsorted(any_cover, cells)
+        pos[pos >= any_cover.size] = 0
+        covered = any_cover[pos] == cells
+        if not covered.any():
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=object), np.empty(0, dtype=object))
+        cand_idx = np.nonzero(covered)[0]
+        ccells = cells[cand_idx]
         out_idx, out_admin, out_name = [], [], []
-        # group points by cell so each candidate polygon is tested once per
-        # cell with a vectorized PIP
-        order = np.argsort(cells, kind="stable")
-        sorted_cells = cells[order]
-        bounds = np.nonzero(np.diff(sorted_cells))[0] + 1
-        for grp in np.split(order, bounds):
-            cands = self.cell_to_polys.get(int(cells[grp[0]]))
-            if not cands:
+        for pi, poly in enumerate(self.polygons):
+            cover = self._cover_sorted[pi]
+            p = np.searchsorted(cover, ccells)
+            p[p >= cover.size] = 0
+            m = cover[p] == ccells
+            if not m.any():
                 continue
-            glat, glon = lat[grp], lon[grp]
-            for pi in cands:
-                poly = self.polygons[pi]
-                m = points_in_polygon(glat, glon,
-                                      poly["ring_lat"], poly["ring_lon"])
-                if m.any():
-                    hit = grp[m]
-                    out_idx.append(hit)
-                    out_admin.extend([poly["admin_id"]] * len(hit))
-                    out_name.extend([poly["name"]] * len(hit))
+            idx = cand_idx[m]
+            mm = points_in_polygon(lat[idx], lon[idx],
+                                   poly["ring_lat"], poly["ring_lon"])
+            if mm.any():
+                hit = idx[mm]
+                out_idx.append(hit)
+                out_admin.extend([poly["admin_id"]] * len(hit))
+                out_name.extend([poly["name"]] * len(hit))
         if not out_idx:
             return (np.empty(0, dtype=np.int64),
                     np.empty(0, dtype=object), np.empty(0, dtype=object))

@@ -12,10 +12,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..geo.geohash import geohash_encode
+from ..geo.geohash import geohash_encode_arrow
 from ..geo.hexgrid import _mercator_xy, hex_cell
 from ..geo.mercator import lonlat_to_tile
-from ..geo.s2 import s2_cell_id, s2_token
+from ..geo.s2 import s2_cell_id, s2_token_arrow
 
 HEX_RESOLUTIONS = (5, 6, 7, 8, 9)
 DEFAULT_TILE_ZOOM = 12
@@ -34,13 +34,13 @@ def encode_batch(batch: pa.Table, tile_zoom: int = DEFAULT_TILE_ZOOM,
     lat = np.asarray(batch["lat"], dtype=np.float64)
     lon = np.asarray(batch["lon"], dtype=np.float64)
 
-    cols = {"geohash": pa.array(geohash_encode(lat, lon, geohash_precision))}
+    cols = {"geohash": geohash_encode_arrow(lat, lon, geohash_precision)}
     xy = _mercator_xy(lat, lon)   # project once for all hex resolutions
     for r in HEX_RESOLUTIONS:
         cols[f"h3_r{r}"] = pa.array(hex_cell(lat, lon, r, xy=xy), pa.uint64())
     s2 = s2_cell_id(lat, lon, s2_level)
     cols["s2_id"] = pa.array(s2, pa.uint64())
-    cols["s2_token"] = pa.array(s2_token(s2), pa.string())
+    cols["s2_token"] = s2_token_arrow(s2)
     tx, ty = lonlat_to_tile(lon, lat, tile_zoom)
     cols["tile_z"] = pa.array(np.full(len(lat), tile_zoom, dtype=np.int32))
     cols["tile_x"] = pa.array(tx)
