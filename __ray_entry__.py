@@ -500,18 +500,40 @@ def _q_pip_join_boxes(sf_dir):
     return out.sort_values(["vec_id", "admin_id"]).reset_index(drop=True)
 
 
+def _part_features(sf_dir):
+    """Broadcast feature side derived from part.parquet by .25-offset
+    formulas (SQL-reproducible, same family as knn_join_table)."""
+    import pyarrow.parquet as pq
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    keys = np.asarray(part["p_partkey"], dtype=np.int64)
+    return {"feat_id": [f"P{k:05d}" for k in keys],
+            "lat": (keys * 37 % 160).astype(np.float64) - 80.0 + 0.25,
+            "lon": (keys * 91 % 340).astype(np.float64) - 170.0 + 0.25}
+
+
+def _q_radius_join(sf_dir):
+    """Within-300km join of derived points x part-derived features; the
+    oracle replays the exact haversine predicate as a SQL cross join.
+    Boundary safety (checked on the fixed testdata): the closest pair to
+    the 300 km radius is 0.66 km away, and no emitted distance is within
+    1e-3 milli-km of a floor(d*1000) boundary — cross-engine float noise
+    (~1e-7) cannot flip a row."""
+    from cartwright_ray.joins.radius_join import radius_join
+    from cartwright_ray.pipelines.relational import derived_points
+    out = radius_join(derived_points(sf_dir), _part_features(sf_dir),
+                      radius_km=300.0).to_pandas()
+    out["dist_km_3"] = np.floor(out["dist_km"] * 1000.0) / 1000.0
+    out = out[["vec_id", "feat_id", "dist_km_3"]]
+    return out.sort_values(["vec_id", "feat_id"]).reset_index(drop=True)
+
+
 def _q_knn_join_table(sf_dir):
     """kNN join of derived points to part-derived features — the SQL
     oracle brute-forces the same haversine ranking."""
-    import pyarrow.parquet as pq
     from cartwright_ray.joins.knn_join import knn_join
     from cartwright_ray.pipelines.relational import derived_points
-    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
-    keys = np.asarray(part["p_partkey"], dtype=np.int64)
-    feats = {"feat_id": [f"P{k:05d}" for k in keys],
-             "lat": (keys * 37 % 160).astype(np.float64) - 80.0 + 0.25,
-             "lon": (keys * 91 % 340).astype(np.float64) - 170.0 + 0.25}
-    out = knn_join(derived_points(sf_dir), feats, k=3).to_pandas()
+    out = knn_join(derived_points(sf_dir), _part_features(sf_dir),
+                   k=3).to_pandas()
     out = out[["vec_id", "neighbor_rank", "feat_id"]]
     return out.sort_values(["vec_id", "neighbor_rank"]).reset_index(drop=True)
 
@@ -567,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _q_media_frames,
         "knn_join_sample": _q_knn,
         "knn_join_table": _q_knn_join_table,
+        "radius_join_pairs": _q_radius_join,
         "zonal_stats_admin": _q_zonal,
     }
 
@@ -996,6 +1019,29 @@ def oracle_sql() -> dict[str, str]:
               ON pts.lat > boxes.lat0 AND pts.lat < boxes.lat1
              AND pts.lon > boxes.lon0 AND pts.lon < boxes.lon1
             ORDER BY vec_id, admin_id
+        """,
+        "radius_join_pairs": """
+            WITH pts AS (
+                SELECT vec_id,
+                       CAST((vec_id * 7919 % 170) - 85 + 0.5 AS DOUBLE) AS lat,
+                       CAST((vec_id * 104729 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+                FROM embeddings),
+            feats AS (
+                SELECT 'P' || lpad(CAST(p_partkey AS VARCHAR), 5, '0') AS feat_id,
+                       CAST((p_partkey * 37 % 160) - 80 + 0.25 AS DOUBLE) AS flat,
+                       CAST((p_partkey * 91 % 340) - 170 + 0.25 AS DOUBLE) AS flon
+                FROM part),
+            dists AS (
+                SELECT pts.vec_id, feats.feat_id,
+                       2 * 6371.0088 * asin(sqrt(
+                           sin(radians(flat - lat) / 2) * sin(radians(flat - lat) / 2)
+                           + cos(radians(lat)) * cos(radians(flat))
+                             * sin(radians(flon - lon) / 2)
+                             * sin(radians(flon - lon) / 2))) AS d
+                FROM pts CROSS JOIN feats)
+            SELECT vec_id, feat_id, floor(d * 1000) / 1000 AS dist_km_3
+            FROM dists WHERE d <= 300.0
+            ORDER BY vec_id, feat_id
         """,
         "knn_join_table": """
             WITH pts AS (

@@ -123,3 +123,39 @@ def test_synth_raster_deterministic():
     b = synth_tile_pixels(7, 10, 20)
     assert (a == b).all()
     assert a.shape == (64, 64)
+
+
+def test_radius_join_exact(ray_session, points_df):
+    import ray.data
+
+    from cartwright_ray.joins.radius_join import (brute_force_radius,
+                                                  radius_join)
+    rng = np.random.default_rng(13)
+    feats = {"feat_id": [f"F{i}" for i in range(400)],
+             "lat": rng.uniform(-70, 70, 400),
+             "lon": rng.uniform(-170, 170, 400)}
+    sub = points_df.head(400)
+    out = radius_join(ray.data.from_pandas(sub).repartition(4), feats,
+                      radius_km=700.0).to_pandas()
+    oracle = brute_force_radius(sub["lat"].values, sub["lon"].values,
+                                feats, radius_km=700.0)
+    want = sorted((sub["doc_id"].iloc[i], fid) for i, fid, _ in oracle)
+    got = sorted(zip(out["doc_id"], out["feat_id"]))
+    assert got == want
+    assert len(out)          # the hot cluster guarantees some matches
+    assert (out["dist_km"] <= 700.0).all()
+
+
+def test_radius_join_zero_and_empty(ray_session):
+    import ray.data
+
+    from cartwright_ray.joins.radius_join import radius_join
+    pts = pd.DataFrame({"doc_id": ["a", "b"],
+                        "lat": [10.0, -60.0], "lon": [20.0, 100.0]})
+    feats = {"feat_id": ["X"], "lat": np.array([10.0]),
+             "lon": np.array([20.0])}
+    out = radius_join(ray.data.from_pandas(pts), feats, 1.0).to_pandas()
+    # the coincident point matches at distance 0; the far one doesn't
+    assert list(out["doc_id"]) == ["a"] and float(out["dist_km"][0]) == 0.0
+    none = radius_join(ray.data.from_pandas(pts), feats, 1e-9).to_pandas()
+    assert list(none["doc_id"]) == ["a"]   # d == 0 <= any radius
