@@ -99,6 +99,44 @@ def _q_text_stats(sf_dir):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_token_counts(sf_dir):
+    """BPE-ish pre-token counts over the real documents table; the oracle
+    replays the identical RE2 pattern via regexp_extract_all."""
+    from cartwright_ray.stages.textstats import token_count
+    df = token_count(_docs(sf_dir)).to_pandas()
+    df = df[["doc_id", "bpe_tokens"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_quality(sf_dir):
+    """Quality signals over the real documents table; the oracle replays
+    each counter with DuckDB list/regex kernels."""
+    from cartwright_ray.stages.textstats import quality_score
+    df = quality_score(_docs(sf_dir)).to_pandas()
+    df = df[["doc_id", "n_words", "word_chars", "stop_hits", "punct_chars"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _quality_oracle_sql() -> str:
+    from cartwright_ray.stages.textstats import _STOPWORDS
+    stops = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS["en"]))
+    return rf"""
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_words,
+               CAST(length(regexp_replace(lower(text), '\s', '', 'g'))
+                    AS BIGINT) AS word_chars,
+               CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    x -> x IN ({stops}))) AS BIGINT)
+                   AS stop_hits,
+               CAST(length(text) - length(regexp_replace(
+                        text, '[^A-Za-z0-9\s]', '', 'g')) AS BIGINT)
+                   AS punct_chars
+        FROM documents
+        ORDER BY doc_id
+    """
+
+
 def _q_exact_dedup(sf_dir):
     from cartwright_ray.stages.dedup import exact_dedup
     df = exact_dedup(_docs(sf_dir)).to_pandas()
@@ -336,6 +374,20 @@ def _q_minhash(sf_dir):
     return df.sort_values("dup_id").reset_index(drop=True)
 
 
+def _q_ngram_jaccard(sf_dir):
+    """Exact n-gram Jaccard dedup over the planted NEAR-clone corpus
+    (clone = original with its last token replaced, jaccard ~0.93): the
+    estimate-only minhash path at threshold 0.8 could drop these pairs
+    (estimate noise +-0.125), the exact-verify path cannot."""
+    from cartwright_ray.pipelines.derived import planted_near_clone_docs
+    from cartwright_ray.stages.dedup import ngram_jaccard_dedup
+    df = ngram_jaccard_dedup(planted_near_clone_docs(sf_dir),
+                             threshold=0.8).to_pandas()
+    df = df[["dup_id", "kept_id"]]
+    df = df.astype({"dup_id": "int64", "kept_id": "int64"})
+    return df.sort_values("dup_id").reset_index(drop=True)
+
+
 def _q_simhash(sf_dir):
     """SimHash over the planted-clone corpus (clones → hamming 0)."""
     from cartwright_ray.pipelines.derived import planted_clone_docs
@@ -476,6 +528,101 @@ def _q_lsh_ann(sf_dir):
 
 
 
+def _q_ivf_ann(sf_dir):
+    import pyarrow.parquet as pq
+    from cartwright_ray.stages.ann import ivf_ann_search
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 500).to_pandas()
+    qrows = head[head["vec_id"] < 3].sort_values("vec_id")
+    queries = {"query_id": qrows["vec_id"].tolist(),
+               "vec": np.asarray(qrows["embedding"].tolist(), dtype=np.float64)}
+    df = ivf_ann_search(_embeddings(sf_dir), queries, k=10).to_pandas()
+    df["score"] = df["score"].round(6)
+    df = df[["query_id", "vec_id", "rank", "score"]]
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _ivf_centroid_values(dim: int = 64, nlist: int = 16,
+                         seed: int = 29) -> str:
+    """The exact centroid literals stages.ann.ivf_centroids(dim, nlist,
+    seed) produces, as a SQL VALUES list (cid, DOUBLE[] vector).
+    Tie safety (checked on the fixed testdata): min top1-top2 rounded-sim
+    gap is 6e-5 and min probe-boundary (4th vs 5th) gap is 2.1e-7 — both
+    orders of magnitude above cross-engine float noise."""
+    from cartwright_ray.stages.ann import ivf_centroids
+    cents = ivf_centroids(dim, nlist, seed)
+    rows = ", ".join(
+        "(" + str(cid) + ", [" + ", ".join(repr(float(v)) for v in cents[cid])
+        + "]::DOUBLE[])" for cid in range(nlist))
+    return f"cent(cid, cvec) AS (VALUES {rows})"
+
+
+def _ivf_ann_oracle_sql(k: int = 10, nprobe: int = 4) -> str:
+    """Replays IVF assignment + probe with the engine's exact centroid
+    literals, then the rounded-cosine top-k ranking."""
+    return f"""
+        WITH {_ivf_centroid_values()},
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 3),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+              FROM embeddings),
+        easn AS (SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY round(list_cosine_similarity(e.ev, c.cvec), 9) DESC,
+                         c.cid) AS rn
+            FROM e CROSS JOIN cent c) WHERE rn = 1),
+        qprobe AS (SELECT query_id, cid FROM (
+            SELECT q.query_id, c.cid, row_number() OVER (
+                PARTITION BY q.query_id
+                ORDER BY round(list_cosine_similarity(q.qv, c.cvec), 9) DESC,
+                         c.cid) AS rn
+            FROM q CROSS JOIN cent c) WHERE rn <= {nprobe}),
+        cand AS (SELECT q.query_id, e.vec_id,
+                        round(list_cosine_similarity(e.ev, q.qv), 6) AS score
+                 FROM e JOIN easn ON e.vec_id = easn.vec_id
+                      JOIN qprobe ON easn.cid = qprobe.cid
+                      JOIN q ON q.query_id = qprobe.query_id)
+        SELECT query_id, vec_id, rank, score FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, vec_id) - 1 AS rank
+            FROM cand)
+        WHERE rank < {k}
+        ORDER BY query_id, rank
+    """
+
+
+def _q_tile_pyramid(sf_dir):
+    from cartwright_ray.pipelines.relational import tile_pyramid
+    return tile_pyramid(sf_dir)
+
+
+def _tile_pyramid_oracle_sql(zooms=(10, 8, 6, 4)) -> str:
+    """Per-zoom mercator tile counts over the derived points; computing
+    each zoom's floor directly is exactly the engine's shift-rollup
+    (integer division composes)."""
+    parts = []
+    for z in zooms:
+        n = 1 << z
+        parts.append(f"""
+            SELECT CAST({z} AS INT) AS zoom, tile_x, tile_y,
+                   count(*) AS n_points FROM (
+                SELECT CAST(floor((lon + 180) / 360 * {n}) AS INT) AS tile_x,
+                       CAST(floor((1 - ln(tan(radians(lat))
+                            + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1))
+                            / pi()) / 2 * {n}) AS INT) AS tile_y
+                FROM pts)
+            GROUP BY tile_x, tile_y""")
+        # noqa: the formula mirrors geo.mercator.lonlat_to_tile
+    union = " UNION ALL ".join(parts)
+    return f"""
+        WITH pts AS (
+            SELECT CAST((vec_id * 7919 % 170) - 85 + 0.5 AS DOUBLE) AS lat,
+                   CAST((vec_id * 104729 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+            FROM embeddings)
+        SELECT * FROM ({union})
+        ORDER BY zoom, tile_x, tile_y
+    """
+
+
 def _derived_nation_boxes():
     """25 axis-aligned box 'polygons' derived from nation keys — still real
     polygons through the PIP machinery, but SQL-reproducible as range
@@ -549,6 +696,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_value": rel.top_users_by_value,
         "lineitem_shipdate_minmax": rel.lineitem_shipdate_minmax,
         "sessionize_events": rel.sessionize_events,
+        "interval_join_events": rel.interval_join_events,
+        "sliding_window_user_counts": rel.sliding_window_user_counts,
         "value_quantiles_by_type": rel.value_quantiles_by_type,
         "distinct_users_by_type": rel.distinct_users_by_type,
         "asof_join_rates": rel.asof_join_rates,
@@ -559,13 +708,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # geo kernels with SQL-reproducible math
         "tile_assignment": rel.tile_assignment,
         "tile_heatmap": rel.tile_heatmap,
+        "tile_pyramid": _q_tile_pyramid,
         "haversine_origin": rel.haversine_from_origin,
         # text / dedup / ANN
         "text_stats_docs": _q_text_stats,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality,
         "exact_dedup_docs": _q_exact_dedup,
         "ann_topk": _q_ann,
         "lsh_ann_topk": _q_lsh_ann,
+        "ivf_ann_topk": _q_ivf_ann,
         "minhash_dedup_pairs": _q_minhash,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_dedup_pairs": _q_simhash,
         "embedding_near_dups": _q_embedding_dups,
         "langid_counts": _q_langid,
@@ -879,6 +1033,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, session_id
             ORDER BY user_id, session_id
         """,
+        "interval_join_events": """
+            WITH iv AS (
+                SELECT CAST(j AS BIGINT) AS interval_id,
+                       1704067200000000 + j * 21600000000 AS start_us,
+                       1704067200000000 + j * 21600000000
+                           + 32400000000 AS end_us
+                FROM generate_series(0, 120) t(j))
+            SELECT event_id, interval_id
+            FROM events JOIN iv
+              ON epoch_us(ts) >= iv.start_us AND epoch_us(ts) < iv.end_us
+            ORDER BY event_id, interval_id
+        """,
+        "sliding_window_user_counts": """
+            SELECT event_id,
+                   CAST(count(*) OVER w AS BIGINT) AS window_n,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS window_cents
+            FROM (SELECT event_id, user_id, value,
+                         epoch_us(ts) AS ts_us FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
+        """,
         "value_quantiles_by_type": """
             SELECT event_type,
                    round(quantile_cont(value, 0.5), 6) AS p50,
@@ -903,6 +1080,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings)
             ORDER BY vec_id
         """,
+        "tile_pyramid": _tile_pyramid_oracle_sql(),
         "tile_heatmap": """
             SELECT tile_x, tile_y, count(*) AS n_points FROM (
                 SELECT CAST(floor((lon + 180) / 360 * 64) AS INT) AS tile_x,
@@ -929,6 +1107,15 @@ def oracle_sql() -> dict[str, str]:
                        CAST((vec_id * 104729 % 360) - 180 + 0.5 AS DOUBLE) AS lon
                 FROM embeddings)
             ORDER BY vec_id
+        """,
+        "quality_scores": _quality_oracle_sql(),
+        "token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                       AS bpe_tokens
+            FROM documents
+            ORDER BY doc_id
         """,
         "text_stats_docs": r"""
             SELECT doc_id,
@@ -1216,6 +1403,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id + 100000 AS dup_id, doc_id AS kept_id
             FROM documents WHERE doc_id < 25 ORDER BY dup_id
         """,
+        "ngram_jaccard_pairs": """
+            SELECT doc_id + 100000 AS dup_id, doc_id AS kept_id
+            FROM documents WHERE doc_id < 25 ORDER BY dup_id
+        """,
         "simhash_dedup_pairs": """
             SELECT doc_id + 100000 AS dup_id, doc_id AS kept_id,
                    CAST(0 AS BIGINT) AS hamming
@@ -1244,6 +1435,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id
         """,
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
+        "ivf_ann_topk": _ivf_ann_oracle_sql(),
         "spatial_resolution_grid": """
             SELECT 'square' AS kind, 'degrees' AS unit,
                    CAST(1.0 AS DOUBLE) AS resolution, 'PERFECT' AS uniformity

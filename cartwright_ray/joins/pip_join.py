@@ -166,7 +166,7 @@ def _pip_task(batch: pa.Table, polygons_ref, cover_res: int) -> pa.Table:
 
 def pip_join(points_ds, polygons: list[dict],
              cover_res: int = DEFAULT_COVER_RES,
-             concurrency: int | None = None, batch_size: int = 8192,
+             concurrency: int | None = None, batch_size: int | None = None,
              plan: str = "tasks"):
     """Broadcast PIP join: points Dataset (lat/lon columns) → inner-join
     rows with admin_id/admin_name appended.

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..geo.haversine import EARTH_RADIUS_KM, haversine_km
 from ..util import _pool
@@ -119,3 +120,158 @@ def brute_force_radius(lat, lon, features: dict, radius_km: float):
         for j in np.nonzero(d <= radius_km)[0]:
             out.append((i, fids[j], float(d[j])))
     return sorted(out, key=lambda t: (t[0], t[1]))
+
+
+# ---------------------------------------------------------------------------
+# shuffle plan (large feature side)
+# ---------------------------------------------------------------------------
+
+def _grid_cell_ids(lat: np.ndarray, lon: np.ndarray, cell_deg: float):
+    """(row, col) integer grid cell of each point on a lat/lon graticule."""
+    row = np.floor((lat + 90.0) / cell_deg).astype(np.int64)
+    col = np.floor(((lon + 180.0) % 360.0) / cell_deg).astype(np.int64)
+    return row, col
+
+
+def radius_join_shuffle(points_ds, features_ds, radius_km: float):
+    """Within-distance join for a LARGE feature side: both sides are keyed
+    onto a lat/lon graticule whose cell edge is >= the radius, features
+    are replicated into every cell their radius disc can touch (the 3x3
+    neighborhood — guaranteed sufficient because cell edge >= radius in
+    BOTH axes at the widest point of the disc), and ONE ``groupby`` on
+    the cell key co-locates each point with every feature that can be
+    within range. Per-group work is a vectorized brute force over the
+    (bounded) group.
+
+    Partitioning assumptions, explicit:
+
+    - cell height is ``cell_deg`` latitude degrees with
+      ``cell_deg >= radius/111.045 km``, so a disc spans <= 2 rows;
+    - the longitude edge shrinks by cos(lat), so above ``POLAR_LAT`` the
+      3x3 neighborhood stops covering the disc — those rows fall into a
+      single polar bucket per hemisphere (tiny at real-data densities;
+      the classic polar-cap special case);
+    - hot cells: a dense city cell makes one big group — compose with
+      ``pip_join.salted_keys``-style salting on the point side if a cell
+      histogram shows skew (the feature side must then be replicated per
+      salt, the standard trade).
+    """
+    import ray.data
+
+    POLAR_LAT = 80.0
+    # one latitude degree is ~111.045 km (spherical mean); the longitude
+    # degree shrinks by cos(lat) — at POLAR_LAT cos = 0.17, so cell edge
+    # in km stays >= radius as long as cell_deg * 111.045 * 0.17 >= radius
+    cell_deg = max(radius_km / (111.045 * np.cos(np.deg2rad(POLAR_LAT))),
+                   0.25)
+    n_cols = int(np.ceil(360.0 / cell_deg))
+    n_rows = int(np.ceil(180.0 / cell_deg)) + 1
+
+    # the two sides are UNIONed ahead of the groupby, so both must carry
+    # one schema: point columns + (rj_feat_id, rj_flat, rj_flon) +
+    # (rj_key, rj_side), the feature fields null on point rows and vice
+    # versa. The point schema is read from dataset metadata once.
+    # one-row probe: ray.data.Schema.types can surface non-Arrow types for
+    # pandas-born datasets; a single materialized batch gives the real
+    # Arrow schema (reads one block, metadata-cheap)
+    p_schema = points_ds.limit(1).take_batch(1, batch_format="pyarrow").schema
+
+    def _keys_of(lat, lon):
+        row, col = _grid_cell_ids(lat, lon, cell_deg)
+        return row, col
+
+    def key_points(t: pa.Table) -> pa.Table:
+        lat = np.asarray(t["lat"], dtype=np.float64)
+        lon = np.asarray(t["lon"], dtype=np.float64)
+        row, col = _keys_of(lat, lon)
+        polar = np.abs(lat) >= POLAR_LAT
+        key = np.where(polar, -1 - (lat > 0).astype(np.int64),
+                       row * n_cols + col)
+        n = len(lat)
+        out = t.append_column("rj_feat_id", pa.nulls(n, pa.string()))
+        out = out.append_column("rj_flat", pa.nulls(n, pa.float64()))
+        out = out.append_column("rj_flon", pa.nulls(n, pa.float64()))
+        out = out.append_column("rj_key", pa.array(key, pa.int64()))
+        return out.append_column("rj_side", pa.array(np.zeros(n, np.int8)))
+
+    def key_features(t: pa.Table) -> pa.Table:
+        lat = np.asarray(t["lat"], dtype=np.float64)
+        lon = np.asarray(t["lon"], dtype=np.float64)
+        fid = t["feat_id"]
+        row, col = _keys_of(lat, lon)
+        keys, idxs = [], []
+        for dr in (-1, 0, 1):
+            r2 = row + dr
+            ok = (r2 >= 0) & (r2 < n_rows)
+            for dc in (-1, 0, 1):
+                c2 = (col + dc) % n_cols          # antimeridian wrap
+                keys.append((r2 * n_cols + c2)[ok])
+                idxs.append(np.nonzero(ok)[0])
+        # polar buckets: every feature whose disc can reach a polar row
+        reach = 1.2 * radius_km / 111.045
+        for sign, bucket in ((1, -2), (-1, -1)):
+            m = sign * lat >= POLAR_LAT - reach
+            keys.append(np.full(int(m.sum()), bucket, dtype=np.int64))
+            idxs.append(np.nonzero(m)[0])
+        key = np.concatenate(keys)
+        idx = np.concatenate(idxs)
+        n = len(idx)
+        take = pa.array(idx, pa.int64())
+        cols = []
+        for fld in p_schema:
+            cols.append(pa.nulls(n, fld.type))
+        out = pa.Table.from_arrays(cols, schema=p_schema)
+        out = out.append_column("rj_feat_id",
+                                pc.cast(fid.take(take), pa.string()))
+        out = out.append_column(
+            "rj_flat", pa.array(lat[idx], pa.float64()))
+        out = out.append_column(
+            "rj_flon", pa.array(lon[idx], pa.float64()))
+        out = out.append_column("rj_key", pa.array(key, pa.int64()))
+        return out.append_column("rj_side", pa.array(np.ones(n, np.int8)))
+
+    pts = points_ds.map_batches(key_points, batch_format="pyarrow")
+    fts = features_ds.map_batches(key_features, batch_format="pyarrow")
+    both = pts.union(fts)
+
+    def per_cell(g: pa.Table) -> pa.Table:
+        side = np.asarray(g["rj_side"])
+        p = g.filter(pa.array(side == 0))
+        f = g.filter(pa.array(side == 1))
+        out_schema = p_schema \
+            .append(pa.field("feat_id_matched", pa.string())) \
+            .append(pa.field("dist_km", pa.float64()))
+        if p.num_rows == 0 or f.num_rows == 0:
+            return out_schema.empty_table()
+        plat = np.asarray(p["lat"], dtype=np.float64)
+        plon = np.asarray(p["lon"], dtype=np.float64)
+        flat = np.asarray(f["rj_flat"], dtype=np.float64)
+        flon = np.asarray(f["rj_flon"], dtype=np.float64)
+        fid = np.asarray(f["rj_feat_id"], dtype=object)
+        # a feature lands in one group once per replication direction; a
+        # (point, feature) pair can still only meet in ONE group (the
+        # point has exactly one key) — but the same feature may appear
+        # twice in a POLAR bucket (regular + polar emit), so dedup ids
+        uniq, first = np.unique(fid.astype(str), return_index=True)
+        flat, flon, fid = flat[first], flon[first], fid[first]
+        pi_parts, fi_parts, d_parts = [], [], []
+        for lo in range(0, len(plat), 2048):      # bound the pair matrix
+            hi = min(lo + 2048, len(plat))
+            d = haversine_km(plat[lo:hi, None], plon[lo:hi, None],
+                             flat[None, :], flon[None, :])
+            pi, fi = np.nonzero(d <= radius_km)
+            pi_parts.append(pi + lo)
+            fi_parts.append(fi)
+            d_parts.append(d[pi, fi])
+        pi = np.concatenate(pi_parts)
+        fi = np.concatenate(fi_parts)
+        dd = np.concatenate(d_parts)
+        out = p.select([f.name for f in p_schema]) \
+               .take(pa.array(pi, pa.int64()))
+        out = out.append_column("feat_id_matched",
+                                pa.array(fid[fi], pa.string()))
+        out = out.append_column("dist_km", pa.array(dd, pa.float64()))
+        return out
+
+    return both.groupby("rj_key").map_groups(per_cell,
+                                             batch_format="pyarrow")

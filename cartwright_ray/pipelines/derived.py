@@ -235,3 +235,33 @@ def lang_derived_docs(sf_dir: str):
                          "text": pa.array(texts, pa.string())})
 
     return ds.map_batches(build, batch_format="pyarrow")
+
+
+def planted_near_clone_docs(sf_dir: str, clones: int = 25,
+                            offset: int = 100000):
+    """planted_clone_docs variant for EXACT-jaccard dedup oracles: the
+    clone's last token is replaced, so each planted pair's char-4-gram
+    jaccard is ~0.93 (far above a 0.8 threshold) while unrelated docs
+    stay below 0.01 — the planted answer is the only answer."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"], dtype=np.int64)
+        ids, texts = [], []
+        for di in d:
+            di = int(di)
+            t = _derived_text(di)
+            ids.append(di)
+            texts.append(t)
+            if di < clones:
+                alt = hashlib.blake2b(f"{di}:alt".encode(),
+                                      digest_size=6).hexdigest()
+                ids.append(di + offset)
+                texts.append(t.rsplit(" ", 1)[0] + " " + alt)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    return ds.map_batches(build, batch_format="pyarrow")

@@ -403,3 +403,189 @@ def top_orders_per_customer(sf_dir: str, k: int = 2) -> pd.DataFrame:
             .to_pandas()
     out = out.sort_values(["o_custkey", "order_rank"]).reset_index(drop=True)
     return _round_cols(out, ["o_totalprice"])
+
+
+def interval_join(events_ds, intervals: dict, ts_col: str = "ts"):
+    """Bounded-width interval (range) join: one output row per
+    (event, interval) with ``start_us <= ts < end_us``.
+
+    ``intervals`` — {interval_id, start_us, end_us} (integer epoch µs) —
+    is the SMALL side: broadcast once (``ray.put``), probed per batch with
+    two ``searchsorted`` calls against the start-sorted array. Candidate
+    selection relies on the documented partitioning assumption of every
+    bounded-width range join: an interval containing ``t`` must START in
+    ``(t - max_width, t]``, so the candidate count per event is
+    O(intervals overlapping t), never O(all intervals). Integer µs
+    comparisons make the predicate bit-exact vs a SQL BETWEEN oracle.
+
+    For a LARGE interval side the broadcast stops fitting; the scale path
+    is to bucket both sides by ``floor(t / max_width)`` and join each
+    bucket to its own and its predecessor bucket's intervals (same
+    co-location trick, one shuffle).
+    """
+    ref = ray.put({
+        "id": np.asarray(intervals["interval_id"]),
+        "start": np.asarray(intervals["start_us"], dtype=np.int64),
+        "end": np.asarray(intervals["end_us"], dtype=np.int64),
+    })
+
+    class _Probe:
+        def __init__(self):
+            iv = ray.get(ref)
+            order = np.argsort(iv["start"], kind="stable")
+            self.ids = iv["id"][order]
+            self.start = iv["start"][order]
+            self.end = iv["end"][order]
+            w = self.end - self.start
+            self.max_w = int(w.max()) if len(w) else 0
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ts = np.asarray(
+                t[ts_col].cast(pa.timestamp("us")), dtype="datetime64[us]"
+            ).astype(np.int64)
+            lo = np.searchsorted(self.start, ts - self.max_w, side="right")
+            hi = np.searchsorted(self.start, ts, side="right")
+            counts = hi - lo
+            ev_idx = np.repeat(np.arange(len(ts)), counts)
+            # per-event candidate interval positions lo[e] .. hi[e]-1
+            offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            iv_idx = (np.arange(counts.sum()) - np.repeat(offs, counts)
+                      + np.repeat(lo, counts))
+            keep = ts[ev_idx] < self.end[iv_idx]
+            ev_idx, iv_idx = ev_idx[keep], iv_idx[keep]
+            out = t.take(pa.array(ev_idx, pa.int64()))
+            out = out.append_column(
+                "interval_id", pa.array(self.ids[iv_idx], pa.int64()))
+            return out
+
+    return events_ds.map_batches(_Probe, batch_format="pyarrow",
+                                 concurrency=_pool_rel(), zero_copy_batch=True)
+
+
+def _pool_rel():
+    from ..util import _pool
+    return _pool(None)
+
+
+# interval grid constants shared by the query wrapper and the SQL oracle:
+# 6-hour stride, 9-hour width (overlapping -> true range join, each event
+# matches 1-2 intervals), anchored at 2024-01-01 (the events table epoch)
+INTERVAL_T0_US = 1_704_067_200 * 1_000_000
+INTERVAL_STRIDE_US = 21_600 * 1_000_000
+INTERVAL_WIDTH_US = 32_400 * 1_000_000
+INTERVAL_COUNT = 121
+
+
+def interval_join_events(sf_dir: str) -> pd.DataFrame:
+    """Range join of events against the formula-derived interval grid."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts"])
+    j = np.arange(INTERVAL_COUNT, dtype=np.int64)
+    intervals = {"interval_id": j,
+                 "start_us": INTERVAL_T0_US + j * INTERVAL_STRIDE_US,
+                 "end_us": INTERVAL_T0_US + j * INTERVAL_STRIDE_US
+                 + INTERVAL_WIDTH_US}
+    out = interval_join(ds, intervals).to_pandas()
+    out = out[["event_id", "interval_id"]]
+    return out.sort_values(["event_id", "interval_id"]).reset_index(drop=True)
+
+
+def sliding_window_user_counts(sf_dir: str) -> pd.DataFrame:
+    """Per event: count and value-sum of the SAME user's events in the
+    trailing 1-hour window [ts - 1h, ts] (SQL RANGE frame semantics,
+    peers included). One shuffle on user_id, then a vectorized ordered
+    scan per group: two ``searchsorted`` bounds + prefix-sum difference —
+    no per-row loop even inside the group.
+
+    The summed value is floored to integer cents FIRST, so both the
+    engine's prefix-sum difference and the oracle's windowed sum are
+    exact integer arithmetic (float window sums associate differently
+    engine to engine).
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts", "value"])
+    win_us = 3600 * 1_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.floor(g["value"].to_numpy() * 100.0).astype(np.int64)
+        lo = np.searchsorted(ts, ts - win_us, side="left")
+        hi = np.searchsorted(ts, ts, side="right")     # RANGE: include peers
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "window_n": hi - lo,
+            "window_cents": csum[hi] - csum[lo],
+        })
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas") \
+            .to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def tile_pyramid(sf_dir: str, base_zoom: int = 10,
+                 min_zoom: int = 4) -> pd.DataFrame:
+    """Hierarchical tile rollup: point counts at ``base_zoom``, then each
+    coarser level (every 2 zooms) derived from the PREVIOUS level by an
+    integer shift + re-aggregate — the classic tile-pyramid build.
+
+    Scale shape: the raw points are touched ONCE (per-batch partial
+    counts via np.unique, so the base groupby shuffles pre-aggregated
+    (tile, n) rows, not points); every later level aggregates the
+    previous level's output, which shrinks ~16x per step. Rolling up by
+    shifting is exact: floor((lon+180)/360*2^z) >> 2 ==
+    floor((lon+180)/360*2^(z-2)) (integer division composes), same for
+    the mercator y.
+    """
+    from ..geo.mercator import lonlat_to_tile
+
+    def assign(t: pa.Table) -> pa.Table:
+        lat = np.asarray(t["lat"], dtype=np.float64)
+        lon = np.asarray(t["lon"], dtype=np.float64)
+        x, y = lonlat_to_tile(lon, lat, base_zoom)
+        key = x.astype(np.int64) << 32 | y.astype(np.int64)
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table({
+            "tile_x": pa.array((uniq >> 32).astype(np.int32)),
+            "tile_y": pa.array((uniq & 0xFFFFFFFF).astype(np.int32)),
+            "n": pa.array(counts.astype(np.int64))})
+
+    # each level is materialized (it is the ~16x-shrunken aggregate, tiny
+    # relative to the input) so the next level's groupby consumes blocks
+    # instead of re-executing the lineage from the raw points
+    level = (derived_points(sf_dir)
+             .map_batches(assign, batch_format="pyarrow")
+             .groupby(["tile_x", "tile_y"])
+             .aggregate(Sum("n", alias_name="n_points"))
+             .materialize())
+
+    def _with_zoom(z):
+        def add(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "zoom", pa.array(np.full(t.num_rows, z, dtype=np.int32)))
+        return add
+
+    def coarsen(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "tile_x": pc.cast(pc.shift_right(t["tile_x"], 2), pa.int32()),
+            "tile_y": pc.cast(pc.shift_right(t["tile_y"], 2), pa.int32()),
+            "n": pc.cast(t["n_points"], pa.int64())})
+
+    levels = []
+    zoom = base_zoom
+    while True:
+        levels.append(level.map_batches(_with_zoom(zoom),
+                                        batch_format="pyarrow"))
+        if zoom <= min_zoom:
+            break
+        zoom -= 2
+        level = (level.map_batches(coarsen, batch_format="pyarrow")
+                 .groupby(["tile_x", "tile_y"])
+                 .aggregate(Sum("n", alias_name="n_points"))
+                 .materialize())
+
+    out = levels[0].union(*levels[1:]).to_pandas()
+    out["zoom"] = out["zoom"].astype("int32")
+    out["n_points"] = out["n_points"].astype("int64")
+    return out.sort_values(["zoom", "tile_x", "tile_y"]).reset_index(drop=True)

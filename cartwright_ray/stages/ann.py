@@ -195,3 +195,99 @@ def lsh_ann_search(ds, queries: dict, k: int = 10, vec_col: str = "embedding",
         return g
 
     return cands.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+def ivf_centroids(dim: int, nlist: int, seed: int = 29) -> np.ndarray:
+    """Deterministic coarse-quantizer centroids: seeded unit vectors.
+
+    A trained k-means quantizer fits real data tighter, but a FIXED seeded
+    quantizer keeps assignment a pure function of the vector — the
+    property the oracle (and resumable re-runs) need. Swap in trained
+    centroids without touching the plumbing."""
+    rng = np.random.default_rng(seed)
+    return _normalize(rng.normal(size=(nlist, dim)))
+
+
+def ivf_assign(vecs: np.ndarray, centroids: np.ndarray,
+               round_decimals: int = 9) -> np.ndarray:
+    """Nearest-centroid id per (already normalized) vector — argmax of the
+    ROUNDED cosine with centroid-id tiebreak, the same order a SQL
+    ``row_number() OVER (ORDER BY round(sim, 9) DESC, cid)`` produces."""
+    sims = np.round(vecs @ centroids.T, round_decimals)    # (n, nlist)
+    # lexsort-free argmax with id tiebreak: argmax takes the FIRST max,
+    # which is the lowest centroid id
+    return np.argmax(sims, axis=1).astype(np.int64)
+
+
+def ivf_ann_search(ds, queries: dict, k: int = 10, vec_col: str = "embedding",
+                   id_col: str = "vec_id", nlist: int = 16, nprobe: int = 4,
+                   seed: int = 29, concurrency: int | None = None,
+                   round_decimals: int | None = 6):
+    """IVF (inverted-file) ANN: vectors are bucketed by nearest coarse
+    centroid; each query scores ONLY vectors assigned to its ``nprobe``
+    nearest centroids — the scan fraction is ~nprobe/nlist by
+    construction, independent of data distribution (unlike sign-LSH whose
+    probe volume is data-dependent).
+
+    Ray-Data shape: assignment happens inside the same streaming
+    ``map_batches`` scan (a filter, not a shuffle) — at 100 TB the win is
+    that a PRE-PARTITIONED corpus (``write_parquet`` partitioned by
+    ``ivf_list``) turns the probe into a *reader-level* partition prune:
+    only nprobe/nlist of the files are opened. Same output schema as
+    :func:`ann_search`; recall is exact for vectors in probed lists.
+    """
+    import ray
+
+    qmat = _normalize(np.asarray(queries["vec"], dtype=np.float64))
+    cents = ivf_centroids(qmat.shape[1], nlist, seed)
+    qsims = np.round(qmat @ cents.T, 9)
+    # top-nprobe centroids per query; stable argsort breaks rounded-sim
+    # ties by ascending centroid id (same as SQL ORDER BY s DESC, cid)
+    probe = np.argsort(-qsims, axis=1, kind="stable")[:, :nprobe]
+    probe_masks = np.zeros((len(qmat), nlist), dtype=bool)
+    for qi in range(len(qmat)):
+        probe_masks[qi, probe[qi]] = True
+    bundle_ref = ray.put({"query_id": list(queries["query_id"]),
+                          "vec": qmat, "cents": cents,
+                          "probe_masks": probe_masks})
+
+    class _IVFScan:
+        def __init__(self):
+            b = ray.get(bundle_ref)
+            self.qids = b["query_id"]
+            self.qmat = b["vec"]
+            self.cents = b["cents"]
+            self.probe_masks = b["probe_masks"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(_vecs_from_arrow(batch.column(vec_col)))
+            ids = np.asarray(batch.column(id_col))
+            assign = ivf_assign(vecs, self.cents)
+            out_q, out_id, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                cand = np.nonzero(self.probe_masks[qi][assign])[0]
+                if cand.size == 0:
+                    continue
+                sims = vecs[cand] @ self.qmat[qi]
+                kk = min(k, cand.size)
+                top = _topk_rounded(sims, ids[cand], kk, round_decimals)
+                out_q.extend([qid] * kk)
+                out_id.extend(ids[cand[top]].tolist())
+                out_s.extend(sims[top].tolist())
+            return pa.table({"query_id": pa.array(out_q),
+                             "vec_id": pa.array(out_id),
+                             "score": pa.array(out_s, pa.float64())})
+
+    cands = ds.map_batches(_IVFScan, batch_format="pyarrow",
+                           batch_size=4096, concurrency=_pool(concurrency),
+                           zero_copy_batch=True)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        if round_decimals is not None:
+            g["score"] = g["score"].round(round_decimals)
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return cands.groupby("query_id").map_groups(topk, batch_format="pandas")

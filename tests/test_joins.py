@@ -159,3 +159,35 @@ def test_radius_join_zero_and_empty(ray_session):
     assert list(out["doc_id"]) == ["a"] and float(out["dist_km"][0]) == 0.0
     none = radius_join(ray.data.from_pandas(pts), feats, 1e-9).to_pandas()
     assert list(none["doc_id"]) == ["a"]   # d == 0 <= any radius
+
+
+def test_radius_join_shuffle_matches_broadcast(ray_session, points_df):
+    import ray.data
+
+    from cartwright_ray.joins.radius_join import (brute_force_radius,
+                                                  radius_join_shuffle)
+    rng = np.random.default_rng(17)
+    m = 300
+    feats = pd.DataFrame({
+        "feat_id": [f"F{i}" for i in range(m)],
+        # include polar and antimeridian features on purpose
+        "lat": np.concatenate([rng.uniform(-88, 88, m - 4),
+                               [84.0, -86.0, 10.0, -10.0]]),
+        "lon": np.concatenate([rng.uniform(-180, 180, m - 4),
+                               [30.0, -100.0, 179.9, -179.9]]),
+    })
+    sub = pd.concat([points_df.head(300), pd.DataFrame({
+        "doc_id": ["p_pole", "p_anti"], "span_idx": [0, 0],
+        "lat": [83.5, -9.8], "lon": [31.0, 179.95]})], ignore_index=True)
+    out = radius_join_shuffle(
+        ray.data.from_pandas(sub).repartition(4),
+        ray.data.from_pandas(feats).repartition(3),
+        radius_km=500.0).to_pandas()
+    fdict = {"feat_id": feats["feat_id"].tolist(),
+             "lat": feats["lat"].values, "lon": feats["lon"].values}
+    oracle = brute_force_radius(sub["lat"].values, sub["lon"].values,
+                                fdict, radius_km=500.0)
+    want = sorted((sub["doc_id"].iloc[i], fid) for i, fid, _ in oracle)
+    got = sorted(zip(out["doc_id"], out["feat_id_matched"]))
+    assert got == want
+    assert len(got)

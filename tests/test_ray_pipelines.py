@@ -191,3 +191,29 @@ def test_classify_dataset_nested_columns(ray_session):
     got = {c.column: c.category for c in cls.classifications}
     assert set(got) == {"doc_id", "spans"}
     assert got["spans"] is None
+
+
+def test_tile_pyramid_exact_and_consistent(ray_session):
+    import pyarrow.parquet as pq
+
+    from cartwright_ray.geo.mercator import lonlat_to_tile
+    from cartwright_ray.pipelines.relational import tile_pyramid
+    sf = "/root/testdata/sf0.001"
+    out = tile_pyramid(sf)
+    v = np.asarray(pq.read_table(f"{sf}/embeddings.parquet",
+                                 columns=["vec_id"])["vec_id"],
+                   dtype=np.int64)
+    lat = (v * 7919 % 170).astype(np.float64) - 85.0 + 0.5
+    lon = (v * 104729 % 360).astype(np.float64) - 180.0 + 0.5
+    n_total = len(v)
+    for z in (10, 8, 6, 4):
+        x, y = lonlat_to_tile(lon, lat, z)
+        key = x.astype(np.int64) << 32 | y.astype(np.int64)
+        uniq, counts = np.unique(key, return_counts=True)
+        want = {(int(k >> 32), int(k & 0xFFFFFFFF)): int(c)
+                for k, c in zip(uniq, counts)}
+        lvl = out[out["zoom"] == z]
+        got = {(int(r["tile_x"]), int(r["tile_y"])): int(r["n_points"])
+               for _, r in lvl.iterrows()}
+        assert got == want
+        assert int(lvl["n_points"].sum()) == n_total   # mass conserved

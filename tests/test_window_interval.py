@@ -1,0 +1,70 @@
+"""Interval (range) join + sliding-window aggregate vs brute-force oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cartwright_ray.pipelines.relational import interval_join
+
+
+@pytest.fixture(scope="module")
+def event_frame():
+    rng = np.random.default_rng(21)
+    n = 2000
+    ts_us = np.sort(rng.integers(0, 10_000_000_000, n))
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 25, n),
+        "ts": ts_us.astype("datetime64[us]"),
+        "value": rng.uniform(-5, 5, n),
+    })
+
+
+def test_interval_join_exact(ray_session, event_frame):
+    import ray.data
+    rng = np.random.default_rng(22)
+    m = 60
+    start = np.sort(rng.integers(0, 9_500_000_000, m))
+    width = rng.integers(1, 800_000_000, m)       # variable widths
+    intervals = {"interval_id": np.arange(m, dtype=np.int64),
+                 "start_us": start, "end_us": start + width}
+    ds = ray.data.from_pandas(event_frame).repartition(6)
+    out = interval_join(ds, intervals).to_pandas()
+    ts = event_frame["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    want = sorted(
+        (int(e), int(j))
+        for i, e in enumerate(event_frame["event_id"])
+        for j in range(m)
+        if intervals["start_us"][j] <= ts[i] < intervals["end_us"][j])
+    got = sorted(zip(out["event_id"].astype(int), out["interval_id"].astype(int)))
+    assert got == want
+    assert len(got)
+
+
+def test_interval_join_empty_and_boundary(ray_session):
+    import ray.data
+    df = pd.DataFrame({"event_id": [0, 1, 2],
+                       "ts": np.array([100, 200, 300], dtype="datetime64[us]")})
+    iv = {"interval_id": np.array([7]), "start_us": np.array([200]),
+          "end_us": np.array([300])}
+    out = interval_join(ray.data.from_pandas(df), iv).to_pandas()
+    # half-open [start, end): ts=200 in, ts=300 out
+    assert list(out["event_id"]) == [1]
+
+
+def test_sliding_window_counts_exact(ray_session, event_frame, tmp_path):
+    import ray.data
+
+    from cartwright_ray.pipelines.relational import sliding_window_user_counts
+    p = tmp_path / "events.parquet"
+    event_frame.to_parquet(p)
+    out = sliding_window_user_counts(str(tmp_path))
+    ts = event_frame["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    cents = np.floor(event_frame["value"].to_numpy() * 100).astype(np.int64)
+    uid = event_frame["user_id"].to_numpy()
+    win = 3600 * 1_000_000
+    for _, r in out.sample(80, random_state=5).iterrows():
+        i = int(r["event_id"])
+        mask = (uid == uid[i]) & (ts >= ts[i] - win) & (ts <= ts[i])
+        assert int(r["window_n"]) == int(mask.sum())
+        assert int(r["window_cents"]) == int(cents[mask].sum())
