@@ -123,7 +123,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "text_stats_docs", "exact_dedup_docs", "minhash_dedup_pairs",
              "simhash_dedup_pairs", "ann_topk", "temporal_resolution_events",
              "encoded_points", "pip_join_counts", "knn_join_sample",
-             "zonal_stats_admin"]
+             "zonal_stats_admin", "radius_join_pairs", "interval_join_events",
+             "sliding_window_user_counts", "tile_pyramid", "ivf_ann_topk",
+             "ngram_jaccard_pairs", "token_counts", "quality_scores"]
     out = {}
     for name in picks:
         t0 = time.time()

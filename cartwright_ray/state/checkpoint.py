@@ -189,3 +189,24 @@ def checkpointed_write_by_key(ds, out_dir: str, part_col: str,
         "skipped": int((stats["status"] == "skipped").sum()),
         "rows": int(stats["rows"].sum()),
     }
+
+
+def lineage_report(out_dir: str) -> dict:
+    """Aggregate the per-partition manifests into one lineage/metrics
+    record (north_rule: "per-partition lineage + metrics records"):
+    totals plus per-partition rows/bytes/key-range, ready to log or store
+    next to the sink output."""
+    parts = read_manifest(out_dir)
+    rows = sum(p.get("row_count", 0) for p in parts.values())
+    size = sum(p.get("bytes", 0) for p in parts.values())
+    return {
+        "out_dir": out_dir,
+        "partitions": len(parts),
+        "rows": rows,
+        "bytes": size,
+        "partition_index": {
+            pid: {"rows": p.get("row_count", 0), "bytes": p.get("bytes", 0),
+                  "key": p.get("key", p.get("key_range"))}
+            for pid, p in sorted(parts.items())
+        },
+    }

@@ -121,3 +121,21 @@ def test_haversine_known():
     assert abs(d[0] - 344) < 5
     assert haversine_km(np.array([0.0]), np.array([0.0]),
                         np.array([0.0]), np.array([0.0]))[0] == 0.0
+
+
+def test_s2_parent_rollup_consistent_with_direct_encode():
+    """Rolling a fine cell up to a coarser level must equal encoding the
+    point at that level directly — the property hierarchical aggregations
+    (tile_pyramid analogue on S2) rely on."""
+    import numpy as np
+
+    from cartwright_ray.geo.s2 import s2_cell_id, s2_level, s2_parent
+    rng = np.random.default_rng(33)
+    lat = rng.uniform(-85, 85, 2000)
+    lon = rng.uniform(-180, 180, 2000)
+    fine = s2_cell_id(lat, lon, 14)
+    for lvl in (12, 9, 6, 3):
+        want = s2_cell_id(lat, lon, lvl)
+        got = s2_parent(fine, lvl)
+        assert (got == want).all()
+        assert (s2_level(got) == lvl).all()

@@ -217,3 +217,18 @@ def test_tile_pyramid_exact_and_consistent(ray_session):
                for _, r in lvl.iterrows()}
         assert got == want
         assert int(lvl["n_points"].sum()) == n_total   # mass conserved
+
+
+def test_lineage_report(ray_session, tmp_path):
+    import ray.data
+
+    from cartwright_ray.state.checkpoint import (checkpointed_write_by_key,
+                                                 lineage_report)
+    df = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 3, "v": range(8)})
+    out = str(tmp_path / "sink")
+    checkpointed_write_by_key(ray.data.from_pandas(df), out, part_col="k")
+    rep = lineage_report(out)
+    assert rep["partitions"] == 2 and rep["rows"] == 8
+    keys = sorted(p["key"] for p in rep["partition_index"].values())
+    assert keys == ["a", "b"]
+    assert rep["bytes"] > 0
