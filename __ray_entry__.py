@@ -143,6 +143,34 @@ def _q_exact_dedup(sf_dir):
     return df[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_training_prep(sf_dir):
+    """Composed LLM-training-data prep over the real documents table:
+    exact dedup (keep min doc_id per text) -> quality gate (>= 5 words,
+    punctuation < 20% of chars) -> BPE-ish token count. One streaming
+    chain; the oracle composes the same three steps in SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cartwright_ray.stages.dedup import exact_dedup
+    from cartwright_ray.stages.textstats import (quality_score_batch,
+                                                 token_count_batch)
+
+    def stats_and_gate(t):
+        t = quality_score_batch(t)
+        t = token_count_batch(t)
+        n_chars = pc.utf8_length(t["text"])
+        keep = pc.and_(
+            pc.greater_equal(t["n_words"], 5),
+            pc.less(pc.multiply(t["punct_chars"], 5),
+                    pc.cast(n_chars, pa.int64())))   # punct*5 < chars
+        return t.filter(keep)
+
+    ds = exact_dedup(_docs(sf_dir)).map_batches(
+        stats_and_gate, batch_format="pyarrow")
+    df = ds.to_pandas()[["doc_id", "n_words", "bpe_tokens"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_ann(sf_dir):
     import pyarrow.parquet as pq
     from cartwright_ray.stages.ann import ann_search
@@ -264,6 +292,28 @@ def _q_encoded_points(sf_dir):
     df = df[["doc_id", "span_idx", "lat", "lon", "geohash",
              "tile_x", "tile_y"]]
     return df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+
+
+def _q_geohash_prefix_counts(sf_dir):
+    """Geohash-prefix rollup (string-hierarchy analogue of tile_pyramid):
+    point counts per 4-char geohash prefix over the real encode stage.
+    The oracle rebuilds the prefix from the quantize+interleave formula."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    from cartwright_ray.pipelines.derived import derived_corpus_encoded
+
+    def prefix(t: pa.Table) -> pa.Table:
+        return pa.table({"gh4": pc.utf8_slice_codeunits(
+            t["geohash"], 0, 4)})
+
+    out = (derived_corpus_encoded(sf_dir)
+           .map_batches(prefix, batch_format="pyarrow")
+           .groupby("gh4").aggregate(Count(alias_name="n_points"))
+           .to_pandas())
+    return out.sort_values("gh4").reset_index(drop=True)
 
 
 def _q_pip_join_counts(sf_dir):
@@ -699,6 +749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join_events": rel.interval_join_events,
         "sliding_window_user_counts": rel.sliding_window_user_counts,
         "value_quantiles_by_type": rel.value_quantiles_by_type,
+        "sketch_quantiles_by_type": rel.sketch_quantiles_by_type,
         "distinct_users_by_type": rel.distinct_users_by_type,
         "asof_join_rates": rel.asof_join_rates,
         "semi_join_orders_building": rel.semi_join_orders_building,
@@ -714,6 +765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats_docs": _q_text_stats,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
+        "training_prep_docs": _q_training_prep,
         "exact_dedup_docs": _q_exact_dedup,
         "ann_topk": _q_ann,
         "lsh_ann_topk": _q_lsh_ann,
@@ -737,6 +789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spatial pipeline
         "extract_points": _q_extract_points,
         "encoded_points": _q_encoded_points,
+        "geohash_prefix_counts": _q_geohash_prefix_counts,
         "pip_join_counts": _q_pip_join_counts,
         "pip_join_counts_shuffle": _q_pip_join_counts_shuffle,
         "pip_join_boxes": _q_pip_join_boxes,
@@ -1063,6 +1116,36 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        "sketch_quantiles_by_type": """
+            WITH b AS (SELECT event_type,
+                              CAST(least(greatest(floor(value / 8), 0), 127)
+                                   AS BIGINT) AS bin
+                       FROM events),
+            c AS (SELECT event_type, bin, count(*) AS n
+                  FROM b GROUP BY event_type, bin),
+            cum AS (SELECT event_type, bin, n,
+                           sum(n) OVER (PARTITION BY event_type
+                                        ORDER BY bin) AS cum
+                    FROM c),
+            tot AS (SELECT event_type, count(*) AS total
+                    FROM b GROUP BY event_type),
+            qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+                                         ('p99', 99, 100)) t(q, qn, qd)),
+            r AS (SELECT tot.event_type, qs.q,
+                         (tot.total * qs.qn + qs.qd - 1) // qs.qd AS rnk
+                  FROM tot CROSS JOIN qs),
+            pick AS (SELECT r.event_type, r.q, min(cum.bin) AS bin_idx
+                     FROM r JOIN cum ON cum.event_type = r.event_type
+                                     AND cum.cum >= r.rnk
+                     GROUP BY r.event_type, r.q)
+            SELECT p.event_type, p.q, p.bin_idx,
+                   coalesce((SELECT max(c2.cum) FROM cum c2
+                             WHERE c2.event_type = p.event_type
+                               AND c2.bin < p.bin_idx), 0) AS cum_below,
+                   p.bin_idx * 8.0 AS approx_value
+            FROM pick p
+            ORDER BY event_type, q
+        """,
         "distinct_users_by_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
@@ -1109,6 +1192,27 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY vec_id
         """,
         "quality_scores": _quality_oracle_sql(),
+        "training_prep_docs": r"""
+            WITH winners AS (
+                SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+            gated AS (
+                SELECT d.doc_id,
+                       CAST(len(list_filter(
+                           regexp_split_to_array(lower(d.text), '\s+'),
+                           x -> x <> '')) AS BIGINT) AS n_words,
+                       CAST(length(d.text) - length(regexp_replace(
+                           d.text, '[^A-Za-z0-9\s]', '', 'g')) AS BIGINT)
+                           AS punct_chars,
+                       CAST(length(d.text) AS BIGINT) AS n_chars,
+                       CAST(len(regexp_extract_all(
+                           d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                           AS BIGINT) AS bpe_tokens
+                FROM documents d JOIN winners w ON d.doc_id = w.doc_id)
+            SELECT doc_id, n_words, bpe_tokens
+            FROM gated
+            WHERE n_words >= 5 AND punct_chars * 5 < n_chars
+            ORDER BY doc_id
+        """,
         "token_counts": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(
@@ -1354,6 +1458,19 @@ def oracle_sql() -> dict[str, str]:
                         + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1))
                         / pi()) / 2 * 4096) AS INT) AS tile_y
             FROM q ORDER BY doc_id, span_idx
+        """,
+        "geohash_prefix_counts": f"""
+            WITH {_DPTS_SQL},
+            q AS (
+                SELECT CAST(least(greatest(floor((lat + 90.0) / 180.0
+                            * 1073741824.0), 0.0), 1073741823.0) AS BIGINT)
+                           AS lati,
+                       CAST(least(greatest(floor((lon + 180.0) / 360.0
+                            * 1073741824.0), 0.0), 1073741823.0) AS BIGINT)
+                           AS loni
+                FROM dpts)
+            SELECT {_geohash_chars_sql(4)} AS gh4, count(*) AS n_points
+            FROM q GROUP BY gh4 ORDER BY gh4
         """,
         "pip_join_counts": f"""
             WITH pts AS (

@@ -95,13 +95,47 @@ class _RadiusActor:
         return out
 
 
+# worker-process-global state cache for the task plan (same pattern as
+# pip_join._pip_task): the feature matrix is still built once per worker,
+# but tasks reuse Ray's warm worker pool instead of paying actor-pool
+# startup/ramp per dataset — on small/medium inputs the pool ramp WAS the
+# wall time
+_TASK_STATE_CACHE: dict = {}
+
+
+def _radius_task(batch: pa.Table, features_ref, radius_km: float) -> pa.Table:
+    key = (getattr(features_ref, "hex", lambda: id(features_ref))(),
+           radius_km)
+    st = _TASK_STATE_CACHE.get(key)
+    if st is None:
+        if len(_TASK_STATE_CACHE) > 16:      # bound worker memory
+            _TASK_STATE_CACHE.clear()
+        st = _TASK_STATE_CACHE.setdefault(
+            key, _RadiusActor(features_ref, radius_km))
+    return st(batch)
+
+
 def radius_join(points_ds, features: dict, radius_km: float,
-                concurrency: int | None = None, batch_size: int = 8192):
+                concurrency: int | None = None,
+                batch_size: int | None = None, plan: str = "tasks"):
     """points Dataset (lat/lon) x broadcast features {feat_id, lat, lon}
     -> one row per pair with haversine distance <= ``radius_km``
-    (columns: input columns + feat_id + dist_km)."""
+    (columns: input columns + feat_id + dist_km).
+
+    ``plan="tasks"`` (default): stateless tasks + per-worker feature-matrix
+    cache — fuses with upstream maps, full width immediately.
+    ``plan="actors"``: explicit actor pool for very heavy feature sides.
+    """
+    import functools
+
     import ray
     features_ref = ray.put(features)
+    if plan == "tasks":
+        return points_ds.map_batches(
+            functools.partial(_radius_task, features_ref=features_ref,
+                              radius_km=radius_km),
+            batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True)
     return points_ds.map_batches(
         _RadiusActor, fn_constructor_args=(features_ref, radius_km),
         batch_format="pyarrow", batch_size=batch_size,

@@ -526,19 +526,27 @@ def sliding_window_user_counts(sf_dir: str) -> pd.DataFrame:
 
 def tile_pyramid(sf_dir: str, base_zoom: int = 10,
                  min_zoom: int = 4) -> pd.DataFrame:
-    """Hierarchical tile rollup: point counts at ``base_zoom``, then each
-    coarser level (every 2 zooms) derived from the PREVIOUS level by an
-    integer shift + re-aggregate — the classic tile-pyramid build.
+    """Hierarchical tile rollup: point counts at every zoom in
+    ``base_zoom .. min_zoom`` (step 2) with TWO shuffles total, input size
+    independent of zoom count:
 
-    Scale shape: the raw points are touched ONCE (per-batch partial
-    counts via np.unique, so the base groupby shuffles pre-aggregated
-    (tile, n) rows, not points); every later level aggregates the
-    previous level's output, which shrinks ~16x per step. Rolling up by
-    shifting is exact: floor((lon+180)/360*2^z) >> 2 ==
-    floor((lon+180)/360*2^(z-2)) (integer division composes), same for
-    the mercator y.
+    1. raw points → per-batch partial counts at ``base_zoom``
+       (np.unique inside the batch, so the first ``groupby`` shuffles
+       pre-aggregated (tile, n) rows, ~1000x smaller than the points);
+    2. each base tile row is fanned out to one row PER LEVEL with its
+       coords shifted (``x >> 2(base-z)``), and ONE ``groupby`` over
+       (zoom, x, y) sums all levels together.
+
+    Shifting composes exactly with the mercator floor:
+    floor((lon+180)/360*2^z) >> 2 == floor((lon+180)/360*2^(z-2)), same
+    for y — each level equals encoding the points at that zoom directly.
+    (A per-level cascade — aggregate, shift, re-aggregate — is the right
+    plan when base-level output is itself huge; at z10's <= 1M tiles the
+    single fan-out groupby wins: 2 shuffles instead of zooms/2 + 1.)
     """
     from ..geo.mercator import lonlat_to_tile
+
+    zooms = list(range(base_zoom, min_zoom - 1, -2))
 
     def assign(t: pa.Table) -> pa.Table:
         lat = np.asarray(t["lat"], dtype=np.float64)
@@ -551,41 +559,95 @@ def tile_pyramid(sf_dir: str, base_zoom: int = 10,
             "tile_y": pa.array((uniq & 0xFFFFFFFF).astype(np.int32)),
             "n": pa.array(counts.astype(np.int64))})
 
-    # each level is materialized (it is the ~16x-shrunken aggregate, tiny
-    # relative to the input) so the next level's groupby consumes blocks
-    # instead of re-executing the lineage from the raw points
-    level = (derived_points(sf_dir)
-             .map_batches(assign, batch_format="pyarrow")
-             .groupby(["tile_x", "tile_y"])
-             .aggregate(Sum("n", alias_name="n_points"))
-             .materialize())
+    base = (derived_points(sf_dir)
+            .map_batches(assign, batch_format="pyarrow")
+            .groupby(["tile_x", "tile_y"])
+            .aggregate(Sum("n", alias_name="n_points")))
 
-    def _with_zoom(z):
-        def add(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "zoom", pa.array(np.full(t.num_rows, z, dtype=np.int32)))
-        return add
-
-    def coarsen(t: pa.Table) -> pa.Table:
+    def fan_out(t: pa.Table) -> pa.Table:
+        x = np.asarray(t["tile_x"], dtype=np.int64)
+        y = np.asarray(t["tile_y"], dtype=np.int64)
+        n = np.asarray(t["n_points"], dtype=np.int64)
+        zs, xs, ys, ns = [], [], [], []
+        for z in zooms:
+            s = base_zoom - z
+            xs.append(x >> s)
+            ys.append(y >> s)
+            zs.append(np.full(len(x), z, dtype=np.int32))
+            ns.append(n)
         return pa.table({
-            "tile_x": pc.cast(pc.shift_right(t["tile_x"], 2), pa.int32()),
-            "tile_y": pc.cast(pc.shift_right(t["tile_y"], 2), pa.int32()),
-            "n": pc.cast(t["n_points"], pa.int64())})
+            "zoom": pa.array(np.concatenate(zs)),
+            "tile_x": pa.array(np.concatenate(xs).astype(np.int32)),
+            "tile_y": pa.array(np.concatenate(ys).astype(np.int32)),
+            "n": pa.array(np.concatenate(ns))})
 
-    levels = []
-    zoom = base_zoom
-    while True:
-        levels.append(level.map_batches(_with_zoom(zoom),
-                                        batch_format="pyarrow"))
-        if zoom <= min_zoom:
-            break
-        zoom -= 2
-        level = (level.map_batches(coarsen, batch_format="pyarrow")
-                 .groupby(["tile_x", "tile_y"])
-                 .aggregate(Sum("n", alias_name="n_points"))
-                 .materialize())
-
-    out = levels[0].union(*levels[1:]).to_pandas()
+    out = (base.map_batches(fan_out, batch_format="pyarrow")
+           .groupby(["zoom", "tile_x", "tile_y"])
+           .aggregate(Sum("n", alias_name="n_points"))
+           .to_pandas())
     out["zoom"] = out["zoom"].astype("int32")
     out["n_points"] = out["n_points"].astype("int64")
     return out.sort_values(["zoom", "tile_x", "tile_y"]).reset_index(drop=True)
+
+
+# fixed histogram-sketch geometry, shared with the SQL oracle: power-of-2
+# bin width makes floor(value / W) bit-exact in every engine, and fixed
+# edges make per-batch partial histograms MERGEABLE by addition — the
+# property every distributed sketch needs
+SKETCH_BIN_W = 8.0
+SKETCH_NBINS = 128
+SKETCH_QS = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+def sketch_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
+    """Approximate quantiles from a mergeable fixed-bin histogram sketch:
+    per-batch partial (event_type, bin) counts (the raw rows are reduced
+    ~1000x before any shuffle), one tiny ``groupby`` over type x bin, and
+    a per-type scan that picks the quantile bin at integer rank
+    ``ceil(q * n)`` (integer arithmetic — ``0.9 * n`` in floats is NOT
+    exact and can flip ceil across engines).
+
+    Versus the exact ``value_quantiles_by_type`` (sort inside map_groups):
+    the sketch's shuffle volume is O(types x bins) regardless of row
+    count — the 100-TB plan — at the cost of bin-width resolution.
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et, codes = np.unique(np.asarray(t["event_type"], dtype=object),
+                              return_inverse=True)
+        v = np.asarray(t["value"], dtype=np.float64)
+        bins = np.clip(np.floor(v / SKETCH_BIN_W), 0,
+                       SKETCH_NBINS - 1).astype(np.int64)
+        key = codes.astype(np.int64) * SKETCH_NBINS + bins
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(et[(uniq // SKETCH_NBINS)], pa.string()),
+            "bin": pa.array(uniq % SKETCH_NBINS, pa.int64()),
+            "n": pa.array(counts.astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["event_type", "bin"])
+             .aggregate(Sum("n", alias_name="n")))
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bin").reset_index(drop=True)
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        rows = []
+        for label, qn, qd in SKETCH_QS:
+            rank = (total * qn + qd - 1) // qd
+            i = int(np.searchsorted(cum, rank))
+            rows.append({
+                "event_type": g["event_type"].iloc[0], "q": label,
+                "bin_idx": int(g["bin"].iloc[i]),
+                "cum_below": int(cum[i - 1]) if i > 0 else 0,
+                "approx_value": float(g["bin"].iloc[i]) * SKETCH_BIN_W})
+        return pd.DataFrame(rows)
+
+    out = agg.groupby("event_type").map_groups(per_type,
+                                               batch_format="pandas") \
+             .to_pandas()
+    out = out.astype({"bin_idx": "int64", "cum_below": "int64"})
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)

@@ -98,24 +98,14 @@ def _first_group(ext: pa.StructArray, name: str) -> pa.Array:
                       pa.scalar(None, pa.string()))
 
 
-# internal chunk size (docs): whole-block batches keep the stage fusable
-# with the upstream read, but running the ~30 per-batch Arrow kernels over
-# a 250k-row block streams every intermediate through DRAM; slicing the
-# block into L3-sized chunks inside the UDF keeps intermediates cache-hot
-# without breaking fusion (measured ~25% on the 4-CPU flagship).
-_EXTRACT_CHUNK_DOCS = 8192
-
-
 def extract_batch(batch: pa.Table) -> pa.Table:
-    """map_batches kernel: corpus batch → extracted-points rows."""
-    if batch.num_rows > _EXTRACT_CHUNK_DOCS:
-        parts = [_extract_chunk(batch.slice(lo, _EXTRACT_CHUNK_DOCS))
-                 for lo in range(0, batch.num_rows, _EXTRACT_CHUNK_DOCS)]
-        return pa.concat_tables(parts)
-    return _extract_chunk(batch)
+    """map_batches kernel: corpus batch → extracted-points rows.
 
-
-def _extract_chunk(batch: pa.Table) -> pa.Table:
+    Runs on WHOLE blocks (no internal sub-chunking): an 8k-doc internal
+    chunking variant was measured ~25-50% SLOWER at low parallelism —
+    pyarrow re-compiles each regex per kernel call, and the fused date +
+    country alternations are expensive to build, so fewer, larger kernel
+    invocations win over cache-resident intermediates here."""
     doc_per_span, span_idx, flat = _flatten_spans(batch)
     kind = flat.field("kind")
     text = flat.field("text")

@@ -68,3 +68,34 @@ def test_sliding_window_counts_exact(ray_session, event_frame, tmp_path):
         mask = (uid == uid[i]) & (ts >= ts[i] - win) & (ts <= ts[i])
         assert int(r["window_n"]) == int(mask.sum())
         assert int(r["window_cents"]) == int(cents[mask].sum())
+
+
+def test_sketch_quantiles_matches_brute(ray_session, tmp_path):
+    import numpy as np
+
+    from cartwright_ray.pipelines.relational import (SKETCH_BIN_W,
+                                                     SKETCH_NBINS,
+                                                     sketch_quantiles_by_type)
+    rng = np.random.default_rng(31)
+    n = 5000
+    df = pd.DataFrame({
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "value": rng.uniform(0, 600, n).round(2),
+    })
+    df.to_parquet(tmp_path / "events.parquet")
+    out = sketch_quantiles_by_type(str(tmp_path))
+    for et in ("a", "b", "c"):
+        vals = np.sort(df[df["event_type"] == et]["value"].to_numpy())
+        bins = np.clip(np.floor(vals / SKETCH_BIN_W), 0,
+                       SKETCH_NBINS - 1).astype(int)
+        total = len(vals)
+        for label, qn, qd in (("p50", 1, 2), ("p90", 9, 10),
+                              ("p99", 99, 100)):
+            rank = (total * qn + qd - 1) // qd
+            want_bin = int(bins[rank - 1])      # bin of the rank-th value
+            row = out[(out["event_type"] == et) & (out["q"] == label)]
+            assert int(row["bin_idx"].iloc[0]) == want_bin
+            assert int(row["cum_below"].iloc[0]) == int((bins < want_bin).sum())
+            # approx within one bin width of the exact quantile value
+            assert abs(float(row["approx_value"].iloc[0])
+                       - vals[rank - 1]) <= SKETCH_BIN_W
