@@ -36,7 +36,14 @@ def _ensure_worker_importability():
     didn't already include this repo, workers would fail to import
     ``cartwright_ray`` when deserializing our UDFs. Registering the whole
     package for cloudpickle by-value serialization makes every shipped
-    callable self-contained, independent of worker sys.path."""
+    callable self-contained, independent of worker sys.path.
+
+    By-value shipping is EXPENSIVE though: every UDF closure carries the
+    serialized module graph and each worker re-materializes it per
+    closure (~0.5-2.5 s first call, measured — it dominated small-query
+    wall time). So first PROBE whether workers can already import the
+    package the normal way (one num_cpus=0 task); register by-value only
+    when they can't."""
     import importlib
     import os
     import pkgutil
@@ -46,6 +53,28 @@ def _ensure_worker_importability():
     if repo not in sys.path:
         sys.path.insert(0, repo)
     pkg = importlib.import_module("cartwright_ray")
+
+    try:
+        import ray
+    except ImportError:
+        return
+    if ray.is_initialized():
+        try:
+            @ray.remote(num_cpus=0)
+            def _probe() -> bool:
+                import importlib.util
+                return importlib.util.find_spec("cartwright_ray") is not None
+
+            workers_can_import = bool(ray.get(_probe.remote(), timeout=30))
+        except Exception:
+            workers_can_import = False
+    else:
+        # Ray will auto-init later from THIS process, inheriting the
+        # sys.path we just fixed — workers will import normally
+        workers_can_import = True
+    if workers_can_import:
+        return
+
     for m in pkgutil.walk_packages(pkg.__path__, prefix="cartwright_ray."):
         try:
             importlib.import_module(m.name)
