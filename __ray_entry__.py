@@ -552,6 +552,24 @@ def _q_media(sf_dir):
     return df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
 
 
+def _q_media_png(sf_dir):
+    """SAME media pipeline through the REAL codec: payloads are actual
+    16x16 grayscale PNGs (zlib chunks, seeded filter types) decoded by
+    the pure-stdlib decoder. The PNG pixels are built from the same
+    blake2 seed as the hash payloads, so per-row features — and the
+    arithmetic oracle — are identical to media_features; what changes is
+    that decode is a real format parse that fails loudly on corruption."""
+    from cartwright_ray.pipelines.derived import derived_corpus
+    from cartwright_ray.stages.media import (extract_media_features,
+                                             media_rows_from_corpus)
+    media = media_rows_from_corpus(derived_corpus(sf_dir),
+                                   payload_kind="png")
+    df = extract_media_features(media, decoder="png").to_pandas()
+    df["feat_dim"] = df["feature"].map(len).astype("int64")
+    df = df[["doc_id", "span_idx", "media_ref", "media_type", "feat_dim"]]
+    return df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+
+
 def _q_spatial_resolution(sf_dir):
     import ray.data
     from cartwright_ray.analysis.space_resolution import detect_latlon_resolution_ds
@@ -806,6 +824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_counts": _q_langid,
         "fingerprint_docs": _q_fingerprint,
         "media_features": _q_media,
+        "media_features_png": _q_media_png,
         # cartwright-parity inference
         "temporal_resolution_events": _q_temporal_resolution,
         "temporal_resolution_by_type": _q_temporal_resolution_by_type,
@@ -1575,6 +1594,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY 1
         """,
         "media_features": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(1 AS INT) AS span_idx,
+                   'media://' || CAST(doc_id AS VARCHAR) || '/1' AS media_ref,
+                   'image' AS media_type, CAST(64 AS BIGINT) AS feat_dim
+            FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id
+        """,
+        "media_features_png": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(1 AS INT) AS span_idx,
                    'media://' || CAST(doc_id AS VARCHAR) || '/1' AS media_ref,
                    'image' AS media_type, CAST(64 AS BIGINT) AS feat_dim

@@ -1,16 +1,21 @@
-"""Multimodal (image/audio) stages — Ray-side plumbing is real; the codec
-is stubbed (no image/audio libraries exist in this environment).
+"""Multimodal (image/audio) stages.
 
 Media payloads are opaque ``binary`` columns with typed metadata. Stages
 are actor pools with deliberately small batches (payloads are wide —
 SURVEY.md "Memory-aware"): decode / feature-extract / resize / frame-sample
 all share the shape ``map_batches(Cls, concurrency=N, batch_size=small)``.
 
-The decode seam: ``decoder="stub"`` raises NotImplementedError (the honest
-default on this container); ``decoder="fake"`` produces a deterministic
-pseudo-decode from the payload bytes so the full pipeline — schema, actor
-signature, batch sizing, output layout — is testable end-to-end. A real
-PIL/ffmpeg decoder drops into ``_decode_real``.
+The decode seam has three settings:
+
+- ``decoder="png"`` — REAL decoding via the pure-stdlib PNG codec
+  (``cartwright_ray.media.png``: zlib chunks + all five scanline
+  filters); payloads must be PNG bytes (``media_rows_from_corpus(...,
+  payload_kind="png")`` generates them).
+- ``decoder="fake"`` — deterministic pseudo-decode from the payload
+  bytes, for pipelines whose payloads are synthetic hashes.
+- ``decoder="stub"`` (default) — raises NotImplementedError: the honest
+  seam for formats this container cannot decode (JPEG/video need
+  libjpeg/ffmpeg); a PIL/ffmpeg decoder drops into ``_decode_real``.
 """
 
 from __future__ import annotations
@@ -35,10 +40,24 @@ MEDIA_SCHEMA = pa.schema([
 FEATURE_DIM = 64
 
 
-def media_rows_from_corpus(corpus_ds):
+def media_rows_from_corpus(corpus_ds, payload_kind: str = "hash"):
     """Corpus → one row per media span with a deterministic synthetic
-    payload (stands in for the Lance blob column)."""
+    payload (stands in for the Lance blob column).
+
+    ``payload_kind="hash"``: 256 raw blake2 bytes (pair with
+    ``decoder="fake"``). ``payload_kind="png"``: a REAL 16x16 grayscale
+    PNG whose pixels derive from the media_ref (pair with
+    ``decoder="png"`` — the full decode path end to end)."""
     import pyarrow.compute as pc
+
+    from ..media.png import png_encode
+
+    def _payload(ref: str) -> bytes:
+        seed = hashlib.blake2b(ref.encode(), digest_size=32).digest()
+        if payload_kind == "hash":
+            return seed * 8
+        px = np.frombuffer((seed * 8)[:256], dtype=np.uint8).reshape(16, 16)
+        return png_encode(px, filter_type=sum(seed) % 5)
 
     def expand(batch: pa.Table) -> pa.Table:
         spans = batch.column("spans")
@@ -59,7 +78,7 @@ def media_rows_from_corpus(corpus_ds):
         docs = doc_ids.take(parent).to_pylist()
         for i in np.nonzero(is_media)[0]:
             ref = refs[i]
-            payload = hashlib.blake2b(ref.encode(), digest_size=32).digest() * 8
+            payload = _payload(ref)
             rows["doc_id"].append(str(docs[i]))
             rows["span_idx"].append(int(span_idx[i]))
             rows["media_ref"].append(ref)
@@ -93,8 +112,18 @@ class MediaFeatureExtractor:
 
     def _decode_real(self, payload: bytes) -> np.ndarray:  # pragma: no cover
         raise NotImplementedError(
-            "real media decoding requires PIL/ffmpeg, absent in this "
-            "container; use decoder='fake' for the deterministic test path")
+            "non-PNG media decoding requires PIL/ffmpeg, absent in this "
+            "container; use decoder='png' for PNG payloads or "
+            "decoder='fake' for the deterministic test path")
+
+    def _decode_png(self, payload: bytes) -> np.ndarray:
+        """Real decode: PNG bytes → grayscale float array in [0, 1]
+        (RGB is luma-averaged — features here are luminance-pooled)."""
+        from ..media.png import png_decode
+        img = png_decode(payload).astype(np.float32) / 255.0
+        if img.ndim == 3:
+            img = img.mean(axis=2)
+        return img
 
     def _decode_fake(self, payload: bytes) -> np.ndarray:
         """Deterministic pseudo-decode: bytes → pseudo-pixel array."""
@@ -103,13 +132,17 @@ class MediaFeatureExtractor:
         arr = np.resize(arr, need).reshape(16, 16) / 255.0
         return arr
 
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if self.decoder == "png":
+            return self._decode_png(payload)
+        if self.decoder == "fake":
+            return self._decode_fake(payload)
+        return self._decode_real(payload)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
         for payload in batch.column("payload").to_pylist():
-            if self.decoder == "fake":
-                img = self._decode_fake(payload)
-            else:
-                img = self._decode_real(payload)
+            img = self._decode(payload)
             # simple pooled features: row/col means + global stats
             f = np.concatenate([img.mean(axis=0), img.mean(axis=1),
                                 [img.mean(), img.std()] * 16])[:self.feature_dim]
@@ -141,11 +174,15 @@ class MediaResize(MediaFeatureExtractor):
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads, widths, heights = [], [], []
         for payload in batch.column("payload").to_pylist():
-            img = (self._decode_fake(payload) if self.decoder == "fake"
-                   else self._decode_real(payload))
+            img = self._decode(payload)
             step = max(1, img.shape[0] // self.out_size)
             small = img[::step, ::step][:self.out_size, :self.out_size]
-            payloads.append((small * 255).astype(np.uint8).tobytes())
+            if self.decoder == "png":
+                from ..media.png import png_encode
+                payloads.append(png_encode(
+                    (small * 255).astype(np.uint8)))
+            else:
+                payloads.append((small * 255).astype(np.uint8).tobytes())
             widths.append(small.shape[1])
             heights.append(small.shape[0])
         batch = batch.drop_columns(["payload", "width", "height"])

@@ -282,3 +282,36 @@ def test_token_count_matches_re(ray_session, docs_df):
             for _, r in sub.iterrows()}
     got = dict(zip(out["doc_id"].astype(int), out["bpe_tokens"].astype(int)))
     assert got == want
+
+
+def test_media_png_pipeline_end_to_end(ray_session):
+    """Real PNG payloads through the real decoder: features equal the
+    hash-payload fake path by construction (same seeded pixels), and the
+    resize stage re-emits decodable PNGs with correct dimensions."""
+    import ray.data
+
+    from cartwright_ray.media.png import png_decode
+    from cartwright_ray.sources.synth import synth_corpus
+    from cartwright_ray.stages.media import (MediaResize,
+                                             extract_media_features,
+                                             media_rows_from_corpus)
+    corpus = synth_corpus(60, parallelism=2)
+    png_rows = media_rows_from_corpus(corpus, payload_kind="png")
+    hash_rows = media_rows_from_corpus(corpus, payload_kind="hash")
+    f_png = extract_media_features(png_rows, decoder="png").to_pandas()
+    f_hash = extract_media_features(hash_rows, decoder="fake").to_pandas()
+    assert len(f_png) == len(f_hash) > 0
+    key = ["doc_id", "span_idx"]
+    f_png = f_png.sort_values(key).reset_index(drop=True)
+    f_hash = f_hash.sort_values(key).reset_index(drop=True)
+    for a, b in zip(f_png["feature"], f_hash["feature"]):
+        assert np.allclose(a, b, atol=1e-6)
+
+    resized = media_rows_from_corpus(corpus, payload_kind="png").map_batches(
+        MediaResize, fn_constructor_kwargs={"decoder": "png", "out_size": 8},
+        batch_format="pyarrow", batch_size=16, concurrency=(1, 2)).to_pandas()
+    assert len(resized)
+    for p, w, h in zip(resized["payload"], resized["width"],
+                       resized["height"]):
+        img = png_decode(bytes(p))
+        assert img.shape == (h, w) == (8, 8)
