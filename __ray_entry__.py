@@ -794,6 +794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_shipdate_minmax": rel.lineitem_shipdate_minmax,
         "sessionize_events": rel.sessionize_events,
         "interval_join_events": rel.interval_join_events,
+        "track_segments": rel.track_segments,
         "sliding_window_user_counts": rel.sliding_window_user_counts,
         "value_quantiles_by_type": rel.value_quantiles_by_type,
         "sketch_quantiles_by_type": rel.sketch_quantiles_by_type,
@@ -1133,6 +1134,38 @@ def oracle_sql() -> dict[str, str]:
             FROM sess
             GROUP BY user_id, session_id
             ORDER BY user_id, session_id
+        """,
+        "track_segments": """
+            WITH pts AS (
+                SELECT user_id, event_id, ts,
+                       CAST((user_id * 13 % 120) - 60.0
+                            + (event_id * 7 % 19) * 0.125
+                            + CASE WHEN event_id % 11 = 0 THEN 15.0
+                                   ELSE 0.0 END AS DOUBLE) AS lat,
+                       CAST((user_id * 29 % 300) - 150.0
+                            + (event_id * 3 % 23) * 0.125 AS DOUBLE) AS lon
+                FROM events),
+            steps AS (
+                SELECT user_id, event_id, ts, lat, lon,
+                       lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+                FROM pts
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            brk AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN plat IS NULL THEN 0
+                            WHEN 2 * 6371.0088 * asin(sqrt(
+                                sin(radians(lat - plat) / 2)
+                                    * sin(radians(lat - plat) / 2)
+                                + cos(radians(plat)) * cos(radians(lat))
+                                    * sin(radians(lon - plon) / 2)
+                                    * sin(radians(lon - plon) / 2))) > 800.0
+                            THEN 1 ELSE 0 END AS b
+                FROM steps)
+            SELECT user_id, event_id,
+                   CAST(sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS segment_id
+            FROM brk
+            ORDER BY user_id, event_id
         """,
         "interval_join_events": """
             WITH iv AS (

@@ -651,3 +651,54 @@ def sketch_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
              .to_pandas()
     out = out.astype({"bin_idx": "int64", "cum_below": "int64"})
     return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
+def derived_track_points(sf_dir: str):
+    """Per-user movement track derived from events: a bounded random walk
+    (wiggle <= ~390 km between consecutive pings) with occasional 15-deg
+    excursions (every event_id % 11 == 0, ~1650 km) — SQL-reproducible,
+    and the two step populations are separated by >1000 km so a
+    segmentation threshold between them is float-safe (measured: largest
+    walk step 386 km, smallest jump 1418 km on the fixed testdata)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        e = np.asarray(t["event_id"], dtype=np.int64)
+        u = np.asarray(t["user_id"], dtype=np.int64)
+        lat = ((u * 13 % 120) - 60.0 + (e * 7 % 19) * 0.125
+               + np.where(e % 11 == 0, 15.0, 0.0))
+        lon = (u * 29 % 300) - 150.0 + (e * 3 % 23) * 0.125
+        t = t.append_column("lat", pa.array(lat, pa.float64()))
+        return t.append_column("lon", pa.array(lon, pa.float64()))
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def track_segments(sf_dir: str, max_step_km: float = 800.0) -> pd.DataFrame:
+    """Trajectory segmentation: split each user's ping sequence (ordered
+    by ts, event_id) wherever the great-circle step exceeds
+    ``max_step_km``. One shuffle on user_id; inside each group the step
+    distances, break flags and segment ids are pure vector ops
+    (haversine + cumsum) — the canonical movement-data windowing op
+    (no reference analogue; the reference's geo layer stops at column
+    classification)."""
+    from ..geo.haversine import haversine_km
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        lat = g["lat"].to_numpy()
+        lon = g["lon"].to_numpy()
+        d = haversine_km(lat[:-1], lon[:-1], lat[1:], lon[1:])
+        brk = np.concatenate(([0], (d > max_step_km).astype(np.int64)))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "segment_id": np.cumsum(brk),
+            "user_id": g["user_id"].to_numpy(),
+        })
+
+    out = derived_track_points(sf_dir).groupby("user_id") \
+        .map_groups(per_user, batch_format="pandas").to_pandas()
+    out = out[["user_id", "event_id", "segment_id"]]
+    out["segment_id"] = out["segment_id"].astype("int64")
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)

@@ -99,3 +99,33 @@ def test_sketch_quantiles_matches_brute(ray_session, tmp_path):
             # approx within one bin width of the exact quantile value
             assert abs(float(row["approx_value"].iloc[0])
                        - vals[rank - 1]) <= SKETCH_BIN_W
+
+
+def test_track_segments_brute(ray_session, tmp_path):
+    import numpy as np
+
+    from cartwright_ray.geo.haversine import haversine_km
+    from cartwright_ray.pipelines.relational import track_segments
+    rng = np.random.default_rng(41)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 20, n),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": np.sort(rng.integers(0, 10**12, n)).astype("datetime64[us]"),
+    })
+    df.to_parquet(tmp_path / "events.parquet")
+    out = track_segments(str(tmp_path))
+    # brute-force per user
+    for uid in range(0, 20, 7):
+        sub = df[df["user_id"] == uid].sort_values(["ts", "event_id"])
+        e = sub["event_id"].to_numpy()
+        u = sub["user_id"].to_numpy()
+        lat = ((u * 13 % 120) - 60.0 + (e * 7 % 19) * 0.125
+               + np.where(e % 11 == 0, 15.0, 0.0))
+        lon = (u * 29 % 300) - 150.0 + (e * 3 % 23) * 0.125
+        d = haversine_km(lat[:-1], lon[:-1], lat[1:], lon[1:])
+        want = np.concatenate(([0], np.cumsum(d > 800.0))).astype(int)
+        got = out[out["user_id"] == uid].sort_values("event_id")
+        got = got.set_index("event_id").loc[e]["segment_id"].to_numpy()
+        assert (got == want).all()
+    assert out["segment_id"].max() > 0
