@@ -509,3 +509,28 @@ def ngram_jaccard_dedup(ds, col: str = "text", id_col: str = "doc_id",
     return minhash_lsh_dedup(ds, col=col, id_col=id_col, num_perm=num_perm,
                              bands=bands, threshold=threshold,
                              shingle_k=shingle_k, seed=seed, verify="exact")
+
+
+def drop_near_dups(ds, pairs_ds, id_col: str = "doc_id"):
+    """Materialize the DEDUPLICATED corpus from a near-dup pair set: drop
+    every ``dup_id`` named by ``pairs_ds`` (minhash/simhash/ngram/embedding
+    pair output), keep everything else — the step that turns pair
+    detection into a training corpus.
+
+    The dup-id set is collected and broadcast (``ray.put``) and the drop
+    is a streaming ``pc.is_in`` filter — the corpus itself never
+    collects. Scale bound: the broadcast is O(duplicates), not O(corpus);
+    for corpora where duplicates themselves don't fit a broadcast, switch
+    to a hash-shuffle anti-join on ``id_col`` (same output, one extra
+    shuffle)."""
+    import ray
+
+    dup_ids = pairs_ds.select_columns(["dup_id"]).to_pandas()["dup_id"]
+    dup_ref = ray.put(pa.array(sorted(dup_ids.tolist())))
+
+    def drop(t: pa.Table) -> pa.Table:
+        dups = ray.get(dup_ref)
+        return t.filter(pc.invert(pc.is_in(t[id_col], value_set=dups)))
+
+    return ds.map_batches(drop, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -315,3 +315,16 @@ def test_media_png_pipeline_end_to_end(ray_session):
                        resized["height"]):
         img = png_decode(bytes(p))
         assert img.shape == (h, w) == (8, 8)
+
+
+def test_drop_near_dups(ray_session):
+    import ray.data
+    from cartwright_ray.pipelines.derived import planted_near_clone_docs
+    from cartwright_ray.stages.dedup import drop_near_dups, ngram_jaccard_dedup
+    ds = planted_near_clone_docs(SF, clones=10)
+    pairs = ngram_jaccard_dedup(ds, threshold=0.8)
+    kept = drop_near_dups(planted_near_clone_docs(SF, clones=10),
+                          pairs).to_pandas()
+    n_docs = ds.count()
+    assert len(kept) == n_docs - 10                    # all clones dropped
+    assert not (kept["doc_id"] >= 100000).any()        # originals kept
