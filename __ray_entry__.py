@@ -345,6 +345,34 @@ def _q_geohash_prefix_counts(sf_dir):
     return out.sort_values("gh4").reset_index(drop=True)
 
 
+def _q_polygon_areas(sf_dir):
+    """Spherical-excess area of every admin polygon (geo.polygon kernel)
+    through a Ray map over the polygon table; the oracle replays the same
+    line integral over the PIP edge VALUES table."""
+    import pyarrow as pa
+    import ray.data
+
+    from cartwright_ray.geo.polygon import polygon_area_km2
+    from cartwright_ray.sources.synth import ADMIN_POLYGONS
+
+    def area(batch: pa.Table) -> pa.Table:
+        ids, areas = [], []
+        for row in batch.to_pylist():
+            ids.append(row["admin_id"])
+            areas.append(polygon_area_km2(row["ring_lat"], row["ring_lon"]))
+        return pa.table({"admin_id": pa.array(ids, pa.string()),
+                         "area_km2": pa.array(areas, pa.float64())})
+
+    from ray.data.aggregate import Sum
+    ds = ray.data.from_items(ADMIN_POLYGONS).map_batches(
+        area, batch_format="pyarrow")
+    # multi-ring admins (the split antimeridian straddler) sum their rings
+    df = ds.groupby("admin_id").aggregate(
+        Sum("area_km2", alias_name="area_km2")).to_pandas()
+    df["area_km2"] = np.floor(df["area_km2"] * 10.0) / 10.0
+    return df.sort_values("admin_id").reset_index(drop=True)
+
+
 def _q_pip_join_counts(sf_dir):
     """Broadcast PIP join vs the real (jittered) ADMIN_POLYGONS over the
     derived points, aggregated to per-admin counts IN RAY (the driver
@@ -840,6 +868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoded_points": _q_encoded_points,
         "geohash_prefix_counts": _q_geohash_prefix_counts,
         "pip_join_counts": _q_pip_join_counts,
+        "admin_polygon_areas": _q_polygon_areas,
         "pip_join_counts_shuffle": _q_pip_join_counts_shuffle,
         "pip_join_boxes": _q_pip_join_boxes,
         "media_frames": _q_media_frames,
@@ -1552,6 +1581,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM dpts)
             SELECT {_geohash_chars_sql(4)} AS gh4, count(*) AS n_points
             FROM q GROUP BY gh4 ORDER BY gh4
+        """,
+        "admin_polygon_areas": f"""
+            WITH {_pip_edges_values()},
+            per AS (
+                SELECT pidx, admin_id,
+                       sum(radians(((xj - xi + 540) % 360) - 180)
+                           * (2 + sin(radians(yi)) + sin(radians(yj)))) AS s
+                FROM edges GROUP BY pidx, admin_id),
+            areas AS (
+                SELECT admin_id,
+                       sum(abs(s) * 6371.0088 * 6371.0088 / 2) AS a
+                FROM per GROUP BY admin_id)
+            SELECT admin_id, floor(a * 10) / 10 AS area_km2
+            FROM areas ORDER BY admin_id
         """,
         "pip_join_counts": f"""
             WITH pts AS (

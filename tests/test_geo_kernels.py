@@ -139,3 +139,32 @@ def test_s2_parent_rollup_consistent_with_direct_encode():
         got = s2_parent(fine, lvl)
         assert (got == want).all()
         assert (s2_level(got) == lvl).all()
+
+
+def test_polygon_area_rectangle_exact():
+    """For a lat/lon-aligned rectangle the spherical-excess line integral
+    equals the analytic band area R^2 * dlam * (sin p2 - sin p1)."""
+    import numpy as np
+
+    from cartwright_ray.geo.haversine import EARTH_RADIUS_KM
+    from cartwright_ray.geo.polygon import polygon_area_km2
+    for lat0, lat1, lon0, lon1 in [(0, 1, 0, 1), (40, 45, -10, 5),
+                                   (-60, -50, 170, 179)]:
+        area = polygon_area_km2([lat0, lat0, lat1, lat1],
+                                [lon0, lon1, lon1, lon0])
+        want = (EARTH_RADIUS_KM ** 2 * np.deg2rad(lon1 - lon0)
+                * (np.sin(np.deg2rad(lat1)) - np.sin(np.deg2rad(lat0))))
+        assert abs(area - want) / want < 1e-9
+
+
+def test_polygon_area_antimeridian_wrap():
+    from cartwright_ray.geo.polygon import polygon_area_km2
+    a = polygon_area_km2([10, 10, 20, 20], [175, -175, -175, 175])
+    b = polygon_area_km2([10, 10, 20, 20], [0, 10, 10, 0])
+    assert abs(a - b) / b < 1e-9      # same box, shifted across the seam
+
+
+def test_polygon_centroid_square():
+    from cartwright_ray.geo.polygon import polygon_centroid
+    lat, lon = polygon_centroid([0, 0, 2, 2], [10, 14, 14, 10])
+    assert abs(lat - 1.0) < 1e-12 and abs(lon - 12.0) < 1e-12
