@@ -107,3 +107,38 @@ def geohash_encode(lat: np.ndarray, lon: np.ndarray, precision: int = 9) -> np.n
     """
     out = _geohash_bytes(lat, lon, precision)
     return out.view(f"S{precision}").ravel().astype(str)
+
+
+def geohash_neighbors(hashes, precision: int | None = None) -> np.ndarray:
+    """(n, 8) neighbor geohashes of each cell (E, W, N, S, NE, NW, SE,
+    SW order), vectorized: decode to cell centers, step by one cell size
+    in each direction (longitude wraps at the antimeridian), re-encode.
+    Neighbors past the poles repeat the cell itself (the standard edge
+    convention: the N row at the top of the map has no northern
+    neighbor).
+
+    All input hashes must share one precision (pass ``precision`` to
+    assert it); mixed-precision batches should be grouped by length
+    first — neighbor steps are precision-dependent.
+    """
+    hashes = np.asarray(hashes, dtype=object)
+    if len(hashes) == 0:
+        return np.empty((0, 8), dtype=object)
+    p = len(hashes[0])
+    if precision is not None and p != precision:
+        raise ValueError(f"expected precision {precision}, got {p}")
+    if any(len(h) != p for h in hashes):
+        raise ValueError("mixed-precision input; group by length first")
+    lat, lon = geohash_decode(hashes)
+    nbits = 5 * p
+    lat_step = 180.0 / (1 << (nbits // 2))
+    lon_step = 360.0 / (1 << ((nbits + 1) // 2))
+    out = np.empty((len(hashes), 8), dtype=object)
+    for j, (dy, dx) in enumerate(((0, 1), (0, -1), (1, 0), (-1, 0),
+                                  (1, 1), (1, -1), (-1, 1), (-1, -1))):
+        nlat = lat + dy * lat_step
+        nlon = (lon + dx * lon_step + 180.0) % 360.0 - 180.0
+        off_pole = np.abs(nlat) >= 90.0
+        nlat = np.where(off_pole, lat, nlat)
+        out[:, j] = geohash_encode(nlat, np.where(off_pole, lon, nlon), p)
+    return out

@@ -168,3 +168,32 @@ def test_polygon_centroid_square():
     from cartwright_ray.geo.polygon import polygon_centroid
     lat, lon = polygon_centroid([0, 0, 2, 2], [10, 14, 14, 10])
     assert abs(lat - 1.0) < 1e-12 and abs(lon - 12.0) < 1e-12
+
+
+def test_geohash_neighbors_properties():
+    import numpy as np
+
+    from cartwright_ray.geo.geohash import (geohash_decode, geohash_encode,
+                                            geohash_neighbors)
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-80, 80, 200)
+    lon = rng.uniform(-179, 179, 200)
+    gh = geohash_encode(lat, lon, 6)
+    nb = geohash_neighbors(gh)
+    assert nb.shape == (200, 8)
+    # neighbors are distinct from the cell and pairwise distinct
+    for i in range(0, 200, 17):
+        cells = set(nb[i]) | {gh[i]}
+        assert len(cells) == 9
+    # east neighbor's center is exactly one lon step away
+    clat, clon = geohash_decode(gh)
+    elat, elon = geohash_decode(nb[:, 0])
+    lon_step = 360.0 / (1 << 15)
+    assert np.allclose(elat, clat)
+    assert np.allclose((elon - clon) % 360.0, lon_step)
+    # antimeridian wrap: a cell hugging lon=180 has an east neighbor
+    # on the west side
+    g = geohash_encode(np.array([10.0]), np.array([179.999]), 6)
+    e = geohash_neighbors(g)[0, 0]
+    _, el = geohash_decode([e])
+    assert el[0] < -179.9
