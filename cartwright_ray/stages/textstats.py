@@ -75,6 +75,14 @@ _STOPWORDS = {
            "es", "del", "por", "con", "para", "se", "su", "al", "lo"},
     "de": {"der", "die", "das", "und", "ist", "von", "den", "im", "ein",
            "eine", "mit", "auf", "für", "nicht", "sich", "dem", "des", "zu"},
+    "pt": {"o", "os", "do", "da", "dos", "das", "em", "um", "uma", "não",
+           "são", "como", "mais", "foi", "ele", "ela", "seu", "sua", "pelo"},
+    "it": {"il", "gli", "di", "che", "non", "per", "sono", "ho", "ma",
+           "come", "anche", "della", "nel", "alla", "più", "questo",
+           "questa", "essere", "molto"},
+    "nl": {"het", "een", "van", "ik", "te", "dat", "zijn", "op", "aan",
+           "met", "voor", "niet", "maar", "ook", "naar", "dan", "wordt",
+           "deze", "heeft"},
 }
 
 
@@ -85,7 +93,10 @@ class LangId:
     flattened token array, per-doc sums via one ``np.add.at`` on the list
     parent indices (round 2: replaced the per-doc Python loop)."""
 
-    LANG_ORDER = ("en", "fr", "es", "de")   # tie-break: first wins
+    # tie-break: first wins; later additions go AFTER the original four
+    # so existing classifications (and the langid oracle phrases, whose
+    # tokens the new tables were checked not to over-claim) are stable
+    LANG_ORDER = ("en", "fr", "es", "de", "pt", "it", "nl")
 
     def __init__(self):
         self.value_sets = [pa.array(sorted(_STOPWORDS[lang]))

@@ -328,3 +328,16 @@ def test_drop_near_dups(ray_session):
     n_docs = ds.count()
     assert len(kept) == n_docs - 10                    # all clones dropped
     assert not (kept["doc_id"] >= 100000).any()        # originals kept
+
+
+def test_langid_new_languages(ray_session):
+    import ray.data
+    from cartwright_ray.stages.textstats import detect_language
+    df = pd.DataFrame({"text": [
+        "o problema não foi como ele pensava em um dia mais quente",
+        "il problema non era come questo ma anche della nostra vita",
+        "ik denk dat het een goed idee is maar ook niet voor iedereen",
+        "the quick brown fox jumps over the lazy dog in this field",
+    ]})
+    out = detect_language(ray.data.from_pandas(df)).to_pandas()
+    assert out["lang_pred"].tolist() == ["pt", "it", "nl", "en"]
