@@ -345,6 +345,18 @@ def _q_geohash_prefix_counts(sf_dir):
     return out.sort_values("gh4").reset_index(drop=True)
 
 
+def _q_raster_pyramid(sf_dir):
+    """Raster pyramid: z8 integer-raster tiles mean-pooled to z6 parents
+    (sum-pool before the shuffle, assemble per parent). Integer-exact
+    stats so the oracle enumerates the same pixels with generate_series."""
+    from cartwright_ray.joins.zonal import raster_downsample
+    tiles = [(x, y) for x in range(136, 144) for y in range(84, 92)]
+    out = raster_downsample(tiles, zoom=8, out_zoom=6,
+                            tile_fn=_zonal_tile_fn).to_pandas()
+    out = out[["x", "y", "px_sum", "blk_min", "blk_max"]]
+    return out.sort_values(["x", "y"]).reset_index(drop=True)
+
+
 def _q_polygon_areas(sf_dir):
     """Spherical-excess area of every admin polygon (geo.polygon kernel)
     through a Ray map over the polygon table; the oracle replays the same
@@ -869,6 +881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geohash_prefix_counts": _q_geohash_prefix_counts,
         "pip_join_counts": _q_pip_join_counts,
         "admin_polygon_areas": _q_polygon_areas,
+        "raster_pyramid": _q_raster_pyramid,
         "pip_join_counts_shuffle": _q_pip_join_counts_shuffle,
         "pip_join_boxes": _q_pip_join_boxes,
         "media_frames": _q_media_frames,
@@ -1581,6 +1594,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM dpts)
             SELECT {_geohash_chars_sql(4)} AS gh4, count(*) AS n_points
             FROM q GROUP BY gh4 ORDER BY gh4
+        """,
+        "raster_pyramid": """
+            WITH parents AS (SELECT * FROM (VALUES (34, 21), (34, 22),
+                                                   (35, 21), (35, 22)) t(X, Y)),
+            g AS (SELECT i FROM generate_series(0, 255) s(i)),
+            px AS (SELECT p.X, p.Y, a.i AS rx, b.i AS ry,
+                          ((256 * p.X + a.i) * 7
+                           + (256 * p.Y + b.i) * 13) % 1000 AS v
+                   FROM parents p CROSS JOIN g a CROSS JOIN g b),
+            blocks AS (SELECT X, Y, rx // 4 AS bx, ry // 4 AS by,
+                              sum(v) AS bs
+                       FROM px GROUP BY X, Y, rx // 4, ry // 4)
+            SELECT X AS x, Y AS y, CAST(sum(bs) AS BIGINT) AS px_sum,
+                   CAST(min(bs) AS BIGINT) AS blk_min,
+                   CAST(max(bs) AS BIGINT) AS blk_max
+            FROM blocks GROUP BY X, Y ORDER BY x, y
         """,
         "admin_polygon_areas": f"""
             WITH {_pip_edges_values()},

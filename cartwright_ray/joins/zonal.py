@@ -164,3 +164,72 @@ def brute_force_zonal(polygons: list[dict], zoom: int = 8,
     for a in acc.values():
         a["px_mean"] = a["px_sum"] / a["px_count"]
     return acc
+
+
+def raster_downsample(tiles, zoom: int, out_zoom: int, tile_fn,
+                      size: int = TILE_SIZE):
+    """Raster pyramid build: downsample ``tiles`` (list of (x, y) ids at
+    ``zoom``) to ``out_zoom`` parent tiles by mean-pooling, as a Ray
+    pipeline:
+
+    1. the TILE SPACE is the dataset (ids only — pixels never leave the
+       workers until reduced): each worker loads/generates its child tile
+       via ``tile_fn`` and SUM-pools it over f x f pixel groups
+       (f = 2^(zoom-out_zoom)), shrinking it f^2-fold before any shuffle;
+    2. one ``groupby`` on the parent tile id assembles the f x f reduced
+       blocks into the parent's (size, size) pixel array and emits it
+       (binary) plus integer-exact stats (px_sum, blk_min, blk_max —
+       int64 sums, so a SQL oracle over an integer raster reproduces
+       them bit-for-bit; the mean is px_sum / (size*f)^2).
+
+    Missing children (sparse coverage) leave zero blocks — documented:
+    pyramid edges over partial coverage are zero-filled, matching map
+    renderers.
+    """
+    import ray.data
+
+    f = 1 << (zoom - out_zoom)
+    if f > size:
+        raise ValueError("downsample factor exceeds tile size")
+    sub = size // f
+
+    def reduce_tile(batch: pa.Table) -> pa.Table:
+        xs = np.asarray(batch["x"], dtype=np.int64)
+        ys = np.asarray(batch["y"], dtype=np.int64)
+        out = {"px": [], "py": [], "sub_x": [], "sub_y": [], "block": []}
+        for x, y in zip(xs, ys):
+            px = tile_fn(zoom, int(x), int(y), size).astype(np.int64)
+            pooled = px.reshape(sub, f, sub, f).sum(axis=(1, 3))
+            out["px"].append(int(x) >> (zoom - out_zoom))
+            out["py"].append(int(y) >> (zoom - out_zoom))
+            out["sub_x"].append(int(x) & (f - 1))
+            out["sub_y"].append(int(y) & (f - 1))
+            out["block"].append(pooled.tobytes())
+        return pa.table({
+            "px": pa.array(out["px"], pa.int64()),
+            "py": pa.array(out["py"], pa.int64()),
+            "sub_x": pa.array(out["sub_x"], pa.int32()),
+            "sub_y": pa.array(out["sub_y"], pa.int32()),
+            "block": pa.array(out["block"], pa.binary())})
+
+    def assemble(g: pa.Table) -> pa.Table:
+        full = np.zeros((size, size), dtype=np.int64)
+        for sx, sy, blk in zip(np.asarray(g["sub_x"]),
+                               np.asarray(g["sub_y"]),
+                               g["block"].to_pylist()):
+            b = np.frombuffer(blk, dtype=np.int64).reshape(sub, sub)
+            full[sy * sub:(sy + 1) * sub, sx * sub:(sx + 1) * sub] = b
+        return pa.table({
+            "x": pa.array([int(g["px"][0].as_py())], pa.int64()),
+            "y": pa.array([int(g["py"][0].as_py())], pa.int64()),
+            "px_sum": pa.array([int(full.sum())], pa.int64()),
+            "blk_min": pa.array([int(full.min())], pa.int64()),
+            "blk_max": pa.array([int(full.max())], pa.int64()),
+            "pixels": pa.array([(full // (f * f)).astype(np.float32)
+                                .tobytes()], pa.binary())})
+
+    ds = ray.data.from_items([{"x": int(x), "y": int(y)} for x, y in tiles])
+    # plain tasks (no pool): reduce_tile is stateless and fuses
+    return (ds.map_batches(reduce_tile, batch_format="pyarrow")
+            .groupby(["px", "py"])
+            .map_groups(assemble, batch_format="pyarrow"))

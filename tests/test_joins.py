@@ -191,3 +191,35 @@ def test_radius_join_shuffle_matches_broadcast(ray_session, points_df):
     got = sorted(zip(out["doc_id"], out["feat_id_matched"]))
     assert got == want
     assert len(got)
+
+
+def test_raster_downsample_exact_and_sparse(ray_session):
+    from cartwright_ray.joins.zonal import raster_downsample
+
+    def tile_fn(z, x, y, size=64):
+        ix = x * size + np.arange(size, dtype=np.int64)
+        iy = y * size + np.arange(size, dtype=np.int64)
+        gx, gy = np.meshgrid(ix, iy)
+        return ((gx * 3 + gy * 5) % 97).astype(np.float32)
+
+    tiles = [(x, y) for x in range(8, 12) for y in range(4, 8)]
+    out = raster_downsample(tiles, zoom=5, out_zoom=3,
+                            tile_fn=tile_fn).to_pandas()
+    assert sorted(zip(out["x"], out["y"])) == [(2, 1)]
+    # brute force: the parent covers child pixels gx in [1024, 1280)
+    gx, gy = np.meshgrid(np.arange(512, 768), np.arange(256, 512))
+    allpx = (gx * 3 + gy * 5) % 97
+    assert int(out["px_sum"].iloc[0]) == int(allpx.sum())
+    blocks = allpx.reshape(64, 4, 64, 4).sum(axis=(1, 3))
+    assert int(out["blk_min"].iloc[0]) == int(blocks.min())
+    assert int(out["blk_max"].iloc[0]) == int(blocks.max())
+    # pixels column: assembled integer means
+    full = np.frombuffer(out["pixels"].iloc[0], dtype=np.float32) \
+        .reshape(64, 64)
+    assert np.array_equal(full, (blocks // 16).astype(np.float32))
+
+    # sparse coverage: a lone child zero-fills the rest of its parent
+    sparse = raster_downsample([(8, 4)], zoom=5, out_zoom=3,
+                               tile_fn=tile_fn).to_pandas()
+    one = tile_fn(5, 8, 4).astype(np.int64)
+    assert int(sparse["px_sum"].iloc[0]) == int(one.sum())
