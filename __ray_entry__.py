@@ -357,6 +357,33 @@ def _q_raster_pyramid(sf_dir):
     return out.sort_values(["x", "y"]).reset_index(drop=True)
 
 
+def _q_redacted_spans(sf_dir):
+    """Span-preserving coordinate redaction over the derived corpus: the
+    output is the FULL span table (kind, text, media_ref, order), so the
+    oracle check IS a span-sequence-equality check of the transformed
+    corpus — the engine's per-row invariant, machine-verified."""
+    import pyarrow as pa
+
+    from cartwright_ray.pipelines.derived import derived_corpus
+    from cartwright_ray.stages.extract import _flatten_spans
+    from cartwright_ray.stages.spans import redact_coordinates
+
+    ds = redact_coordinates(derived_corpus(sf_dir))
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        doc, span_idx, flat = _flatten_spans(batch)
+        import pyarrow.compute as pc
+        return pa.table({
+            "doc_id": pc.cast(doc, pa.string()),
+            "span_idx": pc.cast(span_idx, pa.int32()),
+            "kind": flat.field("kind"),
+            "text": flat.field("text"),
+            "media_ref": flat.field("media_ref")})
+
+    df = ds.map_batches(flatten, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+
+
 def _q_polygon_areas(sf_dir):
     """Spherical-excess area of every admin polygon (geo.polygon kernel)
     through a Ray map over the polygon table; the oracle replays the same
@@ -881,6 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geohash_prefix_counts": _q_geohash_prefix_counts,
         "pip_join_counts": _q_pip_join_counts,
         "admin_polygon_areas": _q_polygon_areas,
+        "redacted_spans": _q_redacted_spans,
         "raster_pyramid": _q_raster_pyramid,
         "pip_join_counts_shuffle": _q_pip_join_counts_shuffle,
         "pip_join_boxes": _q_pip_join_boxes,
@@ -1610,6 +1638,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(bs) AS BIGINT) AS blk_min,
                    CAST(max(bs) AS BIGINT) AS blk_max
             FROM blocks GROUP BY X, Y ORDER BY x, y
+        """,
+        "redacted_spans": f"""
+            WITH {_derived_countries_values()},
+            base AS (
+                SELECT doc_id,
+                       strftime(DATE '2020-01-01'
+                                + CAST(doc_id * 13 % 1000 AS INT),
+                                '%Y-%m-%d') AS d,
+                       c.country, c.iso2, c.iso3
+                FROM documents
+                JOIN c ON c.idx = doc_id % 8)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(0 AS INT) AS span_idx, 'text' AS kind,
+                   'obs [COORD] on ' || d || ' in ' || country
+                       || ' (' || iso2 || '/' || iso3 || ')' AS text,
+                   '' AS media_ref
+            FROM base
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), CAST(1 AS INT),
+                   CASE WHEN doc_id % 5 = 0 THEN 'media' ELSE 'text' END,
+                   CASE WHEN doc_id % 5 = 0 THEN ''
+                        ELSE 'plain note body' END,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 'media://' || CAST(doc_id AS VARCHAR) || '/1'
+                        ELSE '' END
+            FROM base
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), CAST(2 AS INT), 'text',
+                   CASE WHEN doc_id % 3 = 0 THEN 'next [COORD]'
+                        ELSE 'tail note body' END, ''
+            FROM base
+            ORDER BY doc_id, span_idx
         """,
         "admin_polygon_areas": f"""
             WITH {_pip_edges_values()},

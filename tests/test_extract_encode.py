@@ -91,3 +91,33 @@ def test_span_sequence_invariant_through_roundtrip(tmp_path):
     got = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"])
                          for s in r["spans"]] for r in back.to_pylist()}
     assert orig == got
+
+
+def test_redaction_preserves_span_sequence(ray_session):
+    """redact_coordinates changes ONLY text-span text: kind, media_ref,
+    offset, span order and span counts are bit-identical."""
+    import re
+
+    from cartwright_ray.sources.synth import synth_corpus
+    from cartwright_ray.stages.spans import (COORD_REDACT_RE,
+                                             redact_coordinates)
+    before = synth_corpus(80, parallelism=3).to_pandas()
+    after = redact_coordinates(
+        synth_corpus(80, parallelism=3)).to_pandas()
+    b = before.sort_values("doc_id").reset_index(drop=True)
+    a = after.sort_values("doc_id").reset_index(drop=True)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    pat = re.compile(COORD_REDACT_RE)
+    changed = 0
+    for sa, sb in zip(a["spans"], b["spans"]):
+        assert len(sa) == len(sb)
+        for xa, xb in zip(sa, sb):
+            assert xa["kind"] == xb["kind"]
+            assert xa["media_ref"] == xb["media_ref"]
+            assert xa["offset"] == xb["offset"]
+            if xb["kind"] == "text":
+                assert xa["text"] == pat.sub("[COORD]", xb["text"])
+                changed += xa["text"] != xb["text"]
+            else:
+                assert xa["text"] == xb["text"]
+    assert changed > 0            # the corpus really contains coordinates
