@@ -72,16 +72,25 @@ def orders_by_nation(sf_dir: str) -> pd.DataFrame:
                            columns=["n_nationkey", "n_name"])
     nmap = dict(zip(nation["n_nationkey"].to_pylist(),
                     nation["n_name"].to_pylist()))
-    cmap = {ck: nmap[nk] for ck, nk in zip(cust["c_custkey"].to_pylist(),
-                                           cust["c_nationkey"].to_pylist())}
-    cmap_ref = ray.put(cmap)
+    ckeys = np.asarray(cust["c_custkey"], dtype=np.int64)
+    order = np.argsort(ckeys)
+    cnames = np.asarray(
+        [nmap[nk] for nk in np.asarray(cust["c_nationkey"],
+                                       dtype=np.int64)[order]], dtype=object)
+    # broadcast (sorted keys, aligned names): the probe is a vectorized
+    # searchsorted per batch, no per-row Python over the fact table
+    side_ref = ray.put((ckeys[order], cnames))
 
     class Probe:
         def __init__(self):
-            self.cmap = ray.get(cmap_ref)
+            self.keys, self.names = ray.get(side_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            names = [self.cmap.get(ck) for ck in t["o_custkey"].to_pylist()]
+            ck = np.asarray(t["o_custkey"], dtype=np.int64)
+            pos = np.searchsorted(self.keys, ck)
+            pos[pos >= len(self.keys)] = 0
+            hit = self.keys[pos] == ck
+            names = np.where(hit, self.names[pos], None)
             return t.append_column("n_name", pa.array(names, pa.string()))
 
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
