@@ -160,10 +160,17 @@ def brute_force_radius(lat, lon, features: dict, radius_km: float):
 # shuffle plan (large feature side)
 # ---------------------------------------------------------------------------
 
-def _grid_cell_ids(lat: np.ndarray, lon: np.ndarray, cell_deg: float):
-    """(row, col) integer grid cell of each point on a lat/lon graticule."""
-    row = np.floor((lat + 90.0) / cell_deg).astype(np.int64)
-    col = np.floor(((lon + 180.0) % 360.0) / cell_deg).astype(np.int64)
+def _grid_cell_ids(lat: np.ndarray, lon: np.ndarray, row_deg: float,
+                   col_deg: float):
+    """(row, col) integer grid cell of each point on a lat/lon graticule.
+
+    Row and column sizes differ: columns must divide 360 EVENLY (the
+    caller rounds the column width UP to 360/n_cols) — otherwise the
+    last column before the antimeridian is narrower than the radius at
+    high latitudes, and a pair straddling it can miss its 3x3
+    co-location."""
+    row = np.floor((lat + 90.0) / row_deg).astype(np.int64)
+    col = np.floor(((lon + 180.0) % 360.0) / col_deg).astype(np.int64)
     return row, col
 
 
@@ -198,7 +205,11 @@ def radius_join_shuffle(points_ds, features_ds, radius_km: float):
     # in km stays >= radius as long as cell_deg * 111.045 * 0.17 >= radius
     cell_deg = max(radius_km / (111.045 * np.cos(np.deg2rad(POLAR_LAT))),
                    0.25)
-    n_cols = int(np.ceil(360.0 / cell_deg))
+    # columns divide 360 evenly and are rounded UP to >= cell_deg, so
+    # EVERY column (including the one before the antimeridian) is at
+    # least radius wide at all latitudes below POLAR_LAT
+    n_cols = max(1, int(360.0 // cell_deg))
+    col_deg = 360.0 / n_cols
     n_rows = int(np.ceil(180.0 / cell_deg)) + 1
 
     # the two sides are UNIONed ahead of the groupby, so both must carry
@@ -211,8 +222,7 @@ def radius_join_shuffle(points_ds, features_ds, radius_km: float):
     p_schema = points_ds.limit(1).take_batch(1, batch_format="pyarrow").schema
 
     def _keys_of(lat, lon):
-        row, col = _grid_cell_ids(lat, lon, cell_deg)
-        return row, col
+        return _grid_cell_ids(lat, lon, cell_deg, col_deg)
 
     def key_points(t: pa.Table) -> pa.Table:
         lat = np.asarray(t["lat"], dtype=np.float64)

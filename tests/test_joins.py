@@ -223,3 +223,35 @@ def test_raster_downsample_exact_and_sparse(ray_session):
                                tile_fn=tile_fn).to_pandas()
     one = tile_fn(5, 8, 4).astype(np.int64)
     assert int(sparse["px_sum"].iloc[0]) == int(one.sum())
+
+
+def test_radius_join_shuffle_high_lat_antimeridian_column(ray_session):
+    """Regression: with radius 500 the lon grid would have ended in a
+    22.7-deg column (438-480 km at lat ~79) narrower than the radius —
+    a pair whose disc fully crossed it was missed before the columns
+    were rounded to divide 360 evenly."""
+    import ray.data
+
+    from cartwright_ray.joins.radius_join import (brute_force_radius,
+                                                  radius_join_shuffle)
+    pts = pd.DataFrame({
+        "doc_id": ["edge", "ctrl"],
+        "lat": [79.5, 79.5],
+        "lon": [-179.99, 150.0],
+    })
+    feats = pd.DataFrame({
+        "feat_id": ["Fnear", "Ffar"],
+        "lat": [79.5, 10.0],
+        "lon": [157.0, 0.0],
+    })
+    out = radius_join_shuffle(
+        ray.data.from_pandas(pts), ray.data.from_pandas(feats),
+        radius_km=500.0).to_pandas()
+    fdict = {"feat_id": feats["feat_id"].tolist(),
+             "lat": feats["lat"].values, "lon": feats["lon"].values}
+    want = sorted((pts["doc_id"].iloc[i], fid) for i, fid, _ in
+                  brute_force_radius(pts["lat"].values, pts["lon"].values,
+                                     fdict, 500.0))
+    got = sorted(zip(out["doc_id"], out["feat_id_matched"]))
+    assert got == want
+    assert ("edge", "Fnear") in got     # the pair the old grid missed
