@@ -197,3 +197,23 @@ def test_geohash_neighbors_properties():
     e = geohash_neighbors(g)[0, 0]
     _, el = geohash_decode([e])
     assert el[0] < -179.9
+
+
+def test_arrow_fastpath_encoders_match_reference_paths():
+    """The buffer-built Arrow string arrays (geohash_encode_arrow /
+    s2_token_arrow) must equal the plain numpy-string encoders
+    element-for-element, including the zero-cell sentinel."""
+    import numpy as np
+
+    from cartwright_ray.geo.geohash import geohash_encode, geohash_encode_arrow
+    from cartwright_ray.geo.s2 import s2_cell_id, s2_token, s2_token_arrow
+    rng = np.random.default_rng(3)
+    lat = rng.uniform(-85, 85, 500)
+    lon = rng.uniform(-180, 180, 500)
+    for p in (4, 9, 12):
+        assert geohash_encode_arrow(lat, lon, p).to_pylist() \
+            == list(geohash_encode(lat, lon, p))
+    cells = s2_cell_id(lat, lon, 12)
+    assert s2_token_arrow(cells).to_pylist() == list(s2_token(cells))
+    zero = np.array([0], dtype=np.uint64)
+    assert s2_token_arrow(zero).to_pylist() == ["X"]
