@@ -57,3 +57,23 @@ def test_unsupported_rejected():
             + _chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="unsupported"):
         png_decode(data)
+
+
+def test_roundtrip_property():
+    """Property: any uint8 image of any small shape round-trips through
+    every filter type, gray and RGB."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(h=st.integers(1, 24), w=st.integers(1, 24),
+           f=st.integers(0, 4), rgb=st.booleans(),
+           seed=st.integers(0, 2**31 - 1))
+    def prop(h, w, f, rgb, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if rgb else (h, w)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = png_decode(png_encode(img, filter_type=f))
+        assert out.shape == img.shape and (out == img).all()
+
+    prop()
