@@ -866,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_by_type": rel.value_quantiles_by_type,
         "sketch_quantiles_by_type": rel.sketch_quantiles_by_type,
         "distinct_users_by_type": rel.distinct_users_by_type,
+        "user_set_ops": rel.user_set_ops,
         "asof_join_rates": rel.asof_join_rates,
         "semi_join_orders_building": rel.semi_join_orders_building,
         "customers_without_orders": rel.customers_without_orders,
@@ -1296,6 +1297,19 @@ def oracle_sql() -> dict[str, str]:
                    p.bin_idx * 8.0 AS approx_value
             FROM pick p
             ORDER BY event_type, q
+        """,
+        "user_set_ops": """
+            WITH a AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'purchase'),
+            b AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'error')
+            SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                   CASE WHEN a.user_id IS NOT NULL
+                             AND b.user_id IS NOT NULL THEN 'both'
+                        WHEN a.user_id IS NOT NULL THEN 'a_only'
+                        ELSE 'b_only' END AS set_label
+            FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+            ORDER BY user_id
         """,
         "distinct_users_by_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users

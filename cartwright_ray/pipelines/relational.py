@@ -711,3 +711,40 @@ def track_segments(sf_dir: str, max_step_km: float = 800.0) -> pd.DataFrame:
     out = out[["user_id", "event_id", "segment_id"]]
     out["segment_id"] = out["segment_id"].astype("int64")
     return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+def user_set_ops(sf_dir: str, type_a: str = "purchase",
+                 type_b: str = "error") -> pd.DataFrame:
+    """Distributed set operations between two user populations (users
+    with a ``type_a`` event vs users with a ``type_b`` event): INTERSECT,
+    A EXCEPT B, B EXCEPT A — computed with ONE shuffle on user_id over
+    pre-projected 0/1 membership flags (rows reduced to (user, bit, bit)
+    inside map_batches; the groupby carries two Max aggregates, never the
+    events). Returns one row per user in either set with its set label.
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    def project(t: pa.Table) -> pa.Table:
+        is_a = pc.cast(pc.equal(t["event_type"], type_a), pa.int64())
+        is_b = pc.cast(pc.equal(t["event_type"], type_b), pa.int64())
+        keep = pc.or_(pc.equal(t["event_type"], type_a),
+                      pc.equal(t["event_type"], type_b))
+        out = pa.table({"user_id": t["user_id"], "in_a": is_a, "in_b": is_b})
+        return out.filter(keep)
+
+    agg = (ds.map_batches(project, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Max("in_a", alias_name="in_a"),
+                      Max("in_b", alias_name="in_b")))
+
+    def label(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["in_a"], dtype=np.int64)
+        b = np.asarray(t["in_b"], dtype=np.int64)
+        lab = np.where(a & b, "both",
+                       np.where(a == 1, "a_only", "b_only"))
+        return pa.table({"user_id": t["user_id"],
+                         "set_label": pa.array(lab.tolist(), pa.string())})
+
+    out = agg.map_batches(label, batch_format="pyarrow").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
