@@ -171,6 +171,26 @@ def derived_points(sf_dir: str):
     return ds.map_batches(derive, batch_format="pyarrow")
 
 
+def part_features_ds(sf_dir: str):
+    """Feature table derived from part.parquet as a Dataset — the
+    large-feature-side input for the shuffle join plans (same .25-offset
+    derivation formulas as the broadcast ``_part_features`` oracle
+    family)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["p_partkey"], dtype=np.int64)
+        return pa.table({
+            "feat_id": pa.array([f"P{k:05d}" for k in keys], pa.string()),
+            "lat": pa.array((keys * 37 % 160).astype(np.float64)
+                            - 80.0 + 0.25),
+            "lon": pa.array((keys * 91 % 340).astype(np.float64)
+                            - 170.0 + 0.25)})
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
 def tile_assignment(sf_dir: str, zoom: int = 8) -> pd.DataFrame:
     """Web-mercator tile assignment of the derived points (vectorized
     kernel from cartwright_ray.geo.mercator)."""

@@ -25,6 +25,27 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _strict_hash_match(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
+    """Mirror of the driver's hash compare: values must be EXACTLY equal
+    at matching dtype kinds (an int64 engine column vs a float64 oracle
+    column hash-mismatches even when numerically equal — the r02
+    sketch_quantiles_by_type failure mode). Returns None when the hashes
+    would match, else a description."""
+    for c in a.columns:
+        ak, bk = a[c].dtype.kind, b[c].dtype.kind
+        if ak != bk:
+            return f"DTYPE col {c}: engine {a[c].dtype} vs oracle {b[c].dtype}"
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if ak == "f":
+            same = (av == bv) | (np.isnan(av) & np.isnan(bv))
+            if not same.all():
+                return f"FLOAT-EXACT col {c} differs (bitwise)"
+        else:
+            if not (av.astype(str) == bv.astype(str)).all():
+                return f"EXACT col {c} differs"
+    return None
+
+
 def compare(a: pd.DataFrame, b: pd.DataFrame) -> str:
     if sorted(a.columns) != sorted(b.columns):
         return f"SCHEMA columns {sorted(a.columns)} vs {sorted(b.columns)}"
@@ -41,6 +62,9 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str:
             if not (av.astype(str) == bv.astype(str)).all():
                 bad = np.nonzero(av.astype(str) != bv.astype(str))[0][:3]
                 return f"VALUES col {c} rows {bad.tolist()} {av[bad]} vs {bv[bad]}"
+    strict = _strict_hash_match(a, b)
+    if strict is not None:
+        return f"OK-TOL but driver hash would FAIL: {strict}"
     return "OK"
 
 

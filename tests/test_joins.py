@@ -255,3 +255,42 @@ def test_radius_join_shuffle_high_lat_antimeridian_column(ray_session):
     got = sorted(zip(out["doc_id"], out["feat_id_matched"]))
     assert got == want
     assert ("edge", "Fnear") in got     # the pair the old grid missed
+
+
+def test_knn_join_shuffle_matches_brute_force(ray_session, points_df):
+    """The cell-keyed shuffle kNN plan (VERDICT r02 Missing #2) must
+    reproduce the exact brute-force ranking — including polar points,
+    antimeridian straddlers, and an isolated point whose 3 nearest
+    features lie far outside its first-round 3x3 neighborhood (forces
+    the doubling-retry path)."""
+    import ray.data
+
+    from cartwright_ray.joins.knn_join import knn_join_shuffle
+
+    rng = np.random.default_rng(23)
+    m = 400
+    feats = pd.DataFrame({
+        "feat_id": [f"F{i:04d}" for i in range(m)],
+        "lat": np.concatenate([rng.uniform(-75, 75, m - 4),
+                               [87.0, -88.0, 12.0, -12.0]]),
+        "lon": np.concatenate([rng.uniform(-180, 180, m - 4),
+                               [45.0, -120.0, 179.8, -179.8]]),
+    })
+    sub = pd.concat([points_df.head(200), pd.DataFrame({
+        "doc_id": ["p_pole", "p_anti", "p_isolated"], "span_idx": [0, 0, 0],
+        # p_isolated sits in the empty southern ocean band far from the
+        # uniform draw's neighbors at small cell sizes
+        "lat": [86.2, -11.9, -89.5], "lon": [44.0, 179.9, 0.0]})],
+        ignore_index=True)
+    out = knn_join_shuffle(
+        ray.data.from_pandas(sub).repartition(4),
+        ray.data.from_pandas(feats).repartition(3),
+        k=3, cell_deg=6.0).to_pandas()
+    fdict = {"feat_id": feats["feat_id"].tolist(),
+             "lat": feats["lat"].values, "lon": feats["lon"].values}
+    oracle = brute_force_knn(sub["lat"].values, sub["lon"].values, fdict, k=3)
+    want = sorted((sub["doc_id"].iloc[i], rank, fid)
+                  for i, rank, fid in oracle)
+    got = sorted(zip(out["doc_id"], out["neighbor_rank"], out["feat_id"]))
+    assert len(out) == 3 * len(sub)          # exactly k rows per point
+    assert got == want
