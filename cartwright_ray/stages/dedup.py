@@ -341,19 +341,26 @@ def brute_force_near_dups(texts, ids, threshold=0.8, shingle_k=4):
 
 def simhash_signatures(texts: list[str], shingle_k: int = 4,
                        seed: int = 11) -> np.ndarray:
-    """64-bit simhash per doc, vectorized (bit-expand + reduceat sums)."""
+    """64-bit simhash per doc, vectorized (bit-expand + reduceat sums).
+
+    The per-doc bit sums run as 64 ONE-dimensional ``np.add.reduceat``
+    calls over a transposed contiguous bit plane: ``reduceat(..., axis=0)``
+    on the (m, 64) layout hits numpy's strided slow path and was 30x
+    slower (measured 16.0s vs 0.52s on a 1.9M-shingle batch — the r01→r02
+    simhash_dedup_pairs bench regression, VERDICT r02 Next #3)."""
     shingles, counts = _shingle_hashes(texts, shingle_k)
     rng = np.random.default_rng(seed)
     a = rng.integers(1, int(_MERSENNE), 1, dtype=np.uint64)[0]
     h = (shingles * a) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
-                         bitorder="little").astype(np.int32)  # (m, 64)
     starts = np.zeros(len(counts), dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
-    if bits.shape[0]:
-        sums = np.add.reduceat(bits, starts, axis=0)
-    else:
-        sums = np.zeros((len(counts), 64), dtype=np.int32)
+    sums = np.zeros((len(counts), 64), dtype=np.int64)
+    if h.shape[0]:
+        bits_t = np.ascontiguousarray(
+            np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
+                          bitorder="little").T)          # (64, m) planes
+        for b in range(64):
+            sums[:, b] = np.add.reduceat(bits_t[b].astype(np.int64), starts)
     sums = np.where(counts[:, None] > 0, sums, 0)
     sign = (sums * 2 > counts[:, None]).astype(np.uint64)
     sig = np.zeros(len(counts), dtype=np.uint64)
