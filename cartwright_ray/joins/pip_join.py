@@ -33,6 +33,7 @@ from __future__ import annotations
 from ..util import _pool
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ..geo.hexgrid import R0, SQRT7, _mercator_xy, hex_cell
@@ -99,8 +100,15 @@ class PolygonIndex:
                     np.empty(0, dtype=object), np.empty(0, dtype=object))
         cand_idx = np.nonzero(covered)[0]
         ccells = cells[cand_idx]
+        # restrict the per-polygon pass to polygons whose cover intersects
+        # the batch's distinct cells (cell_to_polys lookup) — keeps the
+        # loop O(|polygons touching the batch|), not O(|all polygons|),
+        # which matters for large polygon tables (ADVICE r02)
+        cand_polys = sorted({pi for c in np.unique(ccells)
+                             for pi in self.cell_to_polys.get(int(c), ())})
         out_idx, out_admin, out_name = [], [], []
-        for pi, poly in enumerate(self.polygons):
+        for pi in cand_polys:
+            poly = self.polygons[pi]
             cover = self._cover_sorted[pi]
             p = np.searchsorted(cover, ccells)
             p[p >= cover.size] = 0
@@ -197,33 +205,40 @@ def pip_join(points_ds, polygons: list[dict],
 # ---------------------------------------------------------------------------
 
 def salted_keys(ds, cell_col: str, id_col: str = "doc_id",
-                cap: int = 50_000):
-    """Append a ``pip_key`` column = "<cell>#<salt>": salt spreads any cell
-    whose global count exceeds ``cap`` over ceil(count/cap) subkeys.
+                cap: int = 50_000, max_salts: int = 256):
+    """Append a numeric ``pip_key`` column = ``cell * 256 + salt``: salt
+    spreads any cell whose global count exceeds ``cap`` over
+    ``ceil(count/cap)`` subkeys (clamped to ``max_salts`` — a cell hotter
+    than cap*256 still splits 256 ways, documented bound).
 
     Pass 1 is a tiny groupby-count (cell histogram); the hot-cell → salt-K
-    map is broadcast into the key-assignment map_batches.
+    map is broadcast into the key-assignment map_batches. Fully
+    vectorized (VERDICT r02 Next #6): hot-cell membership is a sorted
+    ``searchsorted`` probe, the per-row salt is ``pd.util.hash_array``
+    over the id column, and the key is int math — no per-row Python and
+    no string keys in the shuffle. Cell ids use < 2^53 bits
+    (``geo.hexgrid.hex_cell`` packs res<<48), so the *256 shift cannot
+    overflow uint64.
     """
-    import pyarrow.compute as pc
-
     hist = ds.groupby(cell_col).count().to_pandas()
-    hot = {int(c): int(np.ceil(n / cap))
+    hot = {int(c): int(min(np.ceil(n / cap), max_salts))
            for c, n in zip(hist[cell_col], hist["count()"]) if n > cap}
+    hot_cells = np.array(sorted(hot), dtype=np.uint64)
+    hot_k = np.array([hot[int(c)] for c in hot_cells], dtype=np.uint64)
 
     def assign(batch: pa.Table) -> pa.Table:
         cells = np.asarray(batch[cell_col]).astype(np.uint64)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        salts = np.zeros(len(cells), dtype=np.int64)
-        if hot:
-            ks = np.array([hot.get(int(c), 1) for c in cells])
-            mask = ks > 1
+        salts = np.zeros(len(cells), dtype=np.uint64)
+        if hot_cells.size:
+            pos = np.minimum(np.searchsorted(hot_cells, cells),
+                             hot_cells.size - 1)
+            mask = hot_cells[pos] == cells
             if mask.any():
-                import zlib
-                idh = np.array([zlib.crc32(str(i).encode()) for i in ids[mask]],
-                               dtype=np.int64)
-                salts[mask] = idh % ks[mask]
-        keys = pa.array([f"{c}#{s}" for c, s in zip(cells, salts)])
-        return batch.append_column("pip_key", keys)
+                ids = batch[id_col].to_numpy(zero_copy_only=False)
+                idh = pd.util.hash_array(np.asarray(ids[mask]))
+                salts[mask] = idh.astype(np.uint64) % hot_k[pos[mask]]
+        keys = cells * np.uint64(256) + salts
+        return batch.append_column("pip_key", pa.array(keys, pa.uint64()))
 
     return ds.map_batches(assign, batch_format="pyarrow"), hot
 
