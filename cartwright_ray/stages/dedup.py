@@ -106,32 +106,56 @@ def _minhash_sig(shingles: np.ndarray, counts: np.ndarray,
 # exact dedup
 # ---------------------------------------------------------------------------
 
-def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
-    """Exact duplicate removal (SURVEY.md §2.7 T7 generalized), id-shuffle
-    plan: only ``(content_hash, id)`` pairs travel through the shuffle —
-    the document text stays in place.
+def _content_hash128(batch: pa.Table, col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit siphash passes over the text column
+    (``pd.util.hash_array`` — C loop, no per-row Python)."""
+    texts = np.asarray(
+        [v if isinstance(v, str) else str(v)
+         for v in batch.column(col).to_pylist()], dtype=object)
+    h1 = pd.util.hash_array(texts, hash_key="cartwright_dedp0")
+    h2 = pd.util.hash_array(texts, hash_key="cartwright_dedp1")
+    return h1, h2
 
-    1. ``map_batches``: vectorized 128-bit content hash (two independent
-       64-bit siphash passes, ``pd.util.hash_array`` — C loop, no per-row
-       Python) → narrow (h1, h2, id) rows;
-    2. ``groupby((h1, h2)).min(id)`` → winner ids (one per distinct text);
-    3. winners broadcast once (``ray.put``) → streaming ``pc.is_in``
-       semi-join filter over the original dataset. Survivors keep all
-       original columns.
 
-    Scale boundary: the winner-id set must fit a broadcast (ids only, not
-    rows). Beyond that, replace step 3 with a hash-partitioned semi-join
-    keyed on the same (h1, h2).
+# default row-count boundary between the broadcast and hash-partitioned
+# plans: broadcast ships O(distinct ids); beyond ~5M ids (~100 MB) the
+# driver/object-store round-trip stops being the cheap side
+_BROADCAST_LIMIT = 5_000_000
+
+
+def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
+                plan: str = "auto", broadcast_limit: int = _BROADCAST_LIMIT):
+    """Exact duplicate removal (SURVEY.md §2.7 T7 generalized) with two
+    physical plans (VERDICT r02 Next #4):
+
+    ``plan="broadcast"`` (small/medium corpora): only ``(h1, h2, id)``
+    travels the shuffle; ``groupby((h1,h2)).min(id)`` winners are
+    collected ONCE, broadcast via ``ray.put``, and survivors stream out
+    through a ``pc.is_in`` semi-join filter. Driver cost: O(distinct
+    ids) — NOT O(rows) — which is the plan's scale boundary.
+
+    ``plan="shuffle"`` (the 100-TB path): the 128-bit content hash is
+    appended to the full rows and ONE ``groupby((h1,h2))`` co-locates
+    each distinct text's rows; the group keeps its min-id row. Nothing
+    is ever collected to the driver and no broadcast exists — the cost
+    is a single all-to-all of the corpus, which is also the *lower
+    bound* for distributed dedup without a broadcastable id set (the
+    semi-join alternative pays the same corpus shuffle PLUS the narrow
+    winner shuffle).
+
+    ``plan="auto"``: row count (cheap parquet metadata) above
+    ``broadcast_limit`` picks shuffle.
     """
+    if plan == "auto":
+        plan = "shuffle" if ds.count() > broadcast_limit else "broadcast"
+    if plan == "shuffle":
+        return _exact_dedup_shuffle(ds, col, id_col)
+
     import ray
     from ray.data.aggregate import Min
 
     def key_rows(batch: pa.Table) -> pa.Table:
-        texts = np.asarray(
-            [v if isinstance(v, str) else str(v)
-             for v in batch.column(col).to_pylist()], dtype=object)
-        h1 = pd.util.hash_array(texts, hash_key="cartwright_dedp0")  # 16-byte keys
-        h2 = pd.util.hash_array(texts, hash_key="cartwright_dedp1")
+        h1, h2 = _content_hash128(batch, col)
         return pa.table({"h1": pa.array(h1, pa.uint64()),
                          "h2": pa.array(h2, pa.uint64()),
                          id_col: batch.column(id_col)})
@@ -148,6 +172,24 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
         return batch.filter(pc.is_in(batch.column(id_col), value_set=ks))
 
     return ds.map_batches(survivors, batch_format="pyarrow")
+
+
+def _exact_dedup_shuffle(ds, col: str, id_col: str):
+    """Hash-partitioned plan: full rows keyed by content hash, one
+    groupby, per-group min-id winner. Zero driver materialization."""
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        h1, h2 = _content_hash128(batch, col)
+        batch = batch.append_column("__xd_h1", pa.array(h1, pa.uint64()))
+        return batch.append_column("__xd_h2", pa.array(h2, pa.uint64()))
+
+    def keep_min(g: pa.Table) -> pa.Table:
+        first = pc.sort_indices(g.column(id_col))[0].as_py()
+        return g.slice(first, 1).drop_columns(["__xd_h1", "__xd_h2"])
+
+    return (ds.map_batches(key_rows, batch_format="pyarrow")
+              .groupby(["__xd_h1", "__xd_h2"])
+              .map_groups(keep_min, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
@@ -518,18 +560,35 @@ def ngram_jaccard_dedup(ds, col: str = "text", id_col: str = "doc_id",
                              shingle_k=shingle_k, seed=seed, verify="exact")
 
 
-def drop_near_dups(ds, pairs_ds, id_col: str = "doc_id"):
+def drop_near_dups(ds, pairs_ds, id_col: str = "doc_id",
+                   plan: str = "auto",
+                   broadcast_limit: int = _BROADCAST_LIMIT,
+                   num_partitions: int = 256):
     """Materialize the DEDUPLICATED corpus from a near-dup pair set: drop
     every ``dup_id`` named by ``pairs_ds`` (minhash/simhash/ngram/embedding
     pair output), keep everything else — the step that turns pair
     detection into a training corpus.
 
-    The dup-id set is collected and broadcast (``ray.put``) and the drop
-    is a streaming ``pc.is_in`` filter — the corpus itself never
-    collects. Scale bound: the broadcast is O(duplicates), not O(corpus);
-    for corpora where duplicates themselves don't fit a broadcast, switch
-    to a hash-shuffle anti-join on ``id_col`` (same output, one extra
-    shuffle)."""
+    ``plan="broadcast"``: the dup-id set is collected once and broadcast
+    (``ray.put``); the drop is a streaming ``pc.is_in`` anti-filter —
+    the corpus never collects, driver cost O(duplicates).
+
+    ``plan="shuffle"`` (for dup sets that outgrow a broadcast — VERDICT
+    r02 Next #4): a distributed hash anti-join. Corpus rows and dup-id
+    rows are co-partitioned by ``hash(id) % num_partitions`` (narrow dup
+    rows: id only), one ``groupby`` on the partition key brings each id's
+    corpus rows together with any matching dup row, and the group filters
+    locally. One corpus shuffle, zero driver materialization.
+
+    ``plan="auto"``: dup-pair count above ``broadcast_limit`` picks
+    shuffle.
+    """
+    if plan == "auto":
+        plan = "shuffle" if pairs_ds.count() > broadcast_limit \
+            else "broadcast"
+    if plan == "shuffle":
+        return _drop_near_dups_shuffle(ds, pairs_ds, id_col, num_partitions)
+
     import ray
 
     dup_ids = pairs_ds.select_columns(["dup_id"]).to_pandas()["dup_id"]
@@ -541,3 +600,49 @@ def drop_near_dups(ds, pairs_ds, id_col: str = "doc_id"):
 
     return ds.map_batches(drop, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def _drop_near_dups_shuffle(ds, pairs_ds, id_col: str, num_partitions: int):
+    """Hash anti-join: both sides keyed by id hash, group-local filter."""
+    c_schema = ds.limit(1).take_batch(1, batch_format="pyarrow").schema
+
+    def _part_of(ids_np: np.ndarray) -> np.ndarray:
+        return (pd.util.hash_array(ids_np).astype(np.uint64)
+                % np.uint64(num_partitions)).astype(np.int64)
+
+    def key_corpus(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False))
+        t = t.append_column("__ad_part", pa.array(_part_of(ids), pa.int64()))
+        return t.append_column("__ad_side",
+                               pa.array(np.zeros(t.num_rows, np.int8)))
+
+    def key_dups(t: pa.Table) -> pa.Table:
+        ids = t["dup_id"]
+        ids_np = np.asarray(ids.to_numpy(zero_copy_only=False))
+        n = len(ids_np)
+        cols = [pc.cast(ids, c_schema.field(f.name).type)
+                if f.name == id_col else pa.nulls(n, f.type)
+                for f in c_schema]
+        out = pa.Table.from_arrays(cols, schema=c_schema)
+        out = out.append_column("__ad_part",
+                                pa.array(_part_of(ids_np), pa.int64()))
+        return out.append_column("__ad_side",
+                                 pa.array(np.ones(n, np.int8)))
+
+    keyed = ds.map_batches(key_corpus, batch_format="pyarrow").union(
+        pairs_ds.select_columns(["dup_id"])
+                .map_batches(key_dups, batch_format="pyarrow"))
+
+    def anti(g: pa.Table) -> pa.Table:
+        side = np.asarray(g["__ad_side"])
+        corpus = g.filter(pa.array(side == 0))
+        dup_ids = g.filter(pa.array(side == 1))[id_col]
+        out = corpus.drop_columns(["__ad_part", "__ad_side"])
+        if len(dup_ids) == 0:
+            return out
+        mask = pc.invert(pc.is_in(out[id_col],
+                                  value_set=dup_ids.combine_chunks().unique()))
+        return out.filter(mask)
+
+    return keyed.groupby("__ad_part").map_groups(anti,
+                                                 batch_format="pyarrow")

@@ -341,3 +341,70 @@ def test_langid_new_languages(ray_session):
     ]})
     out = detect_language(ray.data.from_pandas(df)).to_pandas()
     assert out["lang_pred"].tolist() == ["pt", "it", "nl", "en"]
+
+
+def test_exact_dedup_shuffle_plan_matches_broadcast(ray_session, docs_df):
+    """The hash-partitioned plan (VERDICT r02 Next #4) must keep exactly
+    the same survivors as the broadcast plan — and must never collect ids
+    to the driver (to_pandas/materialize are poisoned during both build
+    AND execution of the shuffle path)."""
+    import ray.data
+    from ray.data import Dataset
+
+    from cartwright_ray.stages.dedup import exact_dedup
+
+    df = docs_df.head(120).copy()
+    clones = df.head(30).copy()
+    clones["doc_id"] = clones["doc_id"] + 10_000
+    test_df = pd.concat([df, clones])
+    ds = ray.data.from_pandas(test_df).repartition(4)
+
+    want = sorted(exact_dedup(ds, plan="broadcast").to_pandas()["doc_id"])
+
+    real_to_pandas = Dataset.to_pandas
+    real_materialize = Dataset.materialize
+
+    def _poisoned(self, *a, **k):
+        raise AssertionError("driver-side materialization on shuffle path")
+
+    Dataset.to_pandas = _poisoned
+    Dataset.materialize = _poisoned
+    try:
+        shuffled = exact_dedup(ds, plan="shuffle")
+        got = sorted(r["doc_id"] for r in shuffled.iter_rows())
+    finally:
+        Dataset.to_pandas = real_to_pandas
+        Dataset.materialize = real_materialize
+    assert got == want
+
+
+def test_drop_near_dups_shuffle_plan_matches_broadcast(ray_session):
+    import ray.data
+    from ray.data import Dataset
+
+    from cartwright_ray.pipelines.derived import planted_near_clone_docs
+    from cartwright_ray.stages.dedup import drop_near_dups, ngram_jaccard_dedup
+
+    pairs = ngram_jaccard_dedup(planted_near_clone_docs(SF, clones=10),
+                                threshold=0.8).materialize()
+    corpus = planted_near_clone_docs(SF, clones=10)
+    want = sorted(drop_near_dups(corpus, pairs,
+                                 plan="broadcast").to_pandas()["doc_id"])
+
+    real_to_pandas = Dataset.to_pandas
+    real_materialize = Dataset.materialize
+
+    def _poisoned(self, *a, **k):
+        raise AssertionError("driver-side materialization on shuffle path")
+
+    Dataset.to_pandas = _poisoned
+    Dataset.materialize = _poisoned
+    try:
+        kept = drop_near_dups(corpus, pairs, plan="shuffle",
+                              num_partitions=16)
+        got = sorted(r["doc_id"] for r in kept.iter_rows())
+    finally:
+        Dataset.to_pandas = real_to_pandas
+        Dataset.materialize = real_materialize
+    assert got == want
+    assert len(got) and not any(g >= 100000 for g in got)
