@@ -408,3 +408,76 @@ def test_drop_near_dups_shuffle_plan_matches_broadcast(ray_session):
         Dataset.materialize = real_materialize
     assert got == want
     assert len(got) and not any(g >= 100000 for g in got)
+
+
+def test_vecs_from_arrow_sliced_plain_list():
+    """Regression (ADVICE r02): a sliced NON-chunked ListArray must not
+    double-apply the slice offset."""
+    import pyarrow as pa
+
+    from cartwright_ray.stages.dedup import _shingle_hashes  # noqa: F401
+    from cartwright_ray.stages.ann import _vecs_from_arrow
+
+    arr = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0]])
+    sl = arr.slice(1, 2)
+    out = _vecs_from_arrow(sl)
+    assert out.shape == (2, 2)
+    assert (out == np.array([[3.0, 4.0], [5.0, 6.0]])).all()
+
+
+def test_ivf_partitioned_write_and_pruned_read(ray_session, tmp_path):
+    """ivf_partition_write + ivf_ann_search_partitioned (VERDICT r02
+    Next #7): the pruned read must open ONLY the probed ivf_list
+    partitions and return the same top-k as the streaming-filter path."""
+    import os
+
+    import ray.data
+
+    from cartwright_ray.stages.ann import (ivf_ann_search,
+                                           ivf_ann_search_partitioned,
+                                           ivf_centroids,
+                                           ivf_partition_write)
+
+    rng = np.random.default_rng(41)
+    n, d, nlist, nprobe = 600, 16, 8, 2
+    vecs = rng.normal(size=(n, d))
+    df = pd.DataFrame({"vec_id": np.arange(n)})
+    df["embedding"] = [v for v in vecs.astype(np.float64)]
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    queries = {"query_id": [0, 1, 2], "vec": vecs[:3] + 0.01}
+
+    path = str(tmp_path / "ivf_corpus")
+    ivf_partition_write(ds, path, nlist=nlist)
+    part_dirs = sorted(p for p in os.listdir(path)
+                       if p.startswith("ivf_list="))
+    assert len(part_dirs) == nlist          # all lists populated
+
+    out = ivf_ann_search_partitioned(
+        path, queries, k=5, nlist=nlist, nprobe=nprobe).to_pandas()
+    want = ivf_ann_search(ds, queries, k=5, nlist=nlist,
+                          nprobe=nprobe).to_pandas()
+    key = ["query_id", "rank"]
+    out = out.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert out["vec_id"].tolist() == want["vec_id"].tolist()
+    assert np.allclose(out["score"], want["score"])
+
+    # the prune is at the reader: the probed union is < nlist dirs and the
+    # Dataset's input files live only under those dirs
+    qmat = np.asarray(queries["vec"], dtype=np.float64)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    cents = ivf_centroids(d, nlist)
+    probe = np.argsort(-np.round(qn @ cents.T, 9), axis=1,
+                       kind="stable")[:, :nprobe]
+    probed = {f"ivf_list={c}" for c in np.unique(probe)}
+    assert len(probed) < nlist
+    probed_files = [os.path.join(path, d, f)
+                    for d in sorted(probed)
+                    for f in os.listdir(os.path.join(path, d))
+                    if f.endswith(".parquet")]
+    pruned_ds = ray.data.read_parquet(probed_files)
+    for f in pruned_ds.input_files():
+        assert any(p in f for p in probed)
+    n_probed_rows = pruned_ds.count()
+    assert n_probed_rows < n                 # a real fraction was skipped
