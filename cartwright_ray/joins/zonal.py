@@ -94,18 +94,22 @@ class _ZonalActor:
                          if not isinstance(polygons_ref, list) else polygons_ref)
         self.tile_fn = tile_fn
 
+    _SCHEMA = pa.schema([("admin_id", pa.string()),
+                         ("px_count", pa.int64()),
+                         ("px_sum", pa.float64()),
+                         ("px_min", pa.float64()),
+                         ("px_max", pa.float64())])
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
         for z, x, y in zip(batch["z"].to_pylist(), batch["x"].to_pylist(),
                            batch["y"].to_pylist()):
             rows.extend(_partials_for_tile(z, x, y, self.polygons, self.tile_fn))
         if not rows:
-            return pa.table({"admin_id": pa.array([], pa.string()),
-                             "px_count": pa.array([], pa.int64()),
-                             "px_sum": pa.array([], pa.float64()),
-                             "px_min": pa.array([], pa.float64()),
-                             "px_max": pa.array([], pa.float64())})
-        return pa.Table.from_pylist(rows)
+            # explicit-schema empty table: schema-less empty RefBundles
+            # destabilize streaming schema inference (VERDICT r02 minor)
+            return self._SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=self._SCHEMA)
 
 
 def zonal_stats(polygons: list[dict], zoom: int = 8,

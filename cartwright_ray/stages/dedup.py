@@ -241,12 +241,16 @@ def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
     shingle → minhash (vectorized) → band rows carrying the uint32-packed
     signature (NOT the text) → bucket ``groupby`` on the numeric
     (band, band_hash) key → in-bucket verify. Returns a Dataset of
-    duplicate pairs ``(dup_id, kept_id, jac)`` with dup_id > kept_id.
+    duplicate pairs ``(dup_id, kept_id, jac_est|jac)`` with dup_id >
+    kept_id (column name depends on ``verify`` — see below).
 
     ``verify="estimate"`` (default, the 100-TB path): jaccard is estimated
     from the carried signatures (fraction of equal components, ±1/√num_perm
     — standard MinHash practice), so the shuffle carries
-    ``bands × num_perm × 4`` bytes per doc and no text.
+    ``bands × num_perm × 4`` bytes per doc and no text. The similarity
+    column is named ``jac_est`` — NOT ``jac`` — so callers cannot mistake
+    the estimate for exact jaccard (ADVICE r02); the exact-verify path is
+    the one that emits ``jac``.
 
     ``verify="exact"``: a *second pass* re-verifies the estimated candidate
     pairs with exact jaccard — candidate ids are broadcast, only their
@@ -284,7 +288,7 @@ def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
     def bucket_verify(g: pa.Table) -> pa.Table:
         out_schema = pa.schema([("dup_id", g.schema.field(id_col).type),
                                 ("kept_id", g.schema.field(id_col).type),
-                                ("jac", pa.float64())])
+                                ("jac_est", pa.float64())])
         if g.num_rows < 2:
             return out_schema.empty_table()
         order = pc.sort_indices(g.column(id_col))
@@ -309,7 +313,7 @@ def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
             ids, lambda i, j: float(eq[i, j]), est_threshold)
         return pa.table({"dup_id": pa.array(dup, out_schema.field(0).type),
                          "kept_id": pa.array(kept, out_schema.field(1).type),
-                         "jac": pa.array(jacs, pa.float64())})
+                         "jac_est": pa.array(jacs, pa.float64())})
 
     pairs = (ds.map_batches(signatures, batch_format="pyarrow")
                .groupby(["band", "bh"])

@@ -62,7 +62,7 @@ def test_minhash_estimate_close_to_exact(ray_session):
     for _, r in out.iterrows():
         exact = jaccard(_shingle_set(texts[int(r["dup_id"])]),
                         _shingle_set(texts[int(r["kept_id"])]))
-        assert abs(r["jac"] - exact) < 0.2
+        assert abs(r["jac_est"] - exact) < 0.2
 
 
 def test_pip_cover_near_poles(ray_session):

@@ -294,3 +294,22 @@ def test_knn_join_shuffle_matches_brute_force(ray_session, points_df):
     got = sorted(zip(out["doc_id"], out["neighbor_rank"], out["feat_id"]))
     assert len(out) == 3 * len(sub)          # exactly k rows per point
     assert got == want
+
+
+def test_knn_tie_band_overflow_beyond_margin(ray_session):
+    """Regression (ADVICE r02): >16 features in the same 1mm rounded-
+    distance tie band at the k boundary must still yield the lowest
+    feat_id winners — the candidate window re-ranks against ALL features
+    when the tie band overflows the margin."""
+    import ray.data
+
+    from cartwright_ray.joins.knn_join import knn_join
+
+    n_tied = 30                       # > k + _MARGIN = 19
+    feats = {"feat_id": [f"F{i:03d}" for i in range(n_tied)],
+             "lat": [10.0] * n_tied,  # identical position => exact tie
+             "lon": [20.0] * n_tied}
+    pts = pd.DataFrame({"doc_id": ["p0"], "lat": [10.5], "lon": [20.5]})
+    out = knn_join(ray.data.from_pandas(pts), feats, k=3).to_pandas()
+    got = out.sort_values("neighbor_rank")["feat_id"].tolist()
+    assert got == ["F000", "F001", "F002"]
