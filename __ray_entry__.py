@@ -520,6 +520,19 @@ def _q_minhash(sf_dir):
     return df.sort_values("dup_id").reset_index(drop=True)
 
 
+def _q_near_dup_clusters(sf_dir):
+    """Near-dup CLUSTERS over the planted triple-clone corpus: MinHash LSH
+    all-pairs edges → distributed connected components (alternating
+    large-star/small-star). Oracle is the planted answer: each triple
+    {i, i+100000, i+200000} (i < 25, exact clones ⇒ deterministic edges)
+    is one component with cluster_id = i; nothing else clusters."""
+    from cartwright_ray.pipelines.derived import planted_cluster_docs
+    from cartwright_ray.stages.dedup import near_dup_clusters
+    df = near_dup_clusters(planted_cluster_docs(sf_dir),
+                           threshold=0.8).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_ngram_jaccard(sf_dir):
     """Exact n-gram Jaccard dedup over the planted NEAR-clone corpus
     (clone = original with its last token replaced, jaccard ~0.93): the
@@ -896,7 +909,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": rel.customers_without_orders,
         "top_orders_per_customer": rel.top_orders_per_customer,
         # geo kernels with SQL-reproducible math
-        "tile_assignment": rel.tile_assignment,
         "tile_pyramid": _q_tile_pyramid,
         # text / dedup / ANN
         "text_stats_docs": _q_text_stats,
@@ -906,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann,
         "ivf_ann_topk": _q_ivf_ann,
         "minhash_dedup_pairs": _q_minhash,
+        "near_dup_clusters": _q_near_dup_clusters,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_dedup_pairs": _q_simhash,
         "embedding_near_dups": _q_embedding_dups,
@@ -937,6 +950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats_admin": _q_zonal,
         # ---- tail: ≥50th position, redundant variants of families that
         # are double-green (driver r02 + local oracle) ----
+        "tile_assignment": rel.tile_assignment,
         "tile_heatmap": rel.tile_heatmap,
         "haversine_origin": rel.haversine_from_origin,
         "token_counts": _q_token_counts,
@@ -1813,6 +1827,13 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": """
             SELECT doc_id + 100000 AS dup_id, doc_id AS kept_id
             FROM documents WHERE doc_id < 25 ORDER BY dup_id
+        """,
+        "near_dup_clusters": """
+            SELECT CAST(d.doc_id + 100000 * g.k AS BIGINT) AS doc_id,
+                   CAST(d.doc_id AS BIGINT) AS cluster_id
+            FROM documents d CROSS JOIN (VALUES (0), (1), (2)) AS g(k)
+            WHERE d.doc_id < 25
+            ORDER BY doc_id
         """,
         "simhash_dedup_pairs": """
             SELECT doc_id + 100000 AS dup_id, doc_id AS kept_id,

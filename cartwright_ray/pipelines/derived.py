@@ -237,6 +237,40 @@ def lang_derived_docs(sf_dir: str):
     return ds.map_batches(build, batch_format="pyarrow")
 
 
+def planted_cluster_docs(sf_dir: str, chains: int = 25,
+                         offset: int = 100000):
+    """(doc_id int64, text) Dataset: one deterministic text per documents
+    row, plus TWO exact clones (id + offset, id + 2*offset) for
+    doc_id < ``chains`` — a planted 3-node component per original.
+
+    Expected clustering answer (mirrored by the oracle SQL from id
+    arithmetic alone): each triple {i, i+offset, i+2*offset} is one
+    connected component with cluster_id = i; every other doc is a
+    singleton (high-entropy derived texts share <1% jaccard) and is NOT
+    emitted. Exact clones ⇒ minhash estimate is exactly 1.0, so the edge
+    set is deterministic regardless of estimate noise."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"], dtype=np.int64)
+        ids, texts = [], []
+        for di in d:
+            di = int(di)
+            t = _derived_text(di)
+            ids.append(di)
+            texts.append(t)
+            if di < chains:
+                ids.extend([di + offset, di + 2 * offset])
+                texts.extend([t, t])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
 def planted_near_clone_docs(sf_dir: str, clones: int = 25,
                             offset: int = 100000):
     """planted_clone_docs variant for EXACT-jaccard dedup oracles: the

@@ -220,22 +220,29 @@ def _shingle_set(text: str, k: int = 4) -> frozenset:
     return got
 
 
-def _pairs_from_group(ids: list, sim_fn, threshold: float):
-    """First smaller-id partner with sim >= threshold, per doc."""
+def _pairs_from_group(ids: list, sim_fn, threshold: float,
+                      all_pairs: bool = False):
+    """Pairs with sim >= threshold. Default: first smaller-id partner per
+    doc (dedup semantics). ``all_pairs=True``: every qualifying pair —
+    the EDGE-SET semantics connected-components clustering needs (a doc
+    may bridge two chains; keeping only its min partner would break the
+    bridge)."""
     dup, kept, sims = [], [], []
     for i in range(1, len(ids)):
         for j in range(i):
             s = sim_fn(i, j)
             if s >= threshold:
                 dup.append(ids[i]); kept.append(ids[j]); sims.append(s)
-                break
+                if not all_pairs:
+                    break
     return dup, kept, sims
 
 
 def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16,
                       threshold: float = 0.8, shingle_k: int = 4,
-                      seed: int = 7, verify: str = "estimate"):
+                      seed: int = 7, verify: str = "estimate",
+                      emit: str = "first"):
     """MinHash+LSH near-dup detection.
 
     shingle → minhash (vectorized) → band rows carrying the uint32-packed
@@ -258,8 +265,15 @@ def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
     verified vectorized. Exact precision at the cost of one extra read.
     Candidates for the second pass are taken at ``threshold - 0.2`` so
     estimate noise cannot drop a true pair.
+
+    ``emit="first"`` (default): one pair per duplicate doc (its min-id
+    partner) — dedup semantics. ``emit="all"``: EVERY qualifying pair,
+    deduplicated across bands — the edge-set semantics
+    :func:`connected_components` clustering needs (a doc may bridge two
+    chains; keeping only its min partner would break the bridge).
     """
     rows = num_perm // bands
+    all_pairs = emit == "all"
 
     def signatures(batch: pa.Table) -> pa.Table:
         texts = batch.column(col).to_pylist()
@@ -310,7 +324,8 @@ def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
         sigs = np.asarray(sig_col.flatten()).reshape(m, num_perm)
         eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
         dup, kept, jacs = _pairs_from_group(
-            ids, lambda i, j: float(eq[i, j]), est_threshold)
+            ids, lambda i, j: float(eq[i, j]), est_threshold,
+            all_pairs=all_pairs)
         return pa.table({"dup_id": pa.array(dup, out_schema.field(0).type),
                          "kept_id": pa.array(kept, out_schema.field(1).type),
                          "jac_est": pa.array(jacs, pa.float64())})
@@ -319,12 +334,20 @@ def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
                .groupby(["band", "bh"])
                .map_groups(bucket_verify, batch_format="pyarrow"))
 
-    # a doc may surface in several bands → keep one (min kept_id) pair
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("kept_id").head(1)
+    if all_pairs:
+        # same pair can surface from several bands → distinct edges
+        def first_row(g: pd.DataFrame) -> pd.DataFrame:
+            return g.head(1)
 
-    cand = pairs.groupby("dup_id").map_groups(dedup_pairs,
-                                              batch_format="pandas")
+        cand = pairs.groupby(["dup_id", "kept_id"]).map_groups(
+            first_row, batch_format="pandas")
+    else:
+        # a doc may surface in several bands → keep one (min kept_id) pair
+        def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            return g.sort_values("kept_id").head(1)
+
+        cand = pairs.groupby("dup_id").map_groups(dedup_pairs,
+                                                  batch_format="pandas")
     if verify == "estimate":
         return cand
     return _exact_verify_pairs(ds, cand, col, id_col, threshold, shingle_k)
@@ -650,3 +673,137 @@ def _drop_near_dups_shuffle(ds, pairs_ds, id_col: str, num_partitions: int):
 
     return keyed.groupby("__ad_part").map_groups(anti,
                                                  batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# connected components over a near-dup pair set (cluster dedup)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs_ds, a_col: str = "dup_id",
+                         b_col: str = "kept_id",
+                         id_col: str = "doc_id",
+                         cluster_col: str = "cluster_id",
+                         max_rounds: int = 32):
+    """Distributed connected components over a duplicate-pair edge set:
+    turns pairwise near-dup detections into CLUSTERS (each doc labelled
+    with the min doc-id of its component), the semantics corpus-level
+    near-dedup needs when duplicates chain (A~B, B~C but not A~C).
+
+    Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) — each
+    round is one ``groupby(node).map_groups`` over the edge set, edges
+    monotonically re-point toward the component minimum, and the edge set
+    converges to per-component stars in O(log^2 n) rounds. Everything
+    shuffled is a pair of integer ids; the edge set is O(duplicate pairs),
+    which at 100 TB is the dedup OUTPUT — orders of magnitude smaller than
+    the corpus — so per-round materialization holds a bounded dataset in
+    the object store (never on the driver).
+
+    Input ids must be integers (min-label ordering). Self-loops are
+    dropped. Returns a Dataset ``(id_col, cluster_col)`` with one row per
+    node that appears in any edge — including each component's root
+    labelled with itself. Raises ``RuntimeError`` if the edge set has not
+    converged after ``max_rounds`` (log-bounded; 32 covers any physical
+    graph).
+    """
+    import ray.data
+
+    sch = pairs_ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[a_col]
+
+    def _orient(t: pa.Table, ca: str, cb: str) -> pa.Table:
+        u = np.asarray(pc.cast(t[ca], pa.int64()))
+        v = np.asarray(pc.cast(t[cb], pa.int64()))
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"u": pa.array(np.maximum(u, v)),
+                         "v": pa.array(np.minimum(u, v))})
+
+    def normalize(t: pa.Table) -> pa.Table:
+        return _orient(t, a_col, b_col)
+
+    def reorient(t: pa.Table) -> pa.Table:
+        return _orient(t, "u", "v")
+
+    def large_star_groups(t: pa.Table) -> pa.Table:
+        # double each edge so every node sees its full neighborhood
+        u = np.asarray(t["u"]); v = np.asarray(t["v"])
+        return pa.table({"node": pa.array(np.concatenate([u, v])),
+                         "nbr": pa.array(np.concatenate([v, u]))})
+
+    def large_star(g: pa.Table) -> pa.Table:
+        node = int(g["node"][0].as_py())
+        nbrs = np.unique(np.asarray(g["nbr"]))
+        m = min(int(nbrs[0]), node)
+        big = nbrs[nbrs > node]
+        return pa.table({"u": pa.array(big, pa.int64()),
+                         "v": pa.array(np.full(len(big), m, np.int64))})
+
+    def small_star(g: pa.Table) -> pa.Table:
+        # edges arrive oriented u > v, grouped by u: nbrs all < node
+        node = int(g["u"][0].as_py())
+        nbrs = np.unique(np.asarray(g["v"]))
+        m = int(nbrs[0])
+        rest = nbrs[1:]
+        out_u = np.concatenate([rest, [node]])
+        return pa.table({"u": pa.array(out_u, pa.int64()),
+                         "v": pa.array(np.full(len(out_u), m, np.int64))})
+
+    def fingerprint(edges) -> tuple:
+        def fp(t: pa.Table) -> pa.Table:
+            u = np.asarray(t["u"], dtype=np.uint64)
+            v = np.asarray(t["v"], dtype=np.uint64)
+            mix = (u * np.uint64(0x9E3779B97F4A7C15)) ^ v
+            return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                             "s": pa.array([int(mix.sum(dtype=np.uint64))],
+                                           pa.uint64())})
+        parts = edges.map_batches(fp, batch_format="pyarrow").take_all()
+        return (sum(p["n"] for p in parts),
+                sum(p["s"] for p in parts) & 0xFFFFFFFFFFFFFFFF)
+
+    edges = pairs_ds.map_batches(normalize,
+                                 batch_format="pyarrow").materialize()
+    prev = fingerprint(edges)
+    for _ in range(max_rounds):
+        edges = (edges.map_batches(large_star_groups, batch_format="pyarrow")
+                      .groupby("node")
+                      .map_groups(large_star, batch_format="pyarrow"))
+        # large-star output keeps u > v(=min) except when m==node had no
+        # smaller partner; small-star re-orients defensively via normalize
+        edges = (edges.map_batches(reorient, batch_format="pyarrow")
+                      .groupby("u")
+                      .map_groups(small_star, batch_format="pyarrow")
+                      .materialize())
+        cur = fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_rounds} rounds")
+
+    def members(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: pc.cast(t["u"], id_type),
+                         cluster_col: pc.cast(t["v"], id_type)})
+
+    def root_row(g: pa.Table) -> pa.Table:
+        return pa.table({id_col: g[cluster_col][:1],
+                         cluster_col: g[cluster_col][:1]})
+
+    mem = edges.map_batches(members, batch_format="pyarrow")
+    roots = mem.groupby(cluster_col).map_groups(root_row,
+                                                batch_format="pyarrow")
+    return mem.union(roots)
+
+
+def near_dup_clusters(ds, col: str = "text", id_col: str = "doc_id",
+                      threshold: float = 0.8, **minhash_kw):
+    """Corpus → near-dup CLUSTERS: MinHash+LSH all-pairs edges
+    (``emit="all"`` — a doc bridging two chains keeps both edges) →
+    :func:`connected_components`. Returns ``(id_col, cluster_id)`` for
+    every doc in a non-singleton component; ``cluster_id`` is the
+    component's min doc id."""
+    pairs = minhash_lsh_dedup(ds, col=col, id_col=id_col,
+                              threshold=threshold, emit="all", **minhash_kw)
+    return connected_components(pairs, "dup_id", "kept_id",
+                                id_col=id_col)

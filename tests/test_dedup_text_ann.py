@@ -481,3 +481,87 @@ def test_ivf_partitioned_write_and_pruned_read(ray_session, tmp_path):
         assert any(p in f for p in probed)
     n_probed_rows = pruned_ds.count()
     assert n_probed_rows < n                 # a real fraction was skipped
+
+
+def test_connected_components_chain_and_bridge(ray_session):
+    """A 4-chain (0-1, 1-2, 2-3), a bridge doc joining two chains
+    (10-11, 12-13, 11-12), and an isolated pair — every node labelled
+    with its component minimum, including the roots themselves."""
+    import ray
+    from cartwright_ray.stages.dedup import connected_components
+
+    pairs = pd.DataFrame({
+        "dup_id":  [1, 2, 3, 11, 13, 12, 21],
+        "kept_id": [0, 1, 2, 10, 12, 11, 20],
+    })
+    out = (connected_components(ray.data.from_pandas(pairs).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0,
+                   10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
+
+
+def test_connected_components_vs_union_find(ray_session):
+    """Random sparse graph: the distributed large-star/small-star result
+    must equal a driver-side union-find over the same edges."""
+    import ray
+    from cartwright_ray.stages.dedup import connected_components
+
+    rng = np.random.default_rng(11)
+    n = 400
+    u = rng.integers(0, n, 300)
+    v = rng.integers(0, n, 300)
+    pairs = pd.DataFrame({"dup_id": u, "kept_id": v})
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(u.tolist(), v.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-label per component, only for nodes that appear in an edge
+    touched = sorted({x for x in u.tolist() + v.tolist()
+                      if any(True for _ in [0])})
+    # exclude self-loop-only nodes (connected_components drops self loops)
+    non_self = {a for a, b in zip(u.tolist(), v.tolist()) if a != b}
+    non_self |= {b for a, b in zip(u.tolist(), v.tolist()) if a != b}
+    want = {x: find(x) for x in sorted(non_self)}
+    # a union-find root found via path-halving is the min label because
+    # unions always point the larger root at the smaller one
+    out = (connected_components(ray.data.from_pandas(pairs).repartition(4))
+           .to_pandas())
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == want
+
+
+def test_near_dup_clusters_transitive_chain(ray_session):
+    """A~B and B~C near-dups (but A!~C directly) must land in ONE cluster —
+    the semantics pairwise dedup cannot express."""
+    import ray
+    from cartwright_ray.stages.dedup import near_dup_clusters
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "wanders far across the wide green summer valley meadow")
+    toks = base.split()
+    a = " ".join(toks)
+    b = " ".join(toks[:-1] + ["creek"])          # ~1 token off A
+    c = " ".join(toks[:-2] + ["brook", "creek"])  # ~1 token off B, 2 off A
+    rng = np.random.default_rng(5)
+    filler = [" ".join(f"w{x}" for x in rng.integers(0, 10**9, 25))
+              for _ in range(20)]
+    df = pd.DataFrame({
+        "doc_id": list(range(100, 100 + len(filler))) + [1, 2, 3],
+        "text": filler + [a, b, c],
+    })
+    out = (near_dup_clusters(ray.data.from_pandas(df).repartition(3),
+                             threshold=0.75)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {1: 1, 2: 1, 3: 1}
