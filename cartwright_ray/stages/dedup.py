@@ -683,21 +683,32 @@ def connected_components(pairs_ds, a_col: str = "dup_id",
                          b_col: str = "kept_id",
                          id_col: str = "doc_id",
                          cluster_col: str = "cluster_id",
-                         max_rounds: int = 32):
+                         max_rounds: int = 32,
+                         num_partitions: int | None = None):
     """Distributed connected components over a duplicate-pair edge set:
     turns pairwise near-dup detections into CLUSTERS (each doc labelled
     with the min doc-id of its component), the semantics corpus-level
     near-dedup needs when duplicates chain (A~B, B~C but not A~C).
 
     Algorithm: alternating **large-star / small-star** (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC 2014) — each
-    round is one ``groupby(node).map_groups`` over the edge set, edges
-    monotonically re-point toward the component minimum, and the edge set
-    converges to per-component stars in O(log^2 n) rounds. Everything
-    shuffled is a pair of integer ids; the edge set is O(duplicate pairs),
-    which at 100 TB is the dedup OUTPUT — orders of magnitude smaller than
-    the corpus — so per-round materialization holds a bounded dataset in
-    the object store (never on the driver).
+    "Connected Components in MapReduce and Beyond", SoCC 2014), expressed
+    FULLY VECTORIZED: each star operation is ONE hash repartition of the
+    edge list keyed on the star center (``repartition(n, keys=[...],
+    sort=True)`` — every key's rows land in one block, key-sorted), then
+    one whole-block numpy kernel (`np.minimum.reduceat` over key
+    segments) that re-points edges at the segment minimum. No per-group
+    Python: ``groupby().map_groups`` would make one Python call per node
+    — per-row Python in disguise at 1e9 edges — and ``aggregate`` +
+    ``Dataset.join`` costs two shuffles per star where this costs one
+    (and Ray's join chokes on the schema-less empty blocks the shuffle
+    emits for empty partitions). Edges monotonically re-point toward the
+    component minimum and converge to per-component stars in O(log^2 n)
+    rounds.
+
+    Everything shuffled is a pair of int64 ids; the edge set is
+    O(duplicate pairs), which at 100 TB is the dedup OUTPUT — orders of
+    magnitude smaller than the corpus — and per-round state lives in the
+    object store (never on the driver).
 
     Input ids must be integers (min-label ordering). Self-loops are
     dropped. Returns a Dataset ``(id_col, cluster_col)`` with one row per
@@ -707,47 +718,77 @@ def connected_components(pairs_ds, a_col: str = "dup_id",
     graph).
     """
     import ray.data
+    from ray.data.context import ShuffleStrategy
 
     sch = pairs_ds.schema()
     id_type = dict(zip(sch.names, sch.types))[a_col]
 
-    def _orient(t: pa.Table, ca: str, cb: str) -> pa.Table:
-        u = np.asarray(pc.cast(t[ca], pa.int64()))
-        v = np.asarray(pc.cast(t[cb], pa.int64()))
+    def normalize(t: pa.Table) -> pa.Table:
+        u = np.asarray(pc.cast(t[a_col], pa.int64()))
+        v = np.asarray(pc.cast(t[b_col], pa.int64()))
         keep = u != v
         u, v = u[keep], v[keep]
         return pa.table({"u": pa.array(np.maximum(u, v)),
                          "v": pa.array(np.minimum(u, v))})
 
-    def normalize(t: pa.Table) -> pa.Table:
-        return _orient(t, a_col, b_col)
+    def _i64(names):
+        return pa.table({n: pa.array([], pa.int64()) for n in names})
 
-    def reorient(t: pa.Table) -> pa.Table:
-        return _orient(t, "u", "v")
+    def dedup_rows(u: np.ndarray, v: np.ndarray) -> pa.Table:
+        # exact (u, v) dedup keeps edge multiplicity bounded for free
+        if u.size == 0:
+            return _i64(["u", "v"])
+        order = np.lexsort((v, u))
+        us, vs = u[order], v[order]
+        first = np.ones(len(us), dtype=bool)
+        first[1:] = (us[1:] != us[:-1]) | (vs[1:] != vs[:-1])
+        return pa.table({"u": pa.array(us[first]), "v": pa.array(vs[first])})
 
-    def large_star_groups(t: pa.Table) -> pa.Table:
-        # double each edge so every node sees its full neighborhood
+    def dedup_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _i64(["u", "v"])
+        return dedup_rows(np.asarray(t["u"]), np.asarray(t["v"]))
+
+    def double(t: pa.Table) -> pa.Table:
+        # both directions, so every node sees its full neighborhood
+        if t.num_rows == 0:
+            return _i64(["node", "nbr"])
         u = np.asarray(t["u"]); v = np.asarray(t["v"])
         return pa.table({"node": pa.array(np.concatenate([u, v])),
                          "nbr": pa.array(np.concatenate([v, u]))})
 
-    def large_star(g: pa.Table) -> pa.Table:
-        node = int(g["node"][0].as_py())
-        nbrs = np.unique(np.asarray(g["nbr"]))
-        m = min(int(nbrs[0]), node)
-        big = nbrs[nbrs > node]
-        return pa.table({"u": pa.array(big, pa.int64()),
-                         "v": pa.array(np.full(len(big), m, np.int64))})
+    def _segments(key: np.ndarray):
+        """Start offsets + per-row segment index of a key-sorted array."""
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        sizes = np.diff(np.r_[starts, key.shape[0]])
+        return starts, np.repeat(np.arange(len(starts)), sizes)
 
-    def small_star(g: pa.Table) -> pa.Table:
-        # edges arrive oriented u > v, grouped by u: nbrs all < node
-        node = int(g["u"][0].as_py())
-        nbrs = np.unique(np.asarray(g["v"]))
-        m = int(nbrs[0])
-        rest = nbrs[1:]
-        out_u = np.concatenate([rest, [node]])
-        return pa.table({"u": pa.array(out_u, pa.int64()),
-                         "v": pa.array(np.full(len(out_u), m, np.int64))})
+    def large_block(t: pa.Table) -> pa.Table:
+        # block = complete node partitions, sorted by node. Per node:
+        # m = min(neighborhood ∪ {node}); re-point every LARGER neighbor
+        # at m. nbr > node >= m keeps orientation u > v, no self-loops.
+        if t.num_rows == 0:
+            return _i64(["u", "v"])
+        node = np.asarray(t["node"]); nbr = np.asarray(t["nbr"])
+        starts, seg = _segments(node)
+        m = np.minimum(np.minimum.reduceat(nbr, starts), node[starts])
+        keep = nbr > node
+        return dedup_rows(nbr[keep], m[seg][keep])
+
+    def small_block(t: pa.Table) -> pa.Table:
+        # block = complete u partitions (edges oriented u > v), sorted by
+        # u. Per u with mv = min(v): re-point every other v at mv and
+        # keep the (u, mv) star edge itself. v > mv and u > mv hold, so
+        # orientation is preserved.
+        if t.num_rows == 0:
+            return _i64(["u", "v"])
+        u = np.asarray(t["u"]); v = np.asarray(t["v"])
+        starts, seg = _segments(u)
+        mv = np.minimum.reduceat(v, starts)
+        keep = v != mv[seg]
+        out_u = np.concatenate([v[keep], u[starts]])
+        out_v = np.concatenate([mv[seg][keep], mv])
+        return dedup_rows(out_u, out_v)
 
     def fingerprint(edges) -> tuple:
         def fp(t: pa.Table) -> pa.Table:
@@ -761,19 +802,44 @@ def connected_components(pairs_ds, a_col: str = "dup_id",
         return (sum(p["n"] for p in parts),
                 sum(p["s"] for p in parts) & 0xFFFFFFFFFFFFFFFF)
 
-    edges = pairs_ds.map_batches(normalize,
-                                 batch_format="pyarrow").materialize()
+    def _clean(ds):
+        """Materialize and rebuild from the non-empty blocks only.
+
+        Ray's map operators SKIP the UDF for empty input blocks and emit
+        schema-less empty bundles; a schema-less shard poisons the hash
+        repartition aggregator (its partition builds as a zero-column
+        table and the key sort fails). Blocks stay in the object store —
+        this is a driver-side O(num_blocks) metadata pass, zero-copy.
+        Returns None for an all-empty dataset."""
+        mat = ds.materialize()
+        refs = [ref for b in mat.iter_internal_ref_bundles()
+                for ref, meta in b.blocks if meta.num_rows]
+        if not refs:
+            return None
+        out = ray.data.from_arrow_refs(refs)
+        # key-based repartition needs the hash-shuffle strategy; the
+        # context of a from_* dataset is a per-lineage COPY, so this is
+        # scoped to the datasets this function creates
+        out.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        return out
+
+    empty_out = pa.table({id_col: pa.array([], id_type),
+                          cluster_col: pa.array([], id_type)})
+    edges = _clean(pairs_ds.map_batches(normalize, batch_format="pyarrow")
+                   .map_batches(dedup_block, batch_format="pyarrow"))
+    if edges is None:
+        return ray.data.from_arrow(empty_out)
     prev = fingerprint(edges)
+    nparts = num_partitions or min(64, max(8, edges.num_blocks()))
+
     for _ in range(max_rounds):
-        edges = (edges.map_batches(large_star_groups, batch_format="pyarrow")
-                      .groupby("node")
-                      .map_groups(large_star, batch_format="pyarrow"))
-        # large-star output keeps u > v(=min) except when m==node had no
-        # smaller partner; small-star re-orients defensively via normalize
-        edges = (edges.map_batches(reorient, batch_format="pyarrow")
-                      .groupby("u")
-                      .map_groups(small_star, batch_format="pyarrow")
-                      .materialize())
+        large = _clean(edges.map_batches(double, batch_format="pyarrow")
+                       .repartition(nparts, keys=["node"], sort=True)
+                       .map_batches(large_block, batch_format="pyarrow",
+                                    batch_size=None))
+        edges = _clean(large.repartition(nparts, keys=["u"], sort=True)
+                       .map_batches(small_block, batch_format="pyarrow",
+                                    batch_size=None))
         cur = fingerprint(edges)
         if cur == prev:
             break
@@ -782,18 +848,34 @@ def connected_components(pairs_ds, a_col: str = "dup_id",
         raise RuntimeError(
             f"connected_components: no convergence in {max_rounds} rounds")
 
-    def members(t: pa.Table) -> pa.Table:
+    # fixpoint edges are per-component stars (x, root), already distinct
+    # per (u, v); one more u-keyed pass dedups across blocks and emits
+    # member rows, a root-keyed pass emits each root exactly once
+    def member_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _i64(["u", "v"])
+        return dedup_rows(np.asarray(t["u"]), np.asarray(t["v"]))
+
+    def root_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _i64(["u", "v"])
+        r = np.unique(np.asarray(t["v"]))
+        return pa.table({"u": pa.array(r), "v": pa.array(r)})
+
+    mem = (edges.repartition(nparts, keys=["u"], sort=True)
+           .map_batches(member_block, batch_format="pyarrow",
+                        batch_size=None))
+    roots = (edges.repartition(nparts, keys=["v"], sort=True)
+             .map_batches(root_block, batch_format="pyarrow",
+                          batch_size=None))
+
+    def to_out(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
         return pa.table({id_col: pc.cast(t["u"], id_type),
                          cluster_col: pc.cast(t["v"], id_type)})
 
-    def root_row(g: pa.Table) -> pa.Table:
-        return pa.table({id_col: g[cluster_col][:1],
-                         cluster_col: g[cluster_col][:1]})
-
-    mem = edges.map_batches(members, batch_format="pyarrow")
-    roots = mem.groupby(cluster_col).map_groups(root_row,
-                                                batch_format="pyarrow")
-    return mem.union(roots)
+    return mem.union(roots).map_batches(to_out, batch_format="pyarrow")
 
 
 def near_dup_clusters(ds, col: str = "text", id_col: str = "doc_id",
