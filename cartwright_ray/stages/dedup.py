@@ -830,7 +830,11 @@ def connected_components(pairs_ds, a_col: str = "dup_id",
     if edges is None:
         return ray.data.from_arrow(empty_out)
     prev = fingerprint(edges)
-    nparts = num_partitions or min(64, max(8, edges.num_blocks()))
+    # partitions sized to the edge count: every extra partition is a
+    # hash-shuffle aggregator actor per repartition per round, which
+    # dominates wall time for small edge sets (100k int64 pairs per
+    # partition ≈ 1.6 MB of shuffle payload)
+    nparts = num_partitions or max(2, min(64, 1 + prev[0] // 100_000))
 
     for _ in range(max_rounds):
         large = _clean(edges.map_batches(double, batch_format="pyarrow")

@@ -41,20 +41,34 @@ def drop_empty_blocks(ds):
     return ray.data.from_arrow_refs(refs)
 
 
-def hash_partitioned(ds, keys: list[str], num_partitions: int):
+def hash_partitioned(ds, keys: list[str], num_partitions: int | None = None,
+                     rows_per_partition: int = 100_000):
     """``ds`` hash-repartitioned on ``keys`` with in-block key sorting.
 
     Every key's rows are co-located in exactly one output block, sorted
     by the keys — the precondition for whole-block segment kernels.
     Involves one materialization (to strip schema-less empty blocks,
-    which break the hash-shuffle aggregator).
+    which break the hash-shuffle aggregator). With ``num_partitions``
+    unset, partitions are sized from the materialized row count — every
+    partition is a shuffle-aggregator actor, which dominates wall time
+    when the data is small.
     """
+    import ray.data
     from ray.data.context import ShuffleStrategy
 
-    clean = drop_empty_blocks(ds)
-    if clean is None:
+    mat = ds.materialize()
+    refs, count = [], 0
+    for b in mat.iter_internal_ref_bundles():
+        for ref, meta in b.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+                count += meta.num_rows
+    if not refs:
         return None
+    clean = ray.data.from_arrow_refs(refs)
     clean.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    if num_partitions is None:
+        num_partitions = max(2, min(64, 1 + count // rows_per_partition))
     return clean.repartition(num_partitions, keys=keys, sort=True)
 
 

@@ -63,7 +63,7 @@ def hash_sample(ds, id_col: str, frac: float):
 
 
 def stratified_topk_sample(ds, key_col: str, id_col: str, k: int,
-                           num_partitions: int = 16):
+                           num_partitions: int | None = None):
     """Per-key deterministic sample: for every distinct ``key_col``
     value, the ``k`` rows with the smallest ``(lehmer_hash(id), id)`` —
     a uniform-without-replacement sample whose membership is a pure
