@@ -582,6 +582,34 @@ def _q_kmeans(sf_dir):
     return t.to_pandas()
 
 
+def _q_tfidf(sf_dir):
+    """Per-doc top-3 TF-IDF terms (df shuffle pre-aggregated per block,
+    capped-vocabulary broadcast, vectorized per-batch ranking); the
+    oracle replays tf * ln(N/df) with window ranking."""
+    from cartwright_ray.stages.tfidf import tfidf_top_terms
+    df = tfidf_top_terms(_docs(sf_dir), top_per_doc=3).to_pandas()
+    return df.sort_values(["doc_id", "term_rank"]).reset_index(drop=True)
+
+
+_POSTING_PROBE = ["join", "merge", "scan", "vector", "window"]
+
+
+def _q_inverted_index(sf_dir):
+    """Build a bucket-partitioned inverted index under /tmp, then probe
+    five tokens opening ONLY their hash buckets (reader-level pruning);
+    the oracle recomputes posting stats from the raw corpus."""
+    import os
+    import shutil
+    from cartwright_ray.stages.tfidf import (build_inverted_index,
+                                             read_postings)
+    path = os.path.join("/tmp", "cartwright_ray_invidx",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(path, ignore_errors=True)
+    build_inverted_index(_docs(sf_dir), path, num_buckets=16)
+    df = read_postings(path, _POSTING_PROBE, num_buckets=16).to_pandas()
+    return df.sort_values("token").reset_index(drop=True)
+
+
 def _q_ngram_jaccard(sf_dir):
     """Exact n-gram Jaccard dedup over the planted NEAR-clone corpus
     (clone = original with its last token replaced, jaccard ~0.93): the
@@ -954,13 +982,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_set_ops": rel.user_set_ops,
         "asof_join_rates": rel.asof_join_rates,
         "semi_join_orders_building": rel.semi_join_orders_building,
-        "customers_without_orders": rel.customers_without_orders,
         "top_orders_per_customer": rel.top_orders_per_customer,
         # geo kernels with SQL-reproducible math
         "tile_pyramid": _q_tile_pyramid,
         # text / dedup / ANN
         "text_stats_docs": _q_text_stats,
         "top_tokens": _q_top_tokens,
+        "tfidf_top_docs": _q_tfidf,
+        "inverted_index_postings": _q_inverted_index,
         "training_prep_docs": _q_training_prep,
         "hash_sample_events": _q_hash_sample,
         "stratified_sample_events": _q_stratified_sample,
@@ -974,7 +1003,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_pairs": _q_simhash,
         "embedding_near_dups": _q_embedding_dups,
         "langid_counts": _q_langid,
-        "media_features": _q_media,
         # cartwright-parity inference
         "temporal_resolution_events": _q_temporal_resolution,
         "spatial_resolution_grid": _q_spatial_resolution,
@@ -1015,6 +1043,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "classify_events_columns": _q_classify_events,
         "classify_time_resolution": _q_classify_time_resolution,
+        "customers_without_orders": rel.customers_without_orders,
+        "media_features": _q_media,
     }
 
 
@@ -1955,6 +1985,44 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(n3.n, 0) AS n
             FROM c2 LEFT JOIN n3 USING (c)
             ORDER BY cluster, dim
+        """,
+        "tfidf_top_docs": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '\s+')) AS token
+                FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM tok WHERE token <> '' GROUP BY doc_id, token),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.token, tf.tf,
+                       tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+                FROM tf JOIN df USING (token) CROSS JOIN n),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score DESC, token) - 1 AS term_rank
+                FROM scored)
+            SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, token,
+                   CAST(tf AS BIGINT) AS tf,
+                   floor(score * 1e6) / 1e6 AS score
+            FROM ranked WHERE term_rank < 3
+            ORDER BY doc_id, term_rank
+        """,
+        "inverted_index_postings": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '\s+')) AS token
+                FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM tok WHERE token <> '' GROUP BY doc_id, token)
+            SELECT token, CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS total_tf
+            FROM tf
+            WHERE token IN ('join', 'merge', 'scan', 'vector', 'window')
+            GROUP BY token
+            ORDER BY token
         """,
         "near_dup_clusters": """
             SELECT CAST(d.doc_id + 100000 * g.k AS BIGINT) AS doc_id,
