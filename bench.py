@@ -125,7 +125,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "encoded_points", "pip_join_counts", "knn_join_sample",
              "zonal_stats_admin", "radius_join_pairs", "interval_join_events",
              "sliding_window_user_counts", "tile_pyramid", "ivf_ann_topk",
-             "ngram_jaccard_pairs", "token_counts", "quality_scores"]
+             "ngram_jaccard_pairs", "token_counts", "quality_scores",
+             "near_dup_clusters", "top_tokens", "tfidf_top_docs",
+             "stratified_sample_events", "kmeans_centroids"]
     out = {}
     for name in picks:
         t0 = time.time()

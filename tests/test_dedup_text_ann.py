@@ -494,12 +494,16 @@ def test_connected_components_chain_and_bridge(ray_session):
         "dup_id":  [1, 2, 3, 11, 13, 12, 21],
         "kept_id": [0, 1, 2, 10, 12, 11, 20],
     })
-    out = (connected_components(ray.data.from_pandas(pairs).repartition(3))
-           .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    got = dict(zip(out["doc_id"], out["cluster_id"]))
-    assert got == {0: 0, 1: 0, 2: 0, 3: 0,
-                   10: 10, 11: 10, 12: 10, 13: 10,
-                   20: 20, 21: 20}
+    want = {0: 0, 1: 0, 2: 0, 3: 0,
+            10: 10, 11: 10, 12: 10, 13: 10,
+            20: 20, 21: 20}
+    for limit in (2_000_000, 0):      # driver fast path AND star rounds
+        out = (connected_components(
+                   ray.data.from_pandas(pairs).repartition(3),
+                   driver_limit=limit)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        got = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert got == want, limit
 
 
 def test_connected_components_vs_union_find(ray_session):
@@ -535,10 +539,12 @@ def test_connected_components_vs_union_find(ray_session):
     want = {x: find(x) for x in sorted(non_self)}
     # a union-find root found via path-halving is the min label because
     # unions always point the larger root at the smaller one
-    out = (connected_components(ray.data.from_pandas(pairs).repartition(4))
-           .to_pandas())
-    got = dict(zip(out["doc_id"], out["cluster_id"]))
-    assert got == want
+    for limit in (2_000_000, 0):      # driver fast path AND star rounds
+        out = (connected_components(
+                   ray.data.from_pandas(pairs).repartition(4),
+                   driver_limit=limit).to_pandas())
+        got = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert got == want, limit
 
 
 def test_near_dup_clusters_transitive_chain(ray_session):
