@@ -33,6 +33,25 @@ DERIVED_COUNTRIES = [
 _EPOCH_2020 = 1577836800  # epoch seconds of 2020-01-01T00:00:00Z
 
 
+
+def _read_doc_ids(sf_dir: str):
+    """documents.parquet doc_id column with blocks sized to the row count.
+
+    Ray's default parallelism splits even a 500-row table into 64 blocks
+    (one per 2×CPU), and per-task dispatch on the derived corpora then
+    dominates every downstream stage (measured: 2.6s for a 48ms read).
+    ~2000 rows per block keeps task counts proportional to data.
+    """
+    import pyarrow.parquet as pq
+    import ray.data
+
+    path = f"{sf_dir}/documents.parquet"
+    rows = pq.ParquetFile(path).metadata.num_rows
+    blocks = max(2, min(64, -(-rows // 2000)))
+    return ray.data.read_parquet(path, columns=["doc_id"],
+                                 override_num_blocks=blocks)
+
+
 def derived_latlon(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Primary point of doc d: float-exact .5-offset lat/lon formulas
     (same family as ``pipelines.relational.derived_points``)."""
@@ -69,8 +88,7 @@ def derived_corpus(sf_dir: str):
 
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id"])
+    ds = _read_doc_ids(sf_dir)
     base = datetime.date(2020, 1, 1)
 
     def build(batch: pa.Table) -> pa.Table:
@@ -146,8 +164,7 @@ def planted_clone_docs(sf_dir: str, clones: int = 25, offset: int = 100000):
     """
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id"])
+    ds = _read_doc_ids(sf_dir)
 
     def build(batch: pa.Table) -> pa.Table:
         d = np.asarray(batch["doc_id"], dtype=np.int64)
@@ -196,8 +213,7 @@ def derived_typed_table(sf_dir: str):
 
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id"])
+    ds = _read_doc_ids(sf_dir)
     base = datetime.date(2020, 1, 1)
 
     def build(batch: pa.Table) -> pa.Table:
@@ -225,8 +241,7 @@ def lang_derived_docs(sf_dir: str):
     function of doc_id (oracle: CASE doc_id % 4)."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id"])
+    ds = _read_doc_ids(sf_dir)
 
     def build(batch: pa.Table) -> pa.Table:
         d = np.asarray(batch["doc_id"], dtype=np.int64)
@@ -251,8 +266,7 @@ def planted_cluster_docs(sf_dir: str, chains: int = 25,
     set is deterministic regardless of estimate noise."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id"])
+    ds = _read_doc_ids(sf_dir)
 
     def build(batch: pa.Table) -> pa.Table:
         d = np.asarray(batch["doc_id"], dtype=np.int64)
@@ -279,8 +293,7 @@ def planted_near_clone_docs(sf_dir: str, clones: int = 25,
     stay below 0.01 — the planted answer is the only answer."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id"])
+    ds = _read_doc_ids(sf_dir)
 
     def build(batch: pa.Table) -> pa.Table:
         d = np.asarray(batch["doc_id"], dtype=np.int64)

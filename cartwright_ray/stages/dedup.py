@@ -183,13 +183,23 @@ def _exact_dedup_shuffle(ds, col: str, id_col: str):
         batch = batch.append_column("__xd_h1", pa.array(h1, pa.uint64()))
         return batch.append_column("__xd_h2", pa.array(h2, pa.uint64()))
 
-    def keep_min(g: pa.Table) -> pa.Table:
-        first = pc.sort_indices(g.column(id_col))[0].as_py()
-        return g.slice(first, 1).drop_columns(["__xd_h1", "__xd_h2"])
+    def keep_min_block(t: pa.Table) -> pa.Table:
+        # whole-block winner pick over the (h1, h2, id)-sorted exchange:
+        # the first row of each hash segment is the min-id survivor. One
+        # numpy pass per block instead of one Python call per distinct
+        # text (the sort's range partitioning co-locates equal keys).
+        if t.num_rows == 0:
+            return t
+        h1 = np.asarray(t["__xd_h1"]); h2 = np.asarray(t["__xd_h2"])
+        starts = np.flatnonzero(
+            np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])])
+        return (t.take(pa.array(starts))
+                .drop_columns(["__xd_h1", "__xd_h2"]))
 
     return (ds.map_batches(key_rows, batch_format="pyarrow")
-              .groupby(["__xd_h1", "__xd_h2"])
-              .map_groups(keep_min, batch_format="pyarrow"))
+              .sort(["__xd_h1", "__xd_h2", id_col])
+              .map_batches(keep_min_block, batch_format="pyarrow",
+                           batch_size=None))
 
 
 # ---------------------------------------------------------------------------
@@ -218,6 +228,12 @@ def _shingle_set(text: str, k: int = 4) -> frozenset:
         h, _ = _shingle_hashes([text], k)
         got = _SHINGLE_MEMO.setdefault(key, frozenset(h.tolist()))
     return got
+
+
+def ray_empty(schema: pa.Schema):
+    """Typed empty Dataset for operators whose input produced no rows."""
+    import ray.data
+    return ray.data.from_arrow(schema.empty_table())
 
 
 def _pairs_from_group(ids: list, sim_fn, threshold: float,
@@ -299,55 +315,69 @@ def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
 
     est_threshold = threshold if verify == "estimate" else max(0.0, threshold - 0.2)
 
-    def bucket_verify(g: pa.Table) -> pa.Table:
-        out_schema = pa.schema([("dup_id", g.schema.field(id_col).type),
-                                ("kept_id", g.schema.field(id_col).type),
-                                ("jac_est", pa.float64())])
-        if g.num_rows < 2:
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    out_schema = pa.schema([("dup_id", id_type), ("kept_id", id_type),
+                            ("jac_est", pa.float64())])
+
+    def bucket_verify_block(t: pa.Table) -> pa.Table:
+        """Whole-BLOCK verify over a (band, bh)-hash-partitioned dataset:
+        buckets are found as key segments (vectorized), singleton buckets
+        (the overwhelming majority) are masked out in one numpy pass, and
+        only true collision buckets reach Python — replacing one
+        ``map_groups`` Python call per (band, bh) bucket (= per doc per
+        band) with one call per multi-doc bucket."""
+        if t.num_rows < 2:
             return out_schema.empty_table()
-        order = pc.sort_indices(g.column(id_col))
-        g = g.take(order)
-        ids_np = g.column(id_col).to_pylist()
-        # drop duplicate ids (same doc from several input blocks can't
-        # happen — one row per (doc, band) — but be safe)
-        seen = {}
-        keep_idx = [i for i, v in enumerate(ids_np)
-                    if seen.setdefault(v, i) == i]
-        if len(keep_idx) < 2:
+        band = np.asarray(t["band"])
+        bh = np.asarray(t["bh"])
+        change = np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])]
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.r_[starts, band.shape[0]])
+        multi = sizes >= 2
+        if not multi.any():
             return out_schema.empty_table()
-        g = g.take(pa.array(keep_idx))
-        ids = [ids_np[i] for i in keep_idx]
-        sig_col = g.column("sig")
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sig_col = t.column("sig")
         if isinstance(sig_col, pa.ChunkedArray):
             sig_col = sig_col.combine_chunks()
-        m = len(ids)
-        sigs = np.asarray(sig_col.flatten()).reshape(m, num_perm)
-        eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
-        dup, kept, jacs = _pairs_from_group(
-            ids, lambda i, j: float(eq[i, j]), est_threshold,
-            all_pairs=all_pairs)
-        return pa.table({"dup_id": pa.array(dup, out_schema.field(0).type),
-                         "kept_id": pa.array(kept, out_schema.field(1).type),
+        sigs = np.asarray(sig_col.flatten()).reshape(t.num_rows, num_perm)
+        dup, kept, jacs = [], [], []
+        for s, sz in zip(starts[multi], sizes[multi]):
+            gids = ids[s:s + sz]
+            order = np.argsort(gids, kind="stable")
+            gids = gids[order]
+            gsig = sigs[s:s + sz][order]
+            eq = (gsig[:, None, :] == gsig[None, :, :]).mean(axis=2)
+            d, k, j = _pairs_from_group(
+                list(gids), lambda i, jj: float(eq[i, jj]), est_threshold,
+                all_pairs=all_pairs)
+            dup.extend(d); kept.extend(k); jacs.extend(j)
+        return pa.table({"dup_id": pa.array(dup, id_type),
+                         "kept_id": pa.array(kept, id_type),
                          "jac_est": pa.array(jacs, pa.float64())})
 
-    pairs = (ds.map_batches(signatures, batch_format="pyarrow")
-               .groupby(["band", "bh"])
-               .map_groups(bucket_verify, batch_format="pyarrow"))
+    # the shuffle is Ray's task-based sort exchange (range partitioning
+    # puts ALL rows of an equal key in one block — the same property
+    # map_groups itself relies on), so the whole-block kernel sees every
+    # bucket complete. A sort beats the hash-shuffle actor pools here:
+    # pools pay ~seconds of per-operator actor spin-up at any size.
+    sig_rows = ds.map_batches(signatures, batch_format="pyarrow")
+    pairs = (sig_rows.sort(["band", "bh"])
+             .map_batches(bucket_verify_block, batch_format="pyarrow",
+                          batch_size=None))
 
     if all_pairs:
         # same pair can surface from several bands → distinct edges
-        def first_row(g: pd.DataFrame) -> pd.DataFrame:
-            return g.head(1)
-
-        cand = pairs.groupby(["dup_id", "kept_id"]).map_groups(
-            first_row, batch_format="pandas")
+        def dedup_fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.drop_duplicates(["dup_id", "kept_id"])
     else:
-        # a doc may surface in several bands → keep one (min kept_id) pair
-        def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-            return g.sort_values("kept_id").head(1)
-
-        cand = pairs.groupby("dup_id").map_groups(dedup_pairs,
-                                                  batch_format="pandas")
+        # a doc may surface in several bands → keep its min-kept pair
+        def dedup_fn(df: pd.DataFrame) -> pd.DataFrame:
+            return (df.sort_values(["dup_id", "kept_id"])
+                    .drop_duplicates("dup_id"))
+    cand = (pairs.sort(["dup_id", "kept_id"])
+            .map_batches(dedup_fn, batch_format="pandas", batch_size=None))
     if verify == "estimate":
         return cand
     return _exact_verify_pairs(ds, cand, col, id_col, threshold, shingle_k)
@@ -460,30 +490,54 @@ def simhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
                          id_col: tiled_ids,
                          "simhash": pa.array(np.tile(sig, 4), pa.uint64())})
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"dup_id": [], "kept_id": [], "hamming": []})
-        g = g.sort_values(id_col).drop_duplicates(id_col)
-        ids = g[id_col].tolist()
-        sigs = g["simhash"].to_numpy(dtype=np.uint64)
+    sch = ds.schema()
+    sim_id_type = dict(zip(sch.names, sch.types))[id_col]
+    sim_schema = pa.schema([("dup_id", sim_id_type),
+                            ("kept_id", sim_id_type),
+                            ("hamming", pa.int64())])
+
+    def verify_block(t: pa.Table) -> pa.Table:
+        # whole-block verify over the band_key-sorted exchange: buckets
+        # are key segments; singletons are masked in one numpy pass
+        if t.num_rows < 2:
+            return sim_schema.empty_table()
+        key = np.asarray(t["band_key"])
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        sizes = np.diff(np.r_[starts, key.shape[0]])
+        multi = sizes >= 2
+        if not multi.any():
+            return sim_schema.empty_table()
+        ids_np = t.column(id_col).to_numpy(zero_copy_only=False)
+        sigs_np = np.asarray(t["simhash"], dtype=np.uint64)
         dup, kept, ham = [], [], []
-        for i in range(1, len(ids)):
-            counts = _popcount64(sigs[:i] ^ sigs[i])
-            hits = np.nonzero(counts <= max_hamming)[0]
-            if hits.size:
-                j = hits[0]
-                dup.append(ids[i]); kept.append(ids[j]); ham.append(int(counts[j]))
-        return pd.DataFrame({"dup_id": dup, "kept_id": kept, "hamming": ham})
+        for st, sz in zip(starts[multi], sizes[multi]):
+            gi = ids_np[st:st + sz]
+            order = np.argsort(gi, kind="stable")
+            gi = gi[order]
+            gs = sigs_np[st:st + sz][order]
+            for i in range(1, len(gi)):
+                counts = _popcount64(gs[:i] ^ gs[i])
+                hits = np.nonzero(counts <= max_hamming)[0]
+                if hits.size:
+                    j = hits[0]
+                    dup.append(gi[i]); kept.append(gi[j])
+                    ham.append(int(counts[j]))
+        return pa.table({"dup_id": pa.array(dup, sim_id_type),
+                         "kept_id": pa.array(kept, sim_id_type),
+                         "hamming": pa.array(ham, pa.int64())})
 
     pairs = (ds.map_batches(signatures, batch_format="pyarrow")
-               .groupby("band_key")
-               .map_groups(verify, batch_format="pandas"))
+               .sort(["band_key"])
+               .map_batches(verify_block, batch_format="pyarrow",
+                            batch_size=None))
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("kept_id").head(1)
+    def dedup_fn(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["dup_id", "kept_id"])
+                .drop_duplicates("dup_id"))
 
-    return pairs.groupby("dup_id").map_groups(dedup_pairs,
-                                              batch_format="pandas")
+    return (pairs.sort(["dup_id", "kept_id"])
+            .map_batches(dedup_fn, batch_format="pandas",
+                         batch_size=None))
 
 
 # ---------------------------------------------------------------------------
@@ -525,43 +579,59 @@ def embedding_near_dups(ds, vec_col: str = "embedding",
         return pa.table({"band": pa.array(band), "bkey": pa.array(bkey),
                          id_col: ids2, "vec": vec_list})
 
-    def verify(g: pa.Table) -> pa.Table:
-        id_type = g.schema.field(id_col).type
-        out_schema = pa.schema([("dup_id", id_type), ("kept_id", id_type),
-                                ("cos", pa.float64())])
-        if g.num_rows < 2:
-            return out_schema.empty_table()
-        g = g.take(pc.sort_indices(g.column(id_col)))
-        ids_all = g.column(id_col).to_pylist()
-        seen = {}
-        keep_idx = [i for i, v in enumerate(ids_all)
-                    if seen.setdefault(v, i) == i]
-        if len(keep_idx) < 2:
-            return out_schema.empty_table()
-        g = g.take(pa.array(keep_idx))
-        ids = [ids_all[i] for i in keep_idx]
-        vec_arr = g.column("vec")
+    sch = ds.schema()
+    emb_id_type = dict(zip(sch.names, sch.types))[id_col]
+    emb_schema = pa.schema([("dup_id", emb_id_type),
+                            ("kept_id", emb_id_type),
+                            ("cos", pa.float64())])
+
+    def verify_block(t: pa.Table) -> pa.Table:
+        # whole-block verify over the (band, bkey)-sorted exchange
+        if t.num_rows < 2:
+            return emb_schema.empty_table()
+        band = np.asarray(t["band"])
+        bkey = np.asarray(t["bkey"])
+        change = np.r_[True,
+                       (band[1:] != band[:-1]) | (bkey[1:] != bkey[:-1])]
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.r_[starts, band.shape[0]])
+        multi = sizes >= 2
+        if not multi.any():
+            return emb_schema.empty_table()
+        ids_np = t.column(id_col).to_numpy(zero_copy_only=False)
+        vec_arr = t.column("vec")
         if isinstance(vec_arr, pa.ChunkedArray):
             vec_arr = vec_arr.combine_chunks()
         d = vec_arr.type.list_size
-        v = np.asarray(vec_arr.flatten()).reshape(len(ids), d)
-        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        sims = v @ v.T
-        dup, kept, cos = _pairs_from_group(
-            ids, lambda i, j: float(sims[i, j]), threshold)
-        return pa.table({"dup_id": pa.array(dup, id_type),
-                         "kept_id": pa.array(kept, id_type),
+        vall = np.asarray(vec_arr.flatten()).reshape(t.num_rows, d)
+        dup, kept, cos = [], [], []
+        for st, sz in zip(starts[multi], sizes[multi]):
+            gi = ids_np[st:st + sz]
+            order = np.argsort(gi, kind="stable")
+            gi = gi[order]
+            v = vall[st:st + sz][order]
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                               1e-12)
+            sims = v @ v.T
+            dd, kk, cc = _pairs_from_group(
+                list(gi), lambda i, j: float(sims[i, j]), threshold)
+            dup.extend(dd); kept.extend(kk); cos.extend(cc)
+        return pa.table({"dup_id": pa.array(dup, emb_id_type),
+                         "kept_id": pa.array(kept, emb_id_type),
                          "cos": pa.array(cos, pa.float64())})
 
     pairs = (ds.map_batches(signatures, batch_format="pyarrow")
-               .groupby(["band", "bkey"])
-               .map_groups(verify, batch_format="pyarrow"))
+               .sort(["band", "bkey"])
+               .map_batches(verify_block, batch_format="pyarrow",
+                            batch_size=None))
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("kept_id").head(1)
+    def dedup_fn(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["dup_id", "kept_id"])
+                .drop_duplicates("dup_id"))
 
-    return pairs.groupby("dup_id").map_groups(dedup_pairs,
-                                              batch_format="pandas")
+    return (pairs.sort(["dup_id", "kept_id"])
+            .map_batches(dedup_fn, batch_format="pandas",
+                         batch_size=None))
 
 
 def ngram_jaccard_dedup(ds, col: str = "text", id_col: str = "doc_id",
