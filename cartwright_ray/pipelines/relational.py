@@ -238,21 +238,36 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
                                columns=["user_id", "ts", "value"])
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        new_sess = (g["ts"].diff().isna()
-                    | (g["ts"].diff() > gap)).astype(np.int64)
-        g["session_id"] = new_sess.cumsum()
-        out = g.groupby("session_id").agg(
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        # whole-BLOCK kernel over the (user_id, ts)-sorted exchange: the
+        # sort co-locates each user's rows, and every step below is a
+        # vectorized pandas C kernel across ALL users at once (no
+        # per-user Python — groupby().map_groups costs one call per key)
+        if df.empty:
+            return pd.DataFrame({"user_id": [], "session_id": [],
+                                 "n_events": [], "session_start": [],
+                                 "session_end": [], "sum_value": []})
+        df = df.sort_values(["user_id", "ts"], kind="stable")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        new_sess = (new_user | (df["ts"].diff() > gap)).astype(np.int64)
+        df = df.assign(__sess=new_sess.cumsum())
+        out = df.groupby(["user_id", "__sess"], sort=True).agg(
             n_events=("ts", "size"),
             session_start=("ts", "min"),
             session_end=("ts", "max"),
             sum_value=("value", "sum")).reset_index()
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
+        out["session_id"] = out.groupby("user_id").cumcount() + 1
+        return out[["user_id", "session_id", "n_events",
+                    "session_start", "session_end", "sum_value"]]
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas") \
-            .to_pandas()
+    # exchange keyed on user_id ONLY: Ray's range sort splits on the
+    # full key tuple, so a multi-key sort can cut one user's rows across
+    # two blocks mid-timestamp; the single-key sort co-locates each user
+    # (the same property map_groups relies on) and the kernel orders
+    # within the block
+    out = (ds.sort("user_id")
+           .map_batches(block, batch_format="pandas", batch_size=None)
+           .to_pandas())
     out["session_start"] = out["session_start"].astype("datetime64[us]")
     out["session_end"] = out["session_end"].astype("datetime64[us]")
     out = out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
@@ -353,13 +368,23 @@ def user_running_value(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "event_id", "ts", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        g["running_value"] = g["value"].cumsum().round(4)
-        return g[["user_id", "event_id", "running_value"]]
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        # (user_id, ts, event_id)-sorted exchange + one vectorized
+        # grouped cumsum across all users in the block
+        if df.empty:
+            return pd.DataFrame({"user_id": [], "event_id": [],
+                                 "running_value": []})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        df = df.assign(running_value=df.groupby("user_id")["value"]
+                       .cumsum().round(4))
+        return df[["user_id", "event_id", "running_value"]]
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas") \
-            .to_pandas()
+    # exchange keyed on user_id ONLY (a full-tuple range sort can split
+    # one user's rows across blocks at a mid-timestamp boundary); the
+    # kernel restores within-user order locally
+    out = (ds.sort("user_id")
+           .map_batches(block, batch_format="pandas", batch_size=None)
+           .to_pandas())
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -421,15 +446,21 @@ def top_orders_per_customer(sf_dir: str, k: int = 2) -> pd.DataFrame:
                                columns=["o_custkey", "o_orderkey",
                                         "o_totalprice"])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"],
-                          ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["order_rank"] = np.arange(len(g), dtype=np.int64)
-        return g
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        # (cust, price desc, orderkey)-sorted exchange + one vectorized
+        # grouped cumcount — the rank is positional, no per-key Python
+        if df.empty:
+            return pd.DataFrame({"o_custkey": [], "o_orderkey": [],
+                                 "o_totalprice": [], "order_rank": []})
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True], kind="stable")
+        df = df.assign(order_rank=df.groupby("o_custkey").cumcount()
+                       .astype(np.int64))
+        return df[df["order_rank"] < k]
 
-    out = ds.groupby("o_custkey").map_groups(topk, batch_format="pandas") \
-            .to_pandas()
+    out = (ds.sort("o_custkey")
+           .map_batches(block, batch_format="pandas", batch_size=None)
+           .to_pandas())
     out = out.sort_values(["o_custkey", "order_rank"]).reset_index(drop=True)
     return _round_cols(out, ["o_totalprice"])
 
@@ -535,21 +566,39 @@ def sliding_window_user_counts(sf_dir: str) -> pd.DataFrame:
                                columns=["user_id", "event_id", "ts", "value"])
     win_us = 3600 * 1_000_000
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        cents = np.floor(g["value"].to_numpy() * 100.0).astype(np.int64)
-        lo = np.searchsorted(ts, ts - win_us, side="left")
-        hi = np.searchsorted(ts, ts, side="right")     # RANGE: include peers
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        # whole-BLOCK kernel over the (user_id, ts, event_id)-sorted
+        # exchange. The remaining per-user Python is two searchsorted
+        # calls on a numpy slice (µs each) — the frame construction and
+        # aggregation that dominated map_groups are hoisted to the block.
+        if df.empty:
+            return pd.DataFrame({"event_id": [], "window_n": [],
+                                 "window_cents": []})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.floor(df["value"].to_numpy() * 100.0).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], uid.shape[0]]
         csum = np.concatenate(([0], np.cumsum(cents)))
-        return pd.DataFrame({
-            "event_id": g["event_id"].to_numpy(),
-            "window_n": hi - lo,
-            "window_cents": csum[hi] - csum[lo],
-        })
+        n_out = np.empty(uid.shape[0], np.int64)
+        c_out = np.empty(uid.shape[0], np.int64)
+        for st, en in zip(starts, ends):
+            seg = ts[st:en]
+            lo = st + np.searchsorted(seg, seg - win_us, side="left")
+            hi = st + np.searchsorted(seg, seg, side="right")
+            n_out[st:en] = hi - lo
+            c_out[st:en] = csum[hi] - csum[lo]
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "window_n": n_out,
+                             "window_cents": c_out})
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas") \
-            .to_pandas()
+    # exchange keyed on user_id ONLY (a full-tuple range sort can split
+    # one user's rows across blocks at a mid-timestamp boundary); the
+    # kernel restores within-user order locally
+    out = (ds.sort("user_id")
+           .map_batches(block, batch_format="pandas", batch_size=None)
+           .to_pandas())
     return out.sort_values("event_id").reset_index(drop=True)
 
 

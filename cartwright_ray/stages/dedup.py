@@ -190,6 +190,14 @@ def _exact_dedup_shuffle(ds, col: str, id_col: str):
         # text (the sort's range partitioning co-locates equal keys).
         if t.num_rows == 0:
             return t
+        # order within the block: the exchange is keyed on (h1, h2) ONLY
+        # (a range sort including id could split one hash group across
+        # blocks — Ray's sort boundaries compare the full key tuple)
+        order = pc.sort_indices(
+            t, sort_keys=[("__xd_h1", "ascending"),
+                          ("__xd_h2", "ascending"),
+                          (id_col, "ascending")])
+        t = t.take(order)
         h1 = np.asarray(t["__xd_h1"]); h2 = np.asarray(t["__xd_h2"])
         starts = np.flatnonzero(
             np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])])
@@ -197,7 +205,7 @@ def _exact_dedup_shuffle(ds, col: str, id_col: str):
                 .drop_columns(["__xd_h1", "__xd_h2"]))
 
     return (ds.map_batches(key_rows, batch_format="pyarrow")
-              .sort(["__xd_h1", "__xd_h2", id_col])
+              .sort(["__xd_h1", "__xd_h2"])
               .map_batches(keep_min_block, batch_format="pyarrow",
                            batch_size=None))
 
@@ -367,6 +375,9 @@ def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
              .map_batches(bucket_verify_block, batch_format="pyarrow",
                           batch_size=None))
 
+    # the pair exchange is keyed on dup_id ONLY (for all_pairs the full
+    # (dup, kept) key IS the segment key, but one exchange shape serves
+    # both); within-block ordering happens in the kernel
     if all_pairs:
         # same pair can surface from several bands → distinct edges
         def dedup_fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -376,7 +387,7 @@ def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
         def dedup_fn(df: pd.DataFrame) -> pd.DataFrame:
             return (df.sort_values(["dup_id", "kept_id"])
                     .drop_duplicates("dup_id"))
-    cand = (pairs.sort(["dup_id", "kept_id"])
+    cand = (pairs.sort("dup_id")
             .map_batches(dedup_fn, batch_format="pandas", batch_size=None))
     if verify == "estimate":
         return cand
@@ -535,7 +546,9 @@ def simhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
         return (df.sort_values(["dup_id", "kept_id"])
                 .drop_duplicates("dup_id"))
 
-    return (pairs.sort(["dup_id", "kept_id"])
+    # exchange keyed on dup_id only (full-tuple range sort could split
+    # one dup's pairs across blocks); kernel sorts within the block
+    return (pairs.sort("dup_id")
             .map_batches(dedup_fn, batch_format="pandas",
                          batch_size=None))
 
@@ -629,7 +642,9 @@ def embedding_near_dups(ds, vec_col: str = "embedding",
         return (df.sort_values(["dup_id", "kept_id"])
                 .drop_duplicates("dup_id"))
 
-    return (pairs.sort(["dup_id", "kept_id"])
+    # exchange keyed on dup_id only (full-tuple range sort could split
+    # one dup's pairs across blocks); kernel sorts within the block
+    return (pairs.sort("dup_id")
             .map_batches(dedup_fn, batch_format="pandas",
                          batch_size=None))
 

@@ -17,6 +17,14 @@ Two Ray sharp edges are handled here:
   schema-less empty bundles, which poison the hash-repartition
   aggregator (its partition builds as a zero-column table and the key
   sort fails) — ``drop_empty_blocks`` strips them zero-copy first.
+
+The cheaper alternative exchange is ``ds.sort(key)`` (task-based, no
+actor pools) — but the sort's range boundaries compare the FULL key
+tuple, so sort by EXACTLY the segment-key columns and order within the
+key inside the block kernel. Sorting by (key, order_col) can cut one
+key's rows across two blocks at a mid-order_col boundary (observed:
+user_running_value lost rows under a (user, ts, id) sort; Ray's own
+map_groups sorts by the group key alone for the same reason).
 """
 
 from __future__ import annotations
