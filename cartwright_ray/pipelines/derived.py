@@ -40,14 +40,18 @@ def _read_doc_ids(sf_dir: str):
     Ray's default parallelism splits even a 500-row table into 64 blocks
     (one per 2×CPU), and per-task dispatch on the derived corpora then
     dominates every downstream stage (measured: 2.6s for a 48ms read).
-    ~2000 rows per block keeps task counts proportional to data.
+    But too FEW blocks starves the compute-heavy downstreams (simhash
+    signatures, point extraction inherit the block count — 3 blocks at
+    sf0.1 meant 3-way parallelism and a 3x regression), so target ~150
+    rows per block: task dispatch stays ~ms-scale while every core gets
+    work from ~5k rows upward.
     """
     import pyarrow.parquet as pq
     import ray.data
 
     path = f"{sf_dir}/documents.parquet"
     rows = pq.ParquetFile(path).metadata.num_rows
-    blocks = max(2, min(64, -(-rows // 2000)))
+    blocks = max(2, min(64, -(-rows // 150)))
     return ray.data.read_parquet(path, columns=["doc_id"],
                                  override_num_blocks=blocks)
 
