@@ -279,7 +279,12 @@ def pip_join_shuffle(points_ds, polygons: list[dict],
         out["admin_name"] = name
         return out
 
-    out = keyed.groupby("pip_key").map_groups(per_group, batch_format="pandas")
+    # the exchange co-locates cells (cache-friendly index probes per
+    # task), but the vectorized probe needs no per-group isolation — a
+    # whole-block map after the key sort does the same work with one
+    # Python call per BLOCK instead of one per (cell, salt) group
+    out = (keyed.sort("pip_key")
+           .map_batches(per_group, batch_format="pandas", batch_size=None))
     return out.drop_columns(["pip_key", "pip_cell"])
 
 
