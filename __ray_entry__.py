@@ -610,6 +610,19 @@ def _q_inverted_index(sf_dir):
     return df.sort_values("token").reset_index(drop=True)
 
 
+def _q_zscore(sf_dir):
+    """Per-event-type z-score normalization of event values; moments are
+    integer-cent sums, so engine and oracle derive bit-identical doubles
+    (see cartwright_ray.stages.normalize)."""
+    import ray.data
+    from cartwright_ray.stages.normalize import zscore_by_key
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type", "value"])
+    df = zscore_by_key(ds, "event_type", "value").to_pandas()
+    df = df[["event_id", "event_type", "z"]]
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_ngram_jaccard(sf_dir):
     """Exact n-gram Jaccard dedup over the planted NEAR-clone corpus
     (clone = original with its last token replaced, jaccard ~0.93): the
@@ -993,6 +1006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_prep_docs": _q_training_prep,
         "hash_sample_events": _q_hash_sample,
         "stratified_sample_events": _q_stratified_sample,
+        "zscore_events": _q_zscore,
         "exact_dedup_docs": _q_exact_dedup,
         "ann_topk": _q_ann,
         "ivf_ann_topk": _q_ivf_ann,
@@ -1006,7 +1020,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cartwright-parity inference
         "temporal_resolution_events": _q_temporal_resolution,
         "spatial_resolution_grid": _q_spatial_resolution,
-        "classify_documents_columns": _q_classify_documents,
         # spatial pipeline + the full spatial-join family (MUST stay in
         # the first 50 — two of these were red in r01 and unverified in
         # r02 because they sat past the window)
@@ -1045,6 +1058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classify_time_resolution": _q_classify_time_resolution,
         "customers_without_orders": rel.customers_without_orders,
         "media_features": _q_media,
+        "classify_documents_columns": _q_classify_documents,
     }
 
 
@@ -2023,6 +2037,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE token IN ('join', 'merge', 'scan', 'vector', 'window')
             GROUP BY token
             ORDER BY token
+        """,
+        "zscore_events": """
+            WITH c AS (
+                SELECT event_id, event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events),
+            m AS (SELECT event_type, count(*) AS n, sum(cents) AS s,
+                         sum(cents * cents) AS q
+                  FROM c GROUP BY event_type),
+            st AS (SELECT event_type,
+                          CAST(s AS DOUBLE) / n / 100.0 AS mean,
+                          sqrt(CAST(q AS DOUBLE) / n / 10000.0
+                               - (CAST(s AS DOUBLE) / n / 100.0)
+                                 * (CAST(s AS DOUBLE) / n / 100.0)) AS std
+                   FROM m)
+            SELECT c.event_id, c.event_type,
+                   floor((cents / 100.0 - mean) / std * 1e6) / 1e6 AS z
+            FROM c JOIN st USING (event_type)
+            ORDER BY c.event_id
         """,
         "near_dup_clusters": """
             SELECT CAST(d.doc_id + 100000 * g.k AS BIGINT) AS doc_id,

@@ -112,3 +112,29 @@ def test_kmeans_summary_counts_and_floor_margin(ray_session):
     raw = t["val"].to_numpy() * 1e4
     frac = np.abs(raw - np.round(raw))
     assert ((frac < 1e-9) | (frac > 1e-6)).all()
+
+
+def test_zscore_by_key_matches_pandas(ray_session):
+    import ray
+    from cartwright_ray.stages.normalize import zscore_by_key
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "id": np.arange(3000),
+        "k": rng.choice(["a", "b", "c"], 3000),
+        "v": np.round(rng.normal(50, 20, 3000), 2),
+    })
+    out = zscore_by_key(ray.data.from_pandas(df).repartition(5),
+                        "k", "v").to_pandas().sort_values("id")
+    cents = np.floor(df["v"].to_numpy() * 100 + 0.5).astype(np.int64)
+    ref = df.assign(c=cents)
+    got = out["z"].to_numpy()
+    for key, g in ref.groupby("k"):
+        n = len(g)
+        mean = g["c"].sum() / n / 100.0
+        var = (g["c"] * g["c"]).sum() / n / 10000.0 - mean * mean
+        std = np.sqrt(var)
+        want = np.floor((g["c"] / 100.0 - mean) / std * 1e6) / 1e6
+        sel = out["id"].isin(g["id"])
+        assert np.array_equal(out[sel].sort_values("id")["z"].to_numpy(),
+                              want.to_numpy())
