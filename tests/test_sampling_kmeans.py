@@ -138,3 +138,24 @@ def test_zscore_by_key_matches_pandas(ray_session):
         sel = out["id"].isin(g["id"])
         assert np.array_equal(out[sel].sort_values("id")["z"].to_numpy(),
                               want.to_numpy())
+
+
+def test_hll_distinct_error_and_merge_invariance(ray_session):
+    import ray
+    from cartwright_ray.stages.sketch import hll_distinct
+
+    rng = np.random.default_rng(17)
+    true_n = 10_000
+    ids = np.concatenate([np.arange(true_n), rng.integers(0, true_n, 20_000)])
+    df = pd.DataFrame({"user_id": ids})
+    est4 = hll_distinct(ray.data.from_pandas(df).repartition(4), "user_id")
+    est9 = hll_distinct(ray.data.from_pandas(df).repartition(9), "user_id")
+    # registers merge by max -> estimate is partitioning-invariant
+    assert est4 == est9
+    # 3 sigma at p=12 is ~5%
+    assert abs(est4 - true_n) / true_n < 0.05
+    # small-cardinality linear-counting regime
+    small = pd.DataFrame({"user_id": np.arange(50)})
+    est_small = hll_distinct(ray.data.from_pandas(small).repartition(2),
+                             "user_id")
+    assert abs(est_small - 50) / 50 < 0.05
