@@ -156,8 +156,13 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
 
     def key_rows(batch: pa.Table) -> pa.Table:
         h1, h2 = _content_hash128(batch, col)
-        return pa.table({"h1": pa.array(h1, pa.uint64()),
-                         "h2": pa.array(h2, pa.uint64()),
+        # int64 BIT-reinterpretation of the uint64 hashes: equality (the
+        # only property the groupby needs) is preserved, and Ray's
+        # sort/aggregate boundary sampling stays in native int64 — raw
+        # uint64 values overflow its Python-int round-trip into a
+        # per-block pickled-object fallback (ArrowConversionError).
+        return pa.table({"h1": pa.array(h1.view(np.int64)),
+                         "h2": pa.array(h2.view(np.int64)),
                          id_col: batch.column(id_col)})
 
     winners = (ds.map_batches(key_rows, batch_format="pyarrow")
@@ -180,8 +185,10 @@ def _exact_dedup_shuffle(ds, col: str, id_col: str):
 
     def key_rows(batch: pa.Table) -> pa.Table:
         h1, h2 = _content_hash128(batch, col)
-        batch = batch.append_column("__xd_h1", pa.array(h1, pa.uint64()))
-        return batch.append_column("__xd_h2", pa.array(h2, pa.uint64()))
+        # int64 bit-view: co-location needs equality only; native int64
+        # keeps Ray's sort-boundary sampler off the pickled-object path
+        batch = batch.append_column("__xd_h1", pa.array(h1.view(np.int64)))
+        return batch.append_column("__xd_h2", pa.array(h2.view(np.int64)))
 
     def keep_min_block(t: pa.Table) -> pa.Table:
         # whole-block winner pick over the (h1, h2, id)-sorted exchange:
@@ -316,8 +323,11 @@ def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
         flat_sig = pa.array(np.tile(sig32, (bands, 1)).ravel())
         sig_list = pa.FixedSizeListArray.from_arrays(flat_sig, num_perm)
         tiled_ids = ids_arr.take(pa.array(np.tile(np.arange(n), bands)))
+        # bh as int64 bit-view: the (band, bh) sort exchange only needs
+        # equal keys contiguous; uint64 would overflow Ray's boundary
+        # sampler into a per-block pickled-object fallback
         return pa.table({"band": pa.array(band_col),
-                         "bh": pa.array(bh_all),
+                         "bh": pa.array(bh_all.view(np.int64)),
                          id_col: tiled_ids,
                          "sig": sig_list})
 
