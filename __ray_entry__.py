@@ -941,6 +941,29 @@ def _q_radius_join(sf_dir):
     return out.sort_values(["vec_id", "feat_id"]).reset_index(drop=True)
 
 
+def _q_bloom_semi_join(sf_dir):
+    """Bloom-prefiltered EXACT semi-join (``stages/bloom.py``): lineitems
+    of high-value orders. The Bloom pass bounds the all-to-all to
+    ``|matches| + FPR * |large|`` rows; the sort-exchange second pass
+    removes the false positives, so the composite is exact and the
+    oracle replays it as a plain IN-subquery. Threshold safety: the
+    nearest o_totalprice to 300000.0 on the fixed testdata is 8.81 away
+    — cross-engine float noise cannot flip a row."""
+    import ray.data
+    from cartwright_ray.stages.bloom import bloom_semi_join
+
+    large = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                  columns=["l_orderkey", "l_linenumber"])
+    small = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_totalprice"])
+             .filter(expr="o_totalprice > 300000.0")
+             .select_columns(["o_orderkey"]))
+    out = bloom_semi_join(large, small, "l_orderkey",
+                          "o_orderkey").to_pandas()
+    return (out.sort_values(["l_orderkey", "l_linenumber"])
+            .reset_index(drop=True))
+
+
 def _q_knn_join_table(sf_dir):
     """kNN join of derived points to part-derived features — the SQL
     oracle brute-forces the same haversine ranking."""
@@ -994,7 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": rel.distinct_users_by_type,
         "user_set_ops": rel.user_set_ops,
         "asof_join_rates": rel.asof_join_rates,
-        "semi_join_orders_building": rel.semi_join_orders_building,
+        "bloom_semi_join_lineitems": _q_bloom_semi_join,
         "top_orders_per_customer": rel.top_orders_per_customer,
         # geo kernels with SQL-reproducible math
         "tile_pyramid": _q_tile_pyramid,
@@ -1058,6 +1081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classify_time_resolution": _q_classify_time_resolution,
         "customers_without_orders": rel.customers_without_orders,
         "media_features": _q_media,
+        "semi_join_orders_building": rel.semi_join_orders_building,
         "classify_documents_columns": _q_classify_documents,
     }
 
@@ -1290,6 +1314,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN (SELECT c_custkey FROM customer
                                 WHERE c_mktsegment = 'BUILDING')
             ORDER BY o_orderkey
+        """,
+        "bloom_semi_join_lineitems": """
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_totalprice > 300000.0)
+            ORDER BY l_orderkey, l_linenumber
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
