@@ -941,6 +941,94 @@ def _q_radius_join(sf_dir):
     return out.sort_values(["vec_id", "feat_id"]).reset_index(drop=True)
 
 
+_GH_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _q_compact_cells(sf_dir):
+    """Geohash cell-set compaction (``geo/compact.py``): deterministic
+    mixed-precision cells derived from ``embeddings.vec_id`` by integer
+    formulas the oracle replays with ``substr`` over the base-32
+    alphabet. The derivation plants complete 32-sibling families (the
+    ``g%3 != 0`` branch; the ``zz*`` family cascades only at scales
+    where all 32 ``vid%32`` residues occur), never-completable families
+    (children limited to 16 characters when ``g%3 == 0``), duplicate
+    cells, and mixed precisions — every compaction rule fires."""
+    import pyarrow as pa
+    import ray.data
+    from cartwright_ray.geo.compact import compact_geohash
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id"])
+    A = np.array(list(_GH_ALPHA))
+
+    def derive(t: pa.Table) -> pa.Table:
+        vid = np.asarray(t["vec_id"], dtype=np.int64)
+        g = vid % 37
+        p3 = np.char.add(np.char.add(A[g % 32], A[(g * 7 + 3) % 32]),
+                         A[(g * 11 + 5) % 32])
+        child = np.where(g % 3 != 0, A[(vid * 3) % 32], A[(vid * 3) % 16])
+        p4 = np.char.add(p3, child)
+        zz = np.char.add("zz", A[vid[vid % 7 == 0] % 32])
+        # gcd(3,32)=1, so vid%3==0 rows cover all 32 residues of vid%32
+        # at any N >= 96: a guaranteed-complete p4 family ("yyy?")
+        yy = np.char.add("yyy", A[vid[vid % 3 == 0] % 32])
+        cells = np.concatenate([p4, p3[vid % 5 == 0], zz, yy])
+        return pa.table({"cell": pa.array(cells, pa.string())})
+
+    out = (compact_geohash(ds.map_batches(derive, batch_format="pyarrow"),
+                           min_len=1)
+           .to_pandas())
+    return out.sort_values("cell").reset_index(drop=True)
+
+
+def _compact_oracle_sql() -> str:
+    """Unrolled 3-round compaction replay (p=4,3,2) in plain SQL."""
+    a = _GH_ALPHA
+    derive = f"""
+        ids AS (SELECT vec_id AS vid FROM embeddings),
+        raw AS (
+            SELECT substr('{a}', ((vid%37)%32)+1, 1)
+                || substr('{a}', (((vid%37)*7+3)%32)+1, 1)
+                || substr('{a}', (((vid%37)*11+5)%32)+1, 1)
+                || CASE WHEN (vid%37)%3 <> 0
+                        THEN substr('{a}', ((vid*3)%32)+1, 1)
+                        ELSE substr('{a}', ((vid*3)%16)+1, 1) END AS cell
+            FROM ids
+            UNION ALL
+            SELECT substr('{a}', ((vid%37)%32)+1, 1)
+                || substr('{a}', (((vid%37)*7+3)%32)+1, 1)
+                || substr('{a}', (((vid%37)*11+5)%32)+1, 1)
+            FROM ids WHERE vid % 5 = 0
+            UNION ALL
+            SELECT 'zz' || substr('{a}', (vid%32)+1, 1)
+            FROM ids WHERE vid % 7 = 0
+            UNION ALL
+            SELECT 'yyy' || substr('{a}', (vid%32)+1, 1)
+            FROM ids WHERE vid % 3 = 0
+        ),
+        c0 AS (SELECT DISTINCT cell FROM raw)"""
+    rounds = []
+    prev = "c0"
+    for i, p in enumerate((4, 3, 2)):
+        cur = f"c{i + 1}"
+        rounds.append(f"""
+        comp{p} AS (
+            SELECT substr(cell, 1, {p - 1}) AS par FROM {prev}
+            WHERE length(cell) = {p}
+            GROUP BY 1 HAVING count(DISTINCT cell) = 32),
+        {cur} AS (
+            SELECT par AS cell FROM comp{p}
+            UNION
+            SELECT cell FROM {prev}
+            WHERE length(cell) = {p}
+              AND substr(cell, 1, {p - 1}) NOT IN (SELECT par FROM comp{p})
+            UNION
+            SELECT cell FROM {prev} WHERE length(cell) <> {p})""")
+        prev = cur
+    return ("WITH " + derive + "," + ",".join(rounds)
+            + f" SELECT cell FROM {prev} ORDER BY cell")
+
+
 def _q_bloom_semi_join(sf_dir):
     """Bloom-prefiltered EXACT semi-join (``stages/bloom.py``): lineitems
     of high-value orders. The Bloom pass bounds the all-to-all to
@@ -1032,7 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_events": _q_zscore,
         "exact_dedup_docs": _q_exact_dedup,
         "ann_topk": _q_ann,
-        "ivf_ann_topk": _q_ivf_ann,
+        "compact_cells": _q_compact_cells,
         "kmeans_centroids": _q_kmeans,
         "minhash_dedup_pairs": _q_minhash,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -1069,6 +1157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "fingerprint_docs": _q_fingerprint,
         "lsh_ann_topk": _q_lsh_ann,
+        "ivf_ann_topk": _q_ivf_ann,
         "media_features_png": _q_media_png,
         "value_quantiles_by_type": rel.value_quantiles_by_type,
         "user_running_value": rel.user_running_value,
@@ -1315,6 +1404,7 @@ def oracle_sql() -> dict[str, str]:
                                 WHERE c_mktsegment = 'BUILDING')
             ORDER BY o_orderkey
         """,
+        "compact_cells": _compact_oracle_sql(),
         "bloom_semi_join_lineitems": """
             SELECT l_orderkey, l_linenumber FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders

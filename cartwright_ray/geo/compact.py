@@ -1,0 +1,152 @@
+"""Geohash cell-set compaction — the H3 ``compact_cells`` analogue for
+base-32 geohash prefixes (jataware/cartwright has no cell algebra at
+all; this is engine surface for the tiling family, same group as
+``geo/geohash.py`` / ``stages/encode.py``).
+
+``compact(cells)`` rewrites a SET of geohash cells of mixed precision:
+any COMPLETE family of 32 sibling cells (same parent prefix, all 32
+base-32 child characters present) is replaced by the parent, repeated
+level by level until ``min_len``; the output is deduplicated. A compacted
+set covers every point the input covered using the minimum number of
+prefix cells (the standard compaction used to shrink coverings before
+shipping them into a join or an index).
+
+Distributed plan (per precision level, deepest first):
+
+* rows of the current level key on their parent prefix through a
+  single-key SORT exchange (task-based; no per-group Python dispatch —
+  the whole-block kernel walks parent segments with numpy);
+* a segment with all 32 distinct child characters emits the parent once;
+  anything else re-emits its distinct children;
+* other levels bypass the exchange entirely (streamed filter + union).
+
+Levels are processed in one pass each — a parent emitted at level ``p``
+participates in the level ``p-1`` round, so cascading collapses resolve
+in ``max_len - min_len`` narrow shuffles, each touching ONLY the cells
+of its level.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_OUT = pa.schema([("cell", pa.string())])
+
+
+def _level_block(t: pa.Table) -> pa.Table:
+    """Whole-block kernel over the parent-sorted exchange of ONE level:
+    per parent segment, emit the parent if all 32 children are present,
+    else the segment's distinct children."""
+    if t.num_rows == 0:
+        return _OUT.empty_table()
+    cells = t.column("cell").to_numpy(zero_copy_only=False)
+    parents = t.column("__parent").to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.r_[True, parents[1:] != parents[:-1]])
+    ends = np.r_[starts[1:], len(parents)]
+    out: list[str] = []
+    for s, e in zip(starts, ends):
+        kids = np.unique(cells[s:e])
+        if len(kids) == 32:
+            out.append(parents[s])
+        else:
+            out.extend(kids.tolist())
+    return pa.table({"cell": pa.array(out, pa.string())})
+
+
+def _dedup_block(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return _OUT.empty_table()
+    cells = t.column("cell").to_numpy(zero_copy_only=False)
+    return pa.table({"cell": pa.array(np.unique(cells), pa.string())})
+
+
+def _coalesce(ds, rows_est: int):
+    """Tiny-exchange guard (see knn_join_shuffle): Ray's sort emits
+    num_blocks x num_partitions shuffle objects, so coalesce small
+    inputs to a row-proportional block count."""
+    if rows_est < 32_000_000:
+        nblk = int(np.clip((rows_est + 65535) // 65536, 2, 1024))
+        ds = ds.repartition(nblk)
+    return ds
+
+
+def compact_geohash(ds, cell_col: str = "cell", min_len: int = 1,
+                    max_len: int | None = None):
+    """Compact a Dataset of geohash cell strings (column ``cell_col``,
+    mixed precisions allowed). Returns a Dataset with one ``cell``
+    column: the deduplicated compacted set.
+
+    ``max_len`` bounds the deepest level; when None it is discovered
+    with one cheap aggregate over string lengths.
+    """
+    ds = ds.select_columns([cell_col])
+    if cell_col != "cell":
+        ds = ds.rename_columns({cell_col: "cell"})
+
+    def _len_partial(t: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(t.column("cell"))
+        return pa.table({"mx": pa.array([pc.max(ln).as_py() or 0],
+                                        pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    parts = (ds.map_batches(_len_partial, batch_format="pyarrow")
+             .take_all())
+    total = int(sum(p["n"] for p in parts))
+    if total == 0:
+        import ray.data
+        return ray.data.from_arrow(_OUT.empty_table())
+    discovered = int(max(p["mx"] for p in parts))
+    max_len = discovered if max_len is None else min(max_len, discovered)
+
+    cur = ds
+    for p in range(max_len, min_len, -1):
+        def key_level(t: pa.Table, p=p) -> pa.Table:
+            ln = pc.utf8_length(t.column("cell"))
+            lvl = t.filter(pc.equal(ln, p))
+            return pa.table({
+                "cell": lvl.column("cell"),
+                "__parent": pc.utf8_slice_codeunits(lvl.column("cell"),
+                                                    0, p - 1),
+            })
+
+        def rest_level(t: pa.Table, p=p) -> pa.Table:
+            ln = pc.utf8_length(t.column("cell"))
+            return pa.table(
+                {"cell": t.filter(pc.not_equal(ln, p)).column("cell")})
+
+        lvl = _coalesce(cur.map_batches(key_level, batch_format="pyarrow"),
+                        total)
+        collapsed = (lvl.sort("__parent")
+                     .map_batches(_level_block, batch_format="pyarrow",
+                                  batch_size=None))
+        cur = (collapsed.union(
+            cur.map_batches(rest_level, batch_format="pyarrow"))
+            .materialize())
+
+    # final cross-level dedup (a parent emitted by a collapse can also
+    # exist verbatim in the input): one exchange on the cell itself
+    return (_coalesce(cur, total).sort("cell")
+            .map_batches(_dedup_block, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def compact_reference(cells, min_len: int = 1) -> set:
+    """Driver-side oracle for tests: plain-Python compaction."""
+    cur = set(cells)
+    max_len = max((len(c) for c in cur), default=0)
+    for p in range(max_len, min_len, -1):
+        lvl = [c for c in cur if len(c) == p]
+        rest = {c for c in cur if len(c) != p}
+        by_parent: dict[str, set] = {}
+        for c in lvl:
+            by_parent.setdefault(c[:-1], set()).add(c)
+        out = set()
+        for parent, kids in by_parent.items():
+            if len(kids) == 32:
+                out.add(parent)
+            else:
+                out |= kids
+        cur = rest | out
+    return cur

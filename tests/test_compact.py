@@ -1,0 +1,77 @@
+"""Geohash cell-set compaction (geo/compact.py): distributed result ==
+plain-Python reference, cascade behavior, and covering equivalence."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cartwright_ray.geo.compact import compact_geohash, compact_reference
+
+_A = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _ds(ray, cells, nblocks=4):
+    import ray.data
+    return ray.data.from_arrow(
+        pa.table({"cell": pa.array(list(cells), pa.string())})
+    ).repartition(nblocks)
+
+
+def _run(ray, cells, **kw) -> set:
+    out = compact_geohash(_ds(ray, cells), **kw).to_pandas()
+    return set(out["cell"]) if len(out) else set()
+
+
+def test_complete_family_collapses(ray_session):
+    cells = [f"9q{c}" for c in _A]                       # all 32 children
+    assert _run(ray_session, cells) == {"9q"}
+
+
+def test_incomplete_family_stays(ray_session):
+    cells = [f"9q{c}" for c in _A[:31]]                  # 31 of 32
+    assert _run(ray_session, cells) == set(cells)
+
+
+def test_cascade_two_levels(ray_session):
+    # every p3 child family under parent "7" complete -> 32 p3 cells ->
+    # they are themselves a complete p2 family -> "7"
+    cells = [f"7{b}{c}" for b in _A for c in _A]
+    assert _run(ray_session, cells) == {"7"}
+
+
+def test_min_len_stops_cascade(ray_session):
+    cells = [f"7{b}{c}" for b in _A for c in _A]
+    assert _run(ray_session, cells, min_len=2) == {f"7{b}" for b in _A}
+
+
+def test_mixed_precision_and_duplicates(ray_session):
+    cells = [f"9q{c}" for c in _A] + ["9q", "dr5", "dr5"]
+    assert _run(ray_session, cells) == {"9q", "dr5"}
+
+
+def test_matches_reference_on_random_sets(ray_session):
+    rng = np.random.default_rng(23)
+    a = np.array(list(_A))
+    for trial in range(3):
+        n = 3000
+        depth = rng.integers(2, 5, size=n)
+        cells = ["".join(a[rng.integers(0, 4, size=d)])   # tiny alphabet
+                 for d in depth]                          # -> dense families
+        # splice in guaranteed-complete families
+        for p in ["01", "23"]:
+            cells.extend(p + c for c in _A)
+        want = compact_reference(cells, min_len=1)
+        got = _run(ray_session, cells, min_len=1)
+        assert got == want, f"trial {trial}"
+
+
+def test_covering_preserved(ray_session):
+    """Every input cell is a prefix-descendant of some output cell (the
+    compacted set still covers everything the input covered)."""
+    rng = np.random.default_rng(5)
+    a = np.array(list(_A))
+    cells = ["".join(a[rng.integers(0, 3, size=rng.integers(2, 4))])
+             for _ in range(2000)]
+    out = _run(ray_session, cells)
+    for c in set(cells):
+        assert any(c.startswith(o) for o in out), c
