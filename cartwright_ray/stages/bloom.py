@@ -156,13 +156,8 @@ def bloom_semi_join(large_ds, small_ds, large_key: str, small_key: str,
     words, m, k = bloom_build(small_ds, small_key, fpr=fpr)
     survivors = bloom_filter_ds(large_ds, large_key, words, m, k)
 
-    l_schema = None
-    sch = large_ds.schema()
-    if all(isinstance(t, pa.DataType) for t in sch.types):
-        l_schema = pa.schema(list(zip(sch.names, sch.types)))
-    else:                                   # from_items lineage fallback
-        l_schema = large_ds.limit(1).take_batch(
-            1, batch_format="pyarrow").schema
+    from .partition import arrow_schema_of
+    l_schema = arrow_schema_of(large_ds)
 
     def mark_large(t: pa.Table) -> pa.Table:
         t = t.append_column("__bsj_key", t.column(large_key))

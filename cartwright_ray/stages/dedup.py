@@ -726,7 +726,8 @@ def drop_near_dups(ds, pairs_ds, id_col: str = "doc_id",
 
 def _drop_near_dups_shuffle(ds, pairs_ds, id_col: str, num_partitions: int):
     """Hash anti-join: both sides keyed by id hash, group-local filter."""
-    c_schema = ds.limit(1).take_batch(1, batch_format="pyarrow").schema
+    from .partition import arrow_schema_of
+    c_schema = arrow_schema_of(ds)
 
     def _part_of(ids_np: np.ndarray) -> np.ndarray:
         return (pd.util.hash_array(ids_np).astype(np.uint64)

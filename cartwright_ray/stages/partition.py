@@ -80,6 +80,22 @@ def hash_partitioned(ds, keys: list[str], num_partitions: int | None = None,
     return clean.repartition(num_partitions, keys=keys, sort=True)
 
 
+def arrow_schema_of(ds):
+    """Arrow schema of a Dataset without a full execution.
+
+    ``Dataset.schema()`` is metadata-cheap and carries Arrow types for
+    parquet/arrow-born lineages; pandas/from_items lineages surface
+    python or numpy types, where a one-row probe gives the real Arrow
+    schema (reads a single block).
+    """
+    import pyarrow as pa
+
+    sch = ds.schema()
+    if all(isinstance(t, pa.DataType) for t in sch.types):
+        return pa.schema(list(zip(sch.names, sch.types)))
+    return ds.limit(1).take_batch(1, batch_format="pyarrow").schema
+
+
 def key_segments(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Start offsets + per-row segment index of a key-sorted array."""
     starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
