@@ -349,10 +349,11 @@ def _q_raster_pyramid(sf_dir):
     """Raster pyramid: z8 integer-raster tiles mean-pooled to z6 parents
     (sum-pool before the shuffle, assemble per parent). Integer-exact
     stats so the oracle enumerates the same pixels with generate_series."""
-    from cartwright_ray.joins.zonal import raster_downsample
+    from cartwright_ray.joins.zonal import integer_tile_pixels, \
+        raster_downsample
     tiles = [(x, y) for x in range(136, 144) for y in range(84, 92)]
     out = raster_downsample(tiles, zoom=8, out_zoom=6,
-                            tile_fn=_zonal_tile_fn).to_pandas()
+                            tile_fn=integer_tile_pixels).to_pandas()
     out = out[["x", "y", "px_sum", "blk_min", "blk_max"]]
     return out.sort_values(["x", "y"]).reset_index(drop=True)
 
@@ -485,24 +486,18 @@ def _q_knn(sf_dir):
              .reset_index(drop=True)
 
 
-def _zonal_tile_fn(z, x, y, size=64):
-    """Integer synthetic raster for the oracled zonal query: pixel value =
-    (gx*7 + gy*13) % 1000 over GLOBAL pixel indices — exact in float and
-    in SQL (sums of integers, no trig in the values)."""
-    ix = x * size + np.arange(size, dtype=np.int64)
-    iy = y * size + np.arange(size, dtype=np.int64)
-    gx, gy = np.meshgrid(ix, iy)
-    return ((gx * 7 + gy * 13) % 1000).astype(np.float32)
-
-
 def _q_zonal(sf_dir):
     """Zonal stats over nation-derived boxes with the integer raster —
     fully SQL-verifiable (pixel membership by the same crossing test,
     pixel values exact integers). The trig-noise raster variant stays in
-    tests/test_joins.py against brute_force_zonal."""
-    from cartwright_ray.joins.zonal import zonal_stats
+    tests/test_joins.py against brute_force_zonal. The tile_fn runs on
+    WORKERS, so it must be the package-level kernel: a named function
+    defined in THIS module pickles by reference to ``__ray_entry__``,
+    which workers cannot import under the driver's init-before-import
+    lineage (observed as ModuleNotFoundError in zonal/raster tasks)."""
+    from cartwright_ray.joins.zonal import integer_tile_pixels, zonal_stats
     df = zonal_stats(_derived_nation_boxes()[:12], zoom=7,
-                     tile_fn=_zonal_tile_fn).to_pandas()
+                     tile_fn=integer_tile_pixels).to_pandas()
     df["px_count"] = df["px_count"].astype("int64")
     return df[["admin_id", "px_count", "px_sum", "px_min", "px_max",
                "px_mean"]].sort_values("admin_id").reset_index(drop=True)
@@ -1256,7 +1251,7 @@ def _zonal_oracle_sql(zoom: int = 7, size: int = 64) -> str:
     constant-bound range() (DuckDB's range table function can't take
     lateral column args), membership by strict bbox compares (pixel
     lat/lon never equals a box bound — see _q_zonal), values by the same
-    integer formula as _zonal_tile_fn."""
+    integer formula as integer_tile_pixels."""
     import math
     n_px = (1 << zoom) * size
 

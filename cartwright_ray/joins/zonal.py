@@ -41,6 +41,21 @@ def synth_tile_pixels(z: int, x: int, y: int, size: int = TILE_SIZE) -> np.ndarr
     return (field + rng.normal(0, 1.0, (size, size))).astype(np.float32)
 
 
+def integer_tile_pixels(z: int, x: int, y: int, size: int = TILE_SIZE) -> np.ndarray:
+    """SQL-replayable integer raster: pixel value = (gx*7 + gy*13) % 1000
+    over GLOBAL pixel indices — exact in float32 and in DuckDB integer
+    arithmetic, so the oracled zonal/pyramid queries can enumerate the
+    same pixels with generate_series. Lives in the package (not
+    ``__ray_entry__``) because the tile_fn is executed on WORKERS: a
+    module-level function from ``__ray_entry__`` pickles by reference to
+    a module workers cannot import under the driver's
+    init-before-import lineage."""
+    ix = x * size + np.arange(size, dtype=np.int64)
+    iy = y * size + np.arange(size, dtype=np.int64)
+    gx, gy = np.meshgrid(ix, iy)
+    return ((gx * 7 + gy * 13) % 1000).astype(np.float32)
+
+
 def _tile_pixel_lonlat(z: int, x: int, y: int, size: int = TILE_SIZE):
     """(lat, lon) of pixel centers of tile (z, x, y)."""
     n = float(1 << z)
