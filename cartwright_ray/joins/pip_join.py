@@ -248,7 +248,6 @@ def pip_join_shuffle(points_ds, polygons: list[dict],
                      cap: int = 50_000):
     """Shuffle PIP join: salted groupby on the cover cell, vectorized PIP
     per (cell, salt) group against the broadcast polygon index."""
-    import pandas as pd
     import ray
 
     def add_cell(batch: pa.Table) -> pa.Table:
@@ -262,7 +261,7 @@ def pip_join_shuffle(points_ds, polygons: list[dict],
 
     polygons_ref = ray.put(polygons)
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+    def per_group(t: pa.Table) -> pa.Table:
         # per-worker index cache (module-level — a closure dict would be
         # re-created on every task deserialization)
         key = (getattr(polygons_ref, "hex", lambda: id(polygons_ref))(),
@@ -271,20 +270,21 @@ def pip_join_shuffle(points_ds, polygons: list[dict],
         if index is None:
             index = _TASK_INDEX_CACHE.setdefault(
                 key, PolygonIndex(ray.get(polygons_ref), cover_res))
-        lat = g["lat"].to_numpy(dtype=np.float64)
-        lon = g["lon"].to_numpy(dtype=np.float64)
+        lat = np.asarray(t["lat"], dtype=np.float64)
+        lon = np.asarray(t["lon"], dtype=np.float64)
         idx, admin, name = index.probe(lat, lon)
-        out = g.iloc[idx].copy()
-        out["admin_id"] = admin
-        out["admin_name"] = name
-        return out
+        out = t.take(pa.array(idx, pa.int64()))
+        out = out.append_column("admin_id", pa.array(admin, pa.string()))
+        return out.append_column("admin_name", pa.array(name, pa.string()))
 
     # the exchange co-locates cells (cache-friendly index probes per
     # task), but the vectorized probe needs no per-group isolation — a
     # whole-block map after the key sort does the same work with one
-    # Python call per BLOCK instead of one per (cell, salt) group
+    # Python call per BLOCK instead of one per (cell, salt) group.
+    # Arrow in/out: the pandas round-trip copied every block and emitted
+    # object-dtype empties Ray's size estimator warns on.
     out = (keyed.sort("pip_key")
-           .map_batches(per_group, batch_format="pandas", batch_size=None))
+           .map_batches(per_group, batch_format="pyarrow", batch_size=None))
     return out.drop_columns(["pip_key", "pip_cell"])
 
 

@@ -27,6 +27,13 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+# module-top (NOT lazy): these run inside worker-executed actor methods,
+# where a runtime relative import needs the package on the worker's
+# sys.path — by-value cloudpickle only covers symbols captured at
+# serialization time (observed as ModuleNotFoundError under the driver's
+# init-before-import lineage)
+from ..media.png import png_decode, png_encode
+
 MEDIA_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
     ("span_idx", pa.int32()),
@@ -49,8 +56,6 @@ def media_rows_from_corpus(corpus_ds, payload_kind: str = "hash"):
     PNG whose pixels derive from the media_ref (pair with
     ``decoder="png"`` — the full decode path end to end)."""
     import pyarrow.compute as pc
-
-    from ..media.png import png_encode
 
     def _payload(ref: str) -> bytes:
         seed = hashlib.blake2b(ref.encode(), digest_size=32).digest()
@@ -119,7 +124,6 @@ class MediaFeatureExtractor:
     def _decode_png(self, payload: bytes) -> np.ndarray:
         """Real decode: PNG bytes → grayscale float array in [0, 1]
         (RGB is luma-averaged — features here are luminance-pooled)."""
-        from ..media.png import png_decode
         img = png_decode(payload).astype(np.float32) / 255.0
         if img.ndim == 3:
             img = img.mean(axis=2)
@@ -178,7 +182,6 @@ class MediaResize(MediaFeatureExtractor):
             step = max(1, img.shape[0] // self.out_size)
             small = img[::step, ::step][:self.out_size, :self.out_size]
             if self.decoder == "png":
-                from ..media.png import png_encode
                 payloads.append(png_encode(
                     (small * 255).astype(np.uint8)))
             else:
