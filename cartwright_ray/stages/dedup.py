@@ -128,11 +128,13 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
     """Exact duplicate removal (SURVEY.md §2.7 T7 generalized) with two
     physical plans (VERDICT r02 Next #4):
 
-    ``plan="broadcast"`` (small/medium corpora): only ``(h1, h2, id)``
-    travels the shuffle; ``groupby((h1,h2)).min(id)`` winners are
-    collected ONCE, broadcast via ``ray.put``, and survivors stream out
-    through a ``pc.is_in`` semi-join filter. Driver cost: O(distinct
-    ids) — NOT O(rows) — which is the plan's scale boundary.
+    ``plan="broadcast"`` (small/medium corpora): NO shuffle at all —
+    each block combines to its local (h1, h2, min id) winners inside
+    ``map_batches``, the driver merges the partials (O(distinct) rows,
+    the bound this plan already accepts by broadcasting the keep set),
+    and survivors stream out through a ``pc.is_in`` semi-join filter.
+    Driver cost: O(distinct ids) — NOT O(rows) — the plan's scale
+    boundary.
 
     ``plan="shuffle"`` (the 100-TB path): the 128-bit content hash is
     appended to the full rows and ONE ``groupby((h1,h2))`` co-locates
@@ -152,23 +154,34 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
         return _exact_dedup_shuffle(ds, col, id_col)
 
     import ray
-    from ray.data.aggregate import Min
 
-    def key_rows(batch: pa.Table) -> pa.Table:
+    def block_winners(batch: pa.Table) -> pa.Table:
         h1, h2 = _content_hash128(batch, col)
         # int64 BIT-reinterpretation of the uint64 hashes: equality (the
-        # only property the groupby needs) is preserved, and Ray's
-        # sort/aggregate boundary sampling stays in native int64 — raw
-        # uint64 values overflow its Python-int round-trip into a
-        # per-block pickled-object fallback (ArrowConversionError).
-        return pa.table({"h1": pa.array(h1.view(np.int64)),
-                         "h2": pa.array(h2.view(np.int64)),
-                         id_col: batch.column(id_col)})
+        # only property the merge needs) is preserved and stays on
+        # Arrow-native paths (raw uint64 overflows Ray's Python-int
+        # round-trips into pickled-object fallbacks).
+        t = pa.table({"h1": pa.array(h1.view(np.int64)),
+                      "h2": pa.array(h2.view(np.int64)),
+                      id_col: batch.column(id_col)})
+        # per-block COMBINER (min id per hash within the block): the
+        # driver then merges partials instead of an all-to-all
+        # groupby — the winner set is O(distinct) either way, and this
+        # plan already accepts collecting O(distinct) to the driver, so
+        # the aggregate shuffle bought nothing but its spin-up cost.
+        order = pc.sort_indices(t, sort_keys=[
+            ("h1", "ascending"), ("h2", "ascending"),
+            (id_col, "ascending")])
+        t = t.take(order)
+        a1 = np.asarray(t["h1"]); a2 = np.asarray(t["h2"])
+        starts = np.flatnonzero(
+            np.r_[True, (a1[1:] != a1[:-1]) | (a2[1:] != a2[:-1])])
+        return t.take(pa.array(starts))
 
-    winners = (ds.map_batches(key_rows, batch_format="pyarrow")
-                 .groupby(["h1", "h2"])
-                 .aggregate(Min(id_col, alias_name="keep_id")))
-    keep = winners.select_columns(["keep_id"]).to_pandas()["keep_id"]
+    partials = (ds.map_batches(block_winners, batch_format="pyarrow")
+                  .to_pandas())
+    partials = partials.sort_values(["h1", "h2", id_col])
+    keep = partials.drop_duplicates(["h1", "h2"], keep="first")[id_col]
     keep_arr = pa.array(np.sort(keep.to_numpy()))
     keep_ref = ray.put(keep_arr)
 
