@@ -127,7 +127,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "sliding_window_user_counts", "tile_pyramid", "ivf_ann_topk",
              "ngram_jaccard_pairs", "token_counts", "quality_scores",
              "near_dup_clusters", "top_tokens", "tfidf_top_docs",
-             "stratified_sample_events", "kmeans_centroids"]
+             "stratified_sample_events", "kmeans_centroids",
+             # round-3 late additions
+             "knn_join_shuffle", "compact_cells",
+             "bloom_semi_join_lineitems", "hash_sample_events",
+             "zscore_events", "inverted_index_postings"]
     out = {}
     for name in picks:
         t0 = time.time()

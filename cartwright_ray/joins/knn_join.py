@@ -442,13 +442,32 @@ def knn_join_shuffle(points_ds, features_ds, k: int = 3,
         else:
             rows_est = 9 * n_f + (retry_rows if retry_rows is not None
                                   else n_f)
-        if rows_est < 32_000_000:
-            nblk = int(np.clip((rows_est + 32767) // 32768, 4, 1024))
-            both = both.repartition(nblk)
-        res = (both.sort("kj_key")
-               .map_batches(cells_block, batch_format="pyarrow",
-                            batch_size=None)
-               .materialize())
+        if retry_rows is not None and rows_est <= 262_144:
+            # tiny RETRY exchange: the distributed sort's fixed machinery
+            # (boundary sampling + shuffle reduce + spin-up, ~1.3s/round
+            # measured) dwarfs the data. One coalesced block + an
+            # in-kernel Arrow sort does the same co-location in a single
+            # task. Retry rounds only — round 0 can have thousands of
+            # cells whose per-segment passes want task parallelism even
+            # when rows are few; retries have O(retry points) cells.
+            def sort_cells_block(t: pa.Table,
+                                 _cells_block=cells_block) -> pa.Table:
+                if t.num_rows == 0:
+                    return out_schema.empty_table()
+                return _cells_block(t.sort_by([("kj_key", "ascending")]))
+
+            res = (both.repartition(1)
+                   .map_batches(sort_cells_block, batch_format="pyarrow",
+                                batch_size=None)
+                   .materialize())
+        else:
+            if rows_est < 32_000_000:
+                nblk = int(np.clip((rows_est + 32767) // 32768, 4, 1024))
+                both = both.repartition(nblk)
+            res = (both.sort("kj_key")
+                   .map_batches(cells_block, batch_format="pyarrow",
+                                batch_size=None)
+                   .materialize())
         done_parts.append(
             res.filter(expr="__knn_done == True").drop_columns(["__knn_done"]))
         retry = res.filter(expr="__knn_done == False") \
