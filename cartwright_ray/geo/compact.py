@@ -72,8 +72,54 @@ def _coalesce(ds, rows_est: int):
     return ds
 
 
+def _sorted_map(ds, key: str, kernel, rows_est: int):
+    """Key-sorted exchange + whole-block kernel, with the tiny-exchange
+    fast path (see knn_join_shuffle): below the row bound the
+    distributed sort's fixed machinery dwarfs the data, so one coalesced
+    block + an in-kernel Arrow sort does the same co-location in a
+    single task."""
+    if rows_est <= 65_536:
+        def k2(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _OUT.empty_table()
+            return kernel(t.sort_by([(key, "ascending")]))
+
+        return ds.repartition(1).map_batches(
+            k2, batch_format="pyarrow", batch_size=None)
+    return (_coalesce(ds, rows_est).sort(key)
+            .map_batches(kernel, batch_format="pyarrow", batch_size=None))
+
+
+def _compact_local(cells: np.ndarray, min_len: int,
+                   max_len: int) -> np.ndarray:
+    """Whole-set compaction in one kernel (tiny-set fast path): same
+    level-by-level collapse as the distributed plan, over a distinct
+    sorted numpy array. Distinctness makes a complete family exactly a
+    32-row parent segment."""
+    cells = np.unique(cells.astype(object))
+    lens = pc.utf8_length(pa.array(cells, pa.string())).to_numpy()
+    for p in range(int(max_len), min_len, -1):
+        m = lens == p
+        if not m.any():
+            continue
+        lvl = cells[m]                     # sorted ⇒ parent-segment sorted
+        parents = pc.utf8_slice_codeunits(
+            pa.array(lvl, pa.string()), 0, p - 1) \
+            .to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, parents[1:] != parents[:-1]])
+        ends = np.r_[starts[1:], len(parents)]
+        seg = ends - starts
+        complete = seg == 32
+        keep_rows = np.repeat(~complete, seg)
+        pieces = [cells[~m], lvl[keep_rows], parents[starts[complete]]]
+        cells = np.unique(np.concatenate(pieces))
+        lens = pc.utf8_length(pa.array(cells, pa.string())).to_numpy()
+    return cells
+
+
 def compact_geohash(ds, cell_col: str = "cell", min_len: int = 1,
-                    max_len: int | None = None):
+                    max_len: int | None = None,
+                    small_limit: int = 65_536):
     """Compact a Dataset of geohash cell strings (column ``cell_col``,
     mixed precisions allowed). Returns a Dataset with one ``cell``
     column: the deduplicated compacted set.
@@ -84,6 +130,11 @@ def compact_geohash(ds, cell_col: str = "cell", min_len: int = 1,
     ds = ds.select_columns([cell_col])
     if cell_col != "cell":
         ds = ds.rename_columns({cell_col: "cell"})
+    # pin the working set: the length-discovery pass AND the first
+    # level's two maps (key_level + rest_level) would each re-run the
+    # whole upstream pipeline otherwise. O(cells) in the object store —
+    # the set the level loop must rescan anyway.
+    ds = ds.materialize()
 
     def _len_partial(t: pa.Table) -> pa.Table:
         ln = pc.utf8_length(t.column("cell"))
@@ -99,6 +150,20 @@ def compact_geohash(ds, cell_col: str = "cell", min_len: int = 1,
         return ray.data.from_arrow(_OUT.empty_table())
     discovered = int(max(p["mx"] for p in parts))
     max_len = discovered if max_len is None else min(max_len, discovered)
+
+    if total <= small_limit:
+        # whole compaction in ONE task: each distributed level costs a
+        # fixed materialize/union round (~0.5s measured) regardless of
+        # row count — for a set this small the level loop is pure
+        # overhead. ``small_limit=0`` forces the distributed plan
+        # (tests exercise both).
+        def whole(t: pa.Table, _min=min_len, _max=max_len) -> pa.Table:
+            out = _compact_local(
+                t.column("cell").to_numpy(zero_copy_only=False), _min, _max)
+            return pa.table({"cell": pa.array(out, pa.string())})
+
+        return ds.repartition(1).map_batches(
+            whole, batch_format="pyarrow", batch_size=None)
 
     cur = ds
     for p in range(max_len, min_len, -1):
@@ -116,17 +181,19 @@ def compact_geohash(ds, cell_col: str = "cell", min_len: int = 1,
             return pa.table(
                 {"cell": t.filter(pc.not_equal(ln, p)).column("cell")})
 
-        lvl = _coalesce(cur.map_batches(key_level, batch_format="pyarrow"),
-                        total)
-        collapsed = (lvl.sort("__parent")
-                     .map_batches(_level_block, batch_format="pyarrow",
-                                  batch_size=None))
+        collapsed = _sorted_map(
+            cur.map_batches(key_level, batch_format="pyarrow"),
+            "__parent", _level_block, total)
         cur = (collapsed.union(
             cur.map_batches(rest_level, batch_format="pyarrow"))
             .materialize())
 
     # final cross-level dedup (a parent emitted by a collapse can also
     # exist verbatim in the input): one exchange on the cell itself
+    # (np.unique in the kernel needs no pre-sort on the single-block path)
+    if total <= 65_536:
+        return cur.repartition(1).map_batches(
+            _dedup_block, batch_format="pyarrow", batch_size=None)
     return (_coalesce(cur, total).sort("cell")
             .map_batches(_dedup_block, batch_format="pyarrow",
                          batch_size=None))

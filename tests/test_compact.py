@@ -22,34 +22,45 @@ def _run(ray, cells, **kw) -> set:
     return set(out["cell"]) if len(out) else set()
 
 
-def test_complete_family_collapses(ray_session):
+# small_limit=0 forces the distributed level-loop plan; the default takes
+# the single-task fast path — every behavior test runs under BOTH
+_PLANS = [{"small_limit": 0}, {}]
+
+
+@pytest.mark.parametrize("plan", _PLANS)
+def test_complete_family_collapses(ray_session, plan):
     cells = [f"9q{c}" for c in _A]                       # all 32 children
-    assert _run(ray_session, cells) == {"9q"}
+    assert _run(ray_session, cells, **plan) == {"9q"}
 
 
-def test_incomplete_family_stays(ray_session):
+@pytest.mark.parametrize("plan", _PLANS)
+def test_incomplete_family_stays(ray_session, plan):
     cells = [f"9q{c}" for c in _A[:31]]                  # 31 of 32
-    assert _run(ray_session, cells) == set(cells)
+    assert _run(ray_session, cells, **plan) == set(cells)
 
 
-def test_cascade_two_levels(ray_session):
+@pytest.mark.parametrize("plan", _PLANS)
+def test_cascade_two_levels(ray_session, plan):
     # every p3 child family under parent "7" complete -> 32 p3 cells ->
     # they are themselves a complete p2 family -> "7"
     cells = [f"7{b}{c}" for b in _A for c in _A]
-    assert _run(ray_session, cells) == {"7"}
+    assert _run(ray_session, cells, **plan) == {"7"}
 
 
-def test_min_len_stops_cascade(ray_session):
+@pytest.mark.parametrize("plan", _PLANS)
+def test_min_len_stops_cascade(ray_session, plan):
     cells = [f"7{b}{c}" for b in _A for c in _A]
-    assert _run(ray_session, cells, min_len=2) == {f"7{b}" for b in _A}
+    assert _run(ray_session, cells, min_len=2, **plan) == {f"7{b}" for b in _A}
 
 
-def test_mixed_precision_and_duplicates(ray_session):
+@pytest.mark.parametrize("plan", _PLANS)
+def test_mixed_precision_and_duplicates(ray_session, plan):
     cells = [f"9q{c}" for c in _A] + ["9q", "dr5", "dr5"]
-    assert _run(ray_session, cells) == {"9q", "dr5"}
+    assert _run(ray_session, cells, **plan) == {"9q", "dr5"}
 
 
-def test_matches_reference_on_random_sets(ray_session):
+@pytest.mark.parametrize("plan", _PLANS)
+def test_matches_reference_on_random_sets(ray_session, plan):
     rng = np.random.default_rng(23)
     a = np.array(list(_A))
     for trial in range(3):
@@ -61,17 +72,18 @@ def test_matches_reference_on_random_sets(ray_session):
         for p in ["01", "23"]:
             cells.extend(p + c for c in _A)
         want = compact_reference(cells, min_len=1)
-        got = _run(ray_session, cells, min_len=1)
+        got = _run(ray_session, cells, min_len=1, **plan)
         assert got == want, f"trial {trial}"
 
 
-def test_covering_preserved(ray_session):
+@pytest.mark.parametrize("plan", _PLANS)
+def test_covering_preserved(ray_session, plan):
     """Every input cell is a prefix-descendant of some output cell (the
     compacted set still covers everything the input covered)."""
     rng = np.random.default_rng(5)
     a = np.array(list(_A))
     cells = ["".join(a[rng.integers(0, 3, size=rng.integers(2, 4))])
              for _ in range(2000)]
-    out = _run(ray_session, cells)
+    out = _run(ray_session, cells, **plan)
     for c in set(cells):
         assert any(c.startswith(o) for o in out), c
