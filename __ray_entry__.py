@@ -1076,6 +1076,32 @@ def _q_knn_join_shuffle(sf_dir):
     return out.sort_values(["vec_id", "neighbor_rank"]).reset_index(drop=True)
 
 
+def _q_bbox_query(sf_dir):
+    """Bbox query through the geohash-PARTITIONED spatial store
+    (``sources/spatial_store.py``): derived points are written
+    partitioned by geohash prefix, then the box opens ONLY matching
+    cell directories + a residual exact filter. The oracle is a plain
+    full-scan BETWEEN over the same derivation — equality proves the
+    pruned read misses nothing. Box bounds are integers, point coords
+    sit at X.5 offsets (0.5 margin, no float-boundary risk)."""
+    import shutil
+    import tempfile
+
+    from cartwright_ray.pipelines.relational import derived_points
+    from cartwright_ray.sources.spatial_store import (
+        read_bbox, write_spatial_partitioned)
+
+    path = tempfile.mkdtemp(prefix="spatial_store_")
+    try:
+        write_spatial_partitioned(derived_points(sf_dir), path, precision=1)
+        out = read_bbox(path, 10.0, 40.0, -30.0, 20.0,
+                        precision=1).to_pandas()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    out = out[["vec_id", "lat", "lon"]]
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Entry ORDER is load-bearing (VERDICT r02 #1): the driver verifies
     the FIRST 50 entries against their oracles, so every spatial-join
@@ -1098,7 +1124,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_user_counts": rel.sliding_window_user_counts,
         "sketch_quantiles_by_type": rel.sketch_quantiles_by_type,
         "distinct_users_by_type": rel.distinct_users_by_type,
-        "user_set_ops": rel.user_set_ops,
         "asof_join_rates": rel.asof_join_rates,
         "bloom_semi_join_lineitems": _q_bloom_semi_join,
         "top_orders_per_customer": rel.top_orders_per_customer,
@@ -1144,8 +1169,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join_shuffle": _q_knn_join_shuffle,
         "radius_join_pairs": _q_radius_join,
         "zonal_stats_admin": _q_zonal,
+        "bbox_query_points": _q_bbox_query,
         # ---- tail: ≥50th position, redundant variants of families that
-        # are double-green (driver r02 + local oracle) ----
+        # are double-green (driver r02 + local oracle), plus
+        # user_set_ops (driver-green r02; demoted to keep the new
+        # spatial-store query inside the window) ----
+        "user_set_ops": rel.user_set_ops,
         "tile_assignment": rel.tile_assignment,
         "tile_heatmap": rel.tile_heatmap,
         "haversine_origin": rel.haversine_from_origin,
@@ -1987,6 +2016,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM per GROUP BY admin_id)
             SELECT admin_id, floor(a * 10) / 10 AS area_km2
             FROM areas ORDER BY admin_id
+        """,
+        "bbox_query_points": """
+            WITH pts AS (
+                SELECT vec_id,
+                       CAST((vec_id * 7919 % 170) - 85 + 0.5 AS DOUBLE) AS lat,
+                       CAST((vec_id * 104729 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+                FROM embeddings)
+            SELECT vec_id, lat, lon FROM pts
+            WHERE lat >= 10 AND lat <= 40 AND lon >= -30 AND lon <= 20
+            ORDER BY vec_id
         """,
         "pip_join_counts": f"""
             WITH pts AS (

@@ -1,0 +1,117 @@
+"""Geohash-partitioned spatial store: reader-level pruning for bbox
+queries.
+
+The third member of the engine's partition-pruned-read family (IVF-list
+ANN corpus, ``stages/ann.py``; token-bucket inverted index,
+``stages/tfidf.py``): points are written as parquet PARTITIONED by a
+geohash prefix, so a bounding-box query opens ONLY the partition
+directories whose cells intersect the box — at 100 TB the scan cost is
+proportional to the query's area, not the corpus (everything else never
+leaves storage). A residual exact filter inside ``map_batches`` removes
+the cell-overhang rows, so results equal a full-scan filter exactly.
+
+This generalizes cartwright's lat/lon awareness (reference columns:
+``cartwright/categories/geos.py``) from classification to a storage
+layout; the reference has no storage engine at all. Partition dirs also
+give the resumable-write unit (one directory per cell — a failed write
+job re-runs only missing cells).
+
+Wrap-around boxes (lon0 > lon1 across the antimeridian) are split by
+the caller into two boxes; ``bbox_cover_prefixes`` asserts the
+non-wrapped contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..geo.geohash import geohash_encode, geohash_encode_arrow
+
+
+def _cell_steps(precision: int) -> tuple[float, float]:
+    """(dlat, dlon) of one geohash cell at the given precision.
+
+    Geohash interleaves bits starting with longitude, so of the
+    ``5 * precision`` bits, longitude gets the ceiling half.
+    """
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    return 180.0 / (1 << lat_bits), 360.0 / (1 << lon_bits)
+
+
+def bbox_cover_prefixes(lat0: float, lat1: float, lon0: float, lon1: float,
+                        precision: int = 3) -> list[str]:
+    """Sorted distinct geohash prefixes of all cells intersecting the
+    box (inclusive edges). Pure metadata math: enumerates the cell grid
+    over the box and encodes the cell CENTERS, so the list size is
+    O(box area / cell area), never O(data)."""
+    if lon0 > lon1:
+        raise ValueError("wrap-around box: split at the antimeridian")
+    dlat, dlon = _cell_steps(precision)
+    la0 = int(np.floor((np.clip(lat0, -90.0, 90.0) + 90.0) / dlat))
+    la1 = int(np.floor((np.clip(lat1, -90.0, 90.0 - 1e-12) + 90.0) / dlat))
+    lo0 = int(np.floor((np.clip(lon0, -180.0, 180.0) + 180.0) / dlon))
+    lo1 = int(np.floor((np.clip(lon1, -180.0, 180.0 - 1e-12) + 180.0)
+                       / dlon))
+    las = (np.arange(la0, la1 + 1) + 0.5) * dlat - 90.0
+    los = (np.arange(lo0, lo1 + 1) + 0.5) * dlon - 180.0
+    glat, glon = np.meshgrid(las, los)
+    cells = geohash_encode(glat.ravel(), glon.ravel(), precision)
+    return sorted(set(cells.tolist()))
+
+
+def write_spatial_partitioned(ds, path: str, precision: int = 3,
+                              lat_col: str = "lat", lon_col: str = "lon"):
+    """Write points as parquet partitioned by their geohash prefix.
+
+    One streaming pass: the partition key is appended per batch
+    (vectorized encode straight to Arrow) and Ray's parquet sink lays
+    out ``gh=<cell>/`` directories — the pruning AND resume unit.
+    """
+
+    def add_cell(t: pa.Table) -> pa.Table:
+        lat = np.asarray(t[lat_col], dtype=np.float64)
+        lon = np.asarray(t[lon_col], dtype=np.float64)
+        return t.append_column(
+            "gh", geohash_encode_arrow(lat, lon, precision))
+
+    ds.map_batches(add_cell, batch_format="pyarrow") \
+      .write_parquet(path, partition_cols=["gh"])
+
+
+def read_bbox(path: str, lat0: float, lat1: float, lon0: float, lon1: float,
+              precision: int = 3, lat_col: str = "lat",
+              lon_col: str = "lon", columns: list[str] | None = None):
+    """Points inside the box, opening ONLY the matching cell partitions.
+
+    Returns a streaming Dataset; the residual filter trims cell-overhang
+    rows so the result equals a full-scan ``BETWEEN`` filter exactly.
+    """
+    import ray.data
+
+    prefixes = bbox_cover_prefixes(lat0, lat1, lon0, lon1, precision)
+    dirs = [os.path.join(path, f"gh={p}") for p in prefixes]
+    files = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if columns is not None and lat_col not in columns:
+        columns = columns + [lat_col, lon_col]
+    if not files:
+        return None
+    ds = ray.data.read_parquet(files, columns=columns)
+
+    def residual(t: pa.Table) -> pa.Table:
+        lat = t[lat_col]
+        lon = t[lon_col]
+        m = pc.and_(
+            pc.and_(pc.greater_equal(lat, pa.scalar(float(lat0))),
+                    pc.less_equal(lat, pa.scalar(float(lat1)))),
+            pc.and_(pc.greater_equal(lon, pa.scalar(float(lon0))),
+                    pc.less_equal(lon, pa.scalar(float(lon1)))))
+        return t.filter(m)
+
+    return ds.map_batches(residual, batch_format="pyarrow")

@@ -1,0 +1,93 @@
+"""Geohash-partitioned spatial store (sources/spatial_store.py):
+pruned bbox reads equal full-scan filters, the cover is sound, and the
+pruning actually prunes."""
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cartwright_ray.geo.geohash import geohash_encode
+from cartwright_ray.sources.spatial_store import (bbox_cover_prefixes,
+                                                  read_bbox,
+                                                  write_spatial_partitioned)
+
+
+def _points(n=4000, seed=7):
+    rng = np.random.default_rng(seed)
+    return (np.arange(n, dtype=np.int64),
+            rng.uniform(-90, 90, n),
+            rng.uniform(-180, 180, n))
+
+
+@pytest.fixture(scope="module")
+def store(ray_session):
+    import ray.data
+    ids, lat, lon = _points()
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids), "lat": pa.array(lat),
+        "lon": pa.array(lon)}))
+    path = tempfile.mkdtemp(prefix="spstore_test_")
+    write_spatial_partitioned(ds, path, precision=1)
+    yield path, ids, lat, lon
+    shutil.rmtree(path, ignore_errors=True)
+
+
+@pytest.mark.parametrize("box", [
+    (10.0, 40.0, -30.0, 20.0),
+    (-90.0, -60.0, 100.0, 180.0),        # polar + antimeridian edge
+    (59.9, 60.1, -0.1, 0.1),             # tiny box
+    (-90.0, 90.0, -180.0, 180.0),        # whole world
+])
+def test_bbox_read_equals_full_scan(store, box):
+    path, ids, lat, lon = store
+    lat0, lat1, lon0, lon1 = box
+    got = read_bbox(path, *box, precision=1).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    m = (lat >= lat0) & (lat <= lat1) & (lon >= lon0) & (lon <= lon1)
+    want = np.sort(ids[m])
+    assert list(got["vec_id"]) == list(want)
+
+
+def test_cover_is_sound():
+    """Every point inside the box encodes to a prefix in the cover."""
+    rng = np.random.default_rng(3)
+    for p in (1, 2, 3):
+        lat0, lat1, lon0, lon1 = -12.3, 31.7, 140.0, 179.99
+        cover = set(bbox_cover_prefixes(lat0, lat1, lon0, lon1, p))
+        lat = rng.uniform(lat0, lat1, 2000)
+        lon = rng.uniform(lon0, lon1, 2000)
+        cells = geohash_encode(lat, lon, p)
+        assert set(cells.tolist()) <= cover
+
+
+def test_pruning_prunes(store):
+    """A small box opens strictly fewer partition dirs than exist."""
+    path, *_ = store
+    n_parts = len([d for d in os.listdir(path) if d.startswith("gh=")])
+    cover = bbox_cover_prefixes(10.0, 40.0, -30.0, 20.0, 1)
+    hit = [c for c in cover if os.path.isdir(os.path.join(path, f"gh={c}"))]
+    assert len(hit) < n_parts
+    assert len(hit) >= 1
+
+
+def test_wrap_box_rejected():
+    with pytest.raises(ValueError):
+        bbox_cover_prefixes(0.0, 10.0, 170.0, -170.0, 2)
+
+
+def test_empty_cover_returns_none(ray_session):
+    import ray.data
+    path = tempfile.mkdtemp(prefix="spstore_empty_")
+    try:
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([1], pa.int64()),
+            "lat": pa.array([80.0]), "lon": pa.array([170.0])}))
+        write_spatial_partitioned(ds, path, precision=2)
+        # box far from the written point: cover exists but no dirs match
+        assert read_bbox(path, -10.0, -5.0, -10.0, -5.0, precision=2) is None
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
