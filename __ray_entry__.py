@@ -939,18 +939,17 @@ def _q_radius_join(sf_dir):
 _GH_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 
-def _q_compact_cells(sf_dir):
-    """Geohash cell-set compaction (``geo/compact.py``): deterministic
-    mixed-precision cells derived from ``embeddings.vec_id`` by integer
-    formulas the oracle replays with ``substr`` over the base-32
-    alphabet. The derivation plants complete 32-sibling families (the
-    ``g%3 != 0`` branch; the ``zz*`` family cascades only at scales
-    where all 32 ``vid%32`` residues occur), never-completable families
-    (children limited to 16 characters when ``g%3 == 0``), duplicate
-    cells, and mixed precisions — every compaction rule fires."""
+def _derived_cells_ds(sf_dir):
+    """Deterministic mixed-precision geohash cells from
+    ``embeddings.vec_id`` (shared by the compact/uncompact queries; the
+    oracles replay the formulas with ``substr`` over the base-32
+    alphabet). Plants complete 32-sibling families (the ``g%3 != 0``
+    branch; the ``zz*`` family cascades only at scales where all 32
+    ``vid%32`` residues occur), never-completable families (children
+    limited to 16 characters when ``g%3 == 0``), duplicate cells, and
+    mixed precisions."""
     import pyarrow as pa
     import ray.data
-    from cartwright_ray.geo.compact import compact_geohash
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id"])
@@ -970,16 +969,45 @@ def _q_compact_cells(sf_dir):
         cells = np.concatenate([p4, p3[vid % 5 == 0], zz, yy])
         return pa.table({"cell": pa.array(cells, pa.string())})
 
-    out = (compact_geohash(ds.map_batches(derive, batch_format="pyarrow"),
-                           min_len=1)
-           .to_pandas())
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def _q_compact_cells(sf_dir):
+    """Geohash cell-set compaction (``geo/compact.py``) over the derived
+    mixed-precision cell set — every compaction rule fires (see
+    :func:`_derived_cells_ds`)."""
+    from cartwright_ray.geo.compact import compact_geohash
+
+    out = compact_geohash(_derived_cells_ds(sf_dir), min_len=1).to_pandas()
     return out.sort_values("cell").reset_index(drop=True)
 
 
-def _compact_oracle_sql() -> str:
-    """Unrolled 3-round compaction replay (p=4,3,2) in plain SQL."""
+def _q_uncompact_cells(sf_dir):
+    """H3 ``uncompact_cells`` analogue (``geo/compact.py``): the DISTINCT
+    derived cell set expands to uniform precision 4 (p3 cells fan out
+    32x, p4 cells pass through), then a groupby counts multiplicity —
+    a p4 cell reachable both verbatim and via its p3 parent counts 2.
+    The oracle replays the fan-out with a cross join over the unnested
+    alphabet."""
+    from ray.data.aggregate import Count
+
+    from cartwright_ray.geo.compact import uncompact_geohash
+
+    distinct = (_derived_cells_ds(sf_dir)
+                .groupby("cell").aggregate(Count(alias_name="__m"))
+                .select_columns(["cell"]))
+    out = (uncompact_geohash(distinct, precision=4)
+           .groupby("cell").aggregate(Count(alias_name="n"))
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("cell").reset_index(drop=True)
+
+
+def _cells_derive_sql() -> str:
+    """CTE chain replaying :func:`_derived_cells_ds` in SQL, ending in
+    ``c0`` (the distinct cell set)."""
     a = _GH_ALPHA
-    derive = f"""
+    return f"""
         ids AS (SELECT vec_id AS vid FROM embeddings),
         raw AS (
             SELECT substr('{a}', ((vid%37)%32)+1, 1)
@@ -1002,6 +1030,10 @@ def _compact_oracle_sql() -> str:
             FROM ids WHERE vid % 3 = 0
         ),
         c0 AS (SELECT DISTINCT cell FROM raw)"""
+
+
+def _compact_oracle_sql() -> str:
+    """Unrolled 3-round compaction replay (p=4,3,2) in plain SQL."""
     rounds = []
     prev = "c0"
     for i, p in enumerate((4, 3, 2)):
@@ -1020,8 +1052,27 @@ def _compact_oracle_sql() -> str:
             UNION
             SELECT cell FROM {prev} WHERE length(cell) <> {p})""")
         prev = cur
-    return ("WITH " + derive + "," + ",".join(rounds)
+    return ("WITH " + _cells_derive_sql() + "," + ",".join(rounds)
             + f" SELECT cell FROM {prev} ORDER BY cell")
+
+
+def _uncompact_oracle_sql() -> str:
+    """Fan-out replay: p4 cells pass through, p3 cells cross-join the
+    unnested alphabet; count multiplicity per target cell."""
+    a = _GH_ALPHA
+    return f"""
+        WITH {_cells_derive_sql()},
+        alpha AS (SELECT substr('{a}', CAST(i AS INT) + 1, 1) AS ch
+                  FROM range(32) t(i)),
+        u AS (
+            SELECT cell FROM c0 WHERE length(cell) = 4
+            UNION ALL
+            SELECT c.cell || a.ch AS cell FROM c0 c CROSS JOIN alpha a
+            WHERE length(c.cell) = 3
+        )
+        SELECT cell, CAST(count(*) AS BIGINT) AS n
+        FROM u GROUP BY cell ORDER BY cell
+    """
 
 
 def _q_bloom_semi_join(sf_dir):
@@ -1123,7 +1174,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "track_segments": rel.track_segments,
         "sliding_window_user_counts": rel.sliding_window_user_counts,
         "sketch_quantiles_by_type": rel.sketch_quantiles_by_type,
-        "distinct_users_by_type": rel.distinct_users_by_type,
         "asof_join_rates": rel.asof_join_rates,
         "bloom_semi_join_lineitems": _q_bloom_semi_join,
         "top_orders_per_customer": rel.top_orders_per_customer,
@@ -1141,6 +1191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _q_exact_dedup,
         "ann_topk": _q_ann,
         "compact_cells": _q_compact_cells,
+        "uncompact_cells": _q_uncompact_cells,
         "kmeans_centroids": _q_kmeans,
         "minhash_dedup_pairs": _q_minhash,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -1172,9 +1223,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bbox_query_points": _q_bbox_query,
         # ---- tail: ≥50th position, redundant variants of families that
         # are double-green (driver r02 + local oracle), plus
-        # user_set_ops (driver-green r02; demoted to keep the new
-        # spatial-store query inside the window) ----
+        # user_set_ops / distinct_users_by_type (driver-green r02;
+        # demoted to keep the new spatial-store + uncompact queries
+        # inside the window) ----
         "user_set_ops": rel.user_set_ops,
+        "distinct_users_by_type": rel.distinct_users_by_type,
         "tile_assignment": rel.tile_assignment,
         "tile_heatmap": rel.tile_heatmap,
         "haversine_origin": rel.haversine_from_origin,
@@ -1429,6 +1482,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_orderkey
         """,
         "compact_cells": _compact_oracle_sql(),
+        "uncompact_cells": _uncompact_oracle_sql(),
         "bloom_semi_join_lineitems": """
             SELECT l_orderkey, l_linenumber FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders

@@ -217,3 +217,47 @@ def compact_reference(cells, min_len: int = 1) -> set:
                 out |= kids
         cur = rest | out
     return cur
+
+
+_ALPHA32 = np.array(list("0123456789bcdefghjkmnpqrstuvwxyz"))
+
+
+def uncompact_geohash(ds, precision: int, cell_col: str = "cell"):
+    """Inverse of :func:`compact_geohash`: expand every cell to ALL of
+    its descendants at ``precision`` (cells already at it pass through;
+    deeper cells are an error — an uncompact target must be at or below
+    every input's depth, matching H3 ``uncompact_cells`` semantics).
+
+    Streaming ``map_batches`` expansion — each input row fans out to
+    ``32^(precision - len)`` children independently, so no shuffle and
+    no state; the blow-up factor is the caller's contract (H3 semantics)
+    and block sizes grow by at most ``32^max_gap`` per batch. Output is
+    NOT deduplicated (overlapping inputs produce duplicate children,
+    exactly like H3); compose with a distinct for set semantics.
+    """
+    ds = ds.select_columns([cell_col])
+    if cell_col != "cell":
+        ds = ds.rename_columns({cell_col: "cell"})
+
+    def expand(t: pa.Table) -> pa.Table:
+        cells = t.column("cell").to_numpy(zero_copy_only=False)
+        if len(cells) == 0:
+            return _OUT.empty_table()
+        lens = pc.utf8_length(t.column("cell")).to_numpy()
+        if (lens > precision).any():
+            bad = cells[lens > precision][0]
+            raise ValueError(
+                f"cell {bad!r} deeper than target precision {precision}")
+        parts = []
+        for L in np.unique(lens):
+            grp = cells[lens == L].astype(object)
+            for _ in range(int(precision - L)):
+                # one level: outer concat with the 32-char alphabet
+                grp = np.char.add(
+                    np.repeat(grp.astype(str), 32),
+                    np.tile(_ALPHA32, len(grp)))
+            parts.append(grp.astype(object))
+        out = np.concatenate(parts)
+        return pa.table({"cell": pa.array(out, pa.string())})
+
+    return ds.map_batches(expand, batch_format="pyarrow")

@@ -87,3 +87,40 @@ def test_covering_preserved(ray_session, plan):
     out = _run(ray_session, cells, **plan)
     for c in set(cells):
         assert any(c.startswith(o) for o in out), c
+
+
+# ---- uncompact -----------------------------------------------------------
+
+def _run_un(ray, cells, precision) -> list:
+    from cartwright_ray.geo.compact import uncompact_geohash
+    out = uncompact_geohash(_ds(ray, cells), precision).to_pandas()
+    return sorted(out["cell"])
+
+
+def test_uncompact_parent_fans_out(ray_session):
+    got = _run_un(ray_session, ["9q"], 3)
+    assert got == sorted(f"9q{c}" for c in _A)
+
+
+def test_uncompact_passthrough_and_multiplicity(ray_session):
+    # a cell at target precision passes through; duplicates preserved
+    got = _run_un(ray_session, ["9q5", "9q5", "dr"], 3)
+    assert got.count("9q5") == 2
+    assert len(got) == 2 + 32
+
+
+def test_uncompact_rejects_deeper_cells(ray_session):
+    import ray.exceptions
+    with pytest.raises(Exception):
+        _run_un(ray_session, ["9q5x"], 3)
+
+
+def test_uncompact_inverts_compact_covering(ray_session):
+    """uncompact(compact(S), p) == uncompact(S, p) as SETS for uniform-
+    precision S (compaction preserves the covering)."""
+    rng = np.random.default_rng(11)
+    a = np.array(list(_A))
+    cells = {"".join(a[rng.integers(0, 3, size=3)]) for _ in range(600)}
+    cells |= {f"01{c}" for c in _A}                  # one complete family
+    compacted = _run(ray_session, sorted(cells))
+    assert set(_run_un(ray_session, sorted(compacted), 3)) == set(cells)
