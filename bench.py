@@ -129,9 +129,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "near_dup_clusters", "top_tokens", "tfidf_top_docs",
              "stratified_sample_events", "kmeans_centroids",
              # round-3 late additions
-             "knn_join_shuffle", "compact_cells",
+             "knn_join_shuffle", "compact_cells", "uncompact_cells",
              "bloom_semi_join_lineitems", "hash_sample_events",
-             "zscore_events", "inverted_index_postings"]
+             "zscore_events", "inverted_index_postings",
+             "bbox_query_points"]
     out = {}
     for name in picks:
         t0 = time.time()
