@@ -1153,6 +1153,30 @@ def _q_bbox_query(sf_dir):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_radius_query(sf_dir):
+    """Great-circle radius query through the geohash-partitioned spatial
+    store: spherical-cap bbox pruning (antimeridian-aware) + exact
+    haversine residual. Oracle is a full-scan haversine BETWEEN over the
+    same derivation — min |d - 2500| on the fixed testdata is 4.4 km
+    (sf0.1), so cross-engine float noise cannot flip a row."""
+    import shutil
+    import tempfile
+
+    from cartwright_ray.pipelines.relational import derived_points
+    from cartwright_ray.sources.spatial_store import (
+        read_radius, write_spatial_partitioned)
+
+    path = tempfile.mkdtemp(prefix="spatial_store_r_")
+    try:
+        write_spatial_partitioned(derived_points(sf_dir), path, precision=1)
+        out = read_radius(path, 20.0, 10.0, 2500.0,
+                          precision=1).to_pandas()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    out = out[["vec_id", "lat", "lon"]]
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Entry ORDER is load-bearing (VERDICT r02 #1): the driver verifies
     the FIRST 50 entries against their oracles, so every spatial-join
@@ -1168,7 +1192,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": rel.q1_pricing_summary,
         "orders_by_nation": rel.orders_by_nation,
         "events_hourly_window": rel.events_hourly_window,
-        "top_users_by_value": rel.top_users_by_value,
         "sessionize_events": rel.sessionize_events,
         "interval_join_events": rel.interval_join_events,
         "track_segments": rel.track_segments,
@@ -1221,13 +1244,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_join_pairs": _q_radius_join,
         "zonal_stats_admin": _q_zonal,
         "bbox_query_points": _q_bbox_query,
+        "radius_query_points": _q_radius_query,
         # ---- tail: ≥50th position, redundant variants of families that
         # are double-green (driver r02 + local oracle), plus
-        # user_set_ops / distinct_users_by_type (driver-green r02;
-        # demoted to keep the new spatial-store + uncompact queries
-        # inside the window) ----
+        # user_set_ops / distinct_users_by_type / top_users_by_value
+        # (driver-green r02; demoted to keep the new spatial-store +
+        # uncompact queries inside the window) ----
         "user_set_ops": rel.user_set_ops,
         "distinct_users_by_type": rel.distinct_users_by_type,
+        "top_users_by_value": rel.top_users_by_value,
         "tile_assignment": rel.tile_assignment,
         "tile_heatmap": rel.tile_heatmap,
         "haversine_origin": rel.haversine_from_origin,
@@ -2070,6 +2095,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM per GROUP BY admin_id)
             SELECT admin_id, floor(a * 10) / 10 AS area_km2
             FROM areas ORDER BY admin_id
+        """,
+        "radius_query_points": """
+            WITH pts AS (
+                SELECT vec_id,
+                       CAST((vec_id * 7919 % 170) - 85 + 0.5 AS DOUBLE) AS lat,
+                       CAST((vec_id * 104729 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+                FROM embeddings)
+            SELECT vec_id, lat, lon FROM pts
+            WHERE 2 * 6371.0088 * asin(sqrt(
+                      sin(radians(lat - 20.0) / 2) * sin(radians(lat - 20.0) / 2)
+                      + cos(radians(20.0)) * cos(radians(lat))
+                        * sin(radians(lon - 10.0) / 2)
+                        * sin(radians(lon - 10.0) / 2))) <= 2500.0
+            ORDER BY vec_id
         """,
         "bbox_query_points": """
             WITH pts AS (

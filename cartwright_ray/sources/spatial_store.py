@@ -30,6 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..geo.geohash import geohash_encode, geohash_encode_arrow
+from ..geo.haversine import EARTH_RADIUS_KM, haversine_km
 
 
 def _cell_steps(precision: int) -> tuple[float, float]:
@@ -113,5 +114,60 @@ def read_bbox(path: str, lat0: float, lat1: float, lon0: float, lon1: float,
             pc.and_(pc.greater_equal(lon, pa.scalar(float(lon0))),
                     pc.less_equal(lon, pa.scalar(float(lon1)))))
         return t.filter(m)
+
+    return ds.map_batches(residual, batch_format="pyarrow")
+
+
+def _cap_bbox(lat: float, lon: float, radius_km: float):
+    """Bounding box(es) of a spherical cap: lat band ± r/R; lon
+    half-width arcsin(sin(r/R)/cos(lat)) at the cap's widest latitude
+    (the standard cap-bbox formula), full range when the cap reaches a
+    pole. Returns (lat0, lat1, [(lon0, lon1), ...]) — two lon intervals
+    when the cap crosses the antimeridian."""
+    ang = radius_km / EARTH_RADIUS_KM
+    dlat = np.degrees(ang)
+    lat0, lat1 = lat - dlat, lat + dlat
+    if lat0 <= -90.0 or lat1 >= 90.0 or ang >= np.pi / 2:
+        return max(lat0, -90.0), min(lat1, 90.0), [(-180.0, 180.0)]
+    s = np.sin(ang) / np.cos(np.radians(lat))
+    if s >= 1.0:
+        return lat0, lat1, [(-180.0, 180.0)]
+    dlon = float(np.degrees(np.arcsin(s)))
+    lo0, lo1 = lon - dlon, lon + dlon
+    if lo0 < -180.0:
+        return lat0, lat1, [(-180.0, lo1), (lo0 + 360.0, 180.0)]
+    if lo1 > 180.0:
+        return lat0, lat1, [(lo0, 180.0), (-180.0, lo1 - 360.0)]
+    return lat0, lat1, [(lo0, lo1)]
+
+
+def read_radius(path: str, lat: float, lon: float, radius_km: float,
+                precision: int = 3, lat_col: str = "lat",
+                lon_col: str = "lon", columns: list[str] | None = None):
+    """Points within ``radius_km`` of (lat, lon) great-circle, opening
+    ONLY the cell partitions intersecting the cap's bounding box(es)
+    (antimeridian-crossing caps split into two boxes) with an exact
+    haversine residual filter. None when no partition matches."""
+    import ray.data
+
+    lat0, lat1, lon_spans = _cap_bbox(lat, lon, radius_km)
+    prefixes: set[str] = set()
+    for lo0, lo1 in lon_spans:
+        prefixes |= set(bbox_cover_prefixes(lat0, lat1, lo0, lo1, precision))
+    dirs = [os.path.join(path, f"gh={p}") for p in sorted(prefixes)]
+    files = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if columns is not None and lat_col not in columns:
+        columns = columns + [lat_col, lon_col]
+    if not files:
+        return None
+    ds = ray.data.read_parquet(files, columns=columns)
+
+    def residual(t: pa.Table) -> pa.Table:
+        plat = np.asarray(t[lat_col], dtype=np.float64)
+        plon = np.asarray(t[lon_col], dtype=np.float64)
+        d = haversine_km(plat, plon, np.full_like(plat, lat),
+                         np.full_like(plon, lon))
+        return t.filter(pa.array(d <= radius_km))
 
     return ds.map_batches(residual, batch_format="pyarrow")

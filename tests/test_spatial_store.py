@@ -91,3 +91,38 @@ def test_empty_cover_returns_none(ray_session):
         assert read_bbox(path, -10.0, -5.0, -10.0, -5.0, precision=2) is None
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---- radius reads --------------------------------------------------------
+
+def test_radius_read_equals_full_scan(store):
+    from cartwright_ray.geo.haversine import haversine_km
+    from cartwright_ray.sources.spatial_store import read_radius
+    path, ids, lat, lon = store
+    for clat, clon, r in [(20.0, 10.0, 2500.0),
+                          (0.0, 178.0, 1500.0),      # antimeridian cap
+                          (85.0, 0.0, 2000.0)]:      # polar cap
+        got = read_radius(path, clat, clon, r, precision=1)
+        got_ids = sorted(got.to_pandas()["vec_id"]) if got is not None else []
+        d = haversine_km(lat, lon, np.full_like(lat, clat),
+                         np.full_like(lon, clon))
+        want = sorted(ids[d <= r])
+        assert got_ids == want, (clat, clon, r)
+
+
+def test_cap_bbox_contains_cap():
+    """Every point within radius lies inside the cap's bbox spans."""
+    from cartwright_ray.geo.haversine import haversine_km
+    from cartwright_ray.sources.spatial_store import _cap_bbox
+    rng = np.random.default_rng(9)
+    for clat, clon, r in [(40.0, -100.0, 800.0), (10.0, 179.5, 500.0),
+                          (-88.0, 30.0, 1000.0)]:
+        lat0, lat1, spans = _cap_bbox(clat, clon, r)
+        lat = rng.uniform(-90, 90, 20000)
+        lon = rng.uniform(-180, 180, 20000)
+        d = haversine_km(lat, lon, np.full_like(lat, clat),
+                         np.full_like(lon, clon))
+        inside = d <= r
+        in_box = (lat >= lat0) & (lat <= lat1) & np.any(
+            [(lon >= a) & (lon <= b) for a, b in spans], axis=0)
+        assert not (inside & ~in_box).any(), (clat, clon, r)
