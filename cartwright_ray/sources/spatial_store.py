@@ -66,13 +66,28 @@ def bbox_cover_prefixes(lat0: float, lat1: float, lon0: float, lon1: float,
     return sorted(set(cells.tolist()))
 
 
+def _pid_of_cell(cell: str) -> str:
+    """checkpointed_write_by_key's partition id for a geohash cell
+    (sanitize is the identity on base-32 cells)."""
+    import hashlib
+    return cell + "-" + hashlib.blake2b(
+        cell.encode("utf-8"), digest_size=4).hexdigest()
+
+
 def write_spatial_partitioned(ds, path: str, precision: int = 3,
-                              lat_col: str = "lat", lon_col: str = "lon"):
+                              lat_col: str = "lat", lon_col: str = "lon",
+                              resumable: bool = False):
     """Write points as parquet partitioned by their geohash prefix.
 
     One streaming pass: the partition key is appended per batch
-    (vectorized encode straight to Arrow) and Ray's parquet sink lays
-    out ``gh=<cell>/`` directories — the pruning AND resume unit.
+    (vectorized encode straight to Arrow). ``resumable=False`` uses
+    Ray's hive-style parquet sink (``gh=<cell>/`` directories);
+    ``resumable=True`` routes through the engine's per-partition
+    checkpoint manifest (``state/checkpoint.checkpointed_write_by_key``,
+    one ``part-<cell>-<hash>.parquet`` per cell + lineage record) so a
+    failed write job re-runs ONLY missing cells. Both layouts are read
+    by :func:`read_bbox` / :func:`read_radius`; the checkpointed layout
+    returns the writer's {written, skipped, rows} stats.
     """
 
     def add_cell(t: pa.Table) -> pa.Table:
@@ -81,8 +96,36 @@ def write_spatial_partitioned(ds, path: str, precision: int = 3,
         return t.append_column(
             "gh", geohash_encode_arrow(lat, lon, precision))
 
-    ds.map_batches(add_cell, batch_format="pyarrow") \
-      .write_parquet(path, partition_cols=["gh"])
+    keyed = ds.map_batches(add_cell, batch_format="pyarrow")
+    if resumable:
+        from ..state.checkpoint import checkpointed_write_by_key
+        return checkpointed_write_by_key(keyed, path, part_col="gh")
+    keyed.write_parquet(path, partition_cols=["gh"])
+    return None
+
+
+def _drop_layout_cols(t: pa.Table) -> pa.Table:
+    """Strip store-internal columns (partition key; pandas index from
+    the checkpointed layout) so both layouts read identically."""
+    drop = [c for c in t.column_names
+            if c == "gh" or c.startswith("__index_level_")]
+    return t.drop_columns(drop) if drop else t
+
+
+def _files_for_prefixes(path: str, prefixes) -> list[str]:
+    """Data files for the given cell prefixes under EITHER store layout
+    (hive ``gh=<cell>/`` dirs, or checkpointed ``part-<cell>-<hash>``
+    files)."""
+    files: list[str] = []
+    for p in prefixes:
+        d = os.path.join(path, f"gh={p}")
+        if os.path.isdir(d):
+            files += [os.path.join(d, f) for f in sorted(os.listdir(d))
+                      if f.endswith(".parquet")]
+        f = os.path.join(path, f"part-{_pid_of_cell(p)}.parquet")
+        if os.path.isfile(f):
+            files.append(f)
+    return files
 
 
 def read_bbox(path: str, lat0: float, lat1: float, lon0: float, lon1: float,
@@ -96,9 +139,7 @@ def read_bbox(path: str, lat0: float, lat1: float, lon0: float, lon1: float,
     import ray.data
 
     prefixes = bbox_cover_prefixes(lat0, lat1, lon0, lon1, precision)
-    dirs = [os.path.join(path, f"gh={p}") for p in prefixes]
-    files = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
-             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    files = _files_for_prefixes(path, prefixes)
     if columns is not None and lat_col not in columns:
         columns = columns + [lat_col, lon_col]
     if not files:
@@ -106,6 +147,7 @@ def read_bbox(path: str, lat0: float, lat1: float, lon0: float, lon1: float,
     ds = ray.data.read_parquet(files, columns=columns)
 
     def residual(t: pa.Table) -> pa.Table:
+        t = _drop_layout_cols(t)
         lat = t[lat_col]
         lon = t[lon_col]
         m = pc.and_(
@@ -154,9 +196,7 @@ def read_radius(path: str, lat: float, lon: float, radius_km: float,
     prefixes: set[str] = set()
     for lo0, lo1 in lon_spans:
         prefixes |= set(bbox_cover_prefixes(lat0, lat1, lo0, lo1, precision))
-    dirs = [os.path.join(path, f"gh={p}") for p in sorted(prefixes)]
-    files = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
-             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    files = _files_for_prefixes(path, sorted(prefixes))
     if columns is not None and lat_col not in columns:
         columns = columns + [lat_col, lon_col]
     if not files:
@@ -164,6 +204,7 @@ def read_radius(path: str, lat: float, lon: float, radius_km: float,
     ds = ray.data.read_parquet(files, columns=columns)
 
     def residual(t: pa.Table) -> pa.Table:
+        t = _drop_layout_cols(t)
         plat = np.asarray(t[lat_col], dtype=np.float64)
         plon = np.asarray(t[lon_col], dtype=np.float64)
         d = haversine_km(plat, plon, np.full_like(plat, lat),

@@ -126,3 +126,49 @@ def test_cap_bbox_contains_cap():
         in_box = (lat >= lat0) & (lat <= lat1) & np.any(
             [(lon >= a) & (lon <= b) for a, b in spans], axis=0)
         assert not (inside & ~in_box).any(), (clat, clon, r)
+
+
+# ---- resumable (checkpointed) layout -------------------------------------
+
+def test_resumable_store_write_and_resume(ray_session):
+    """Checkpointed layout: reads match the hive layout; killing one
+    partition re-writes ONLY that partition on the next run."""
+    import json
+
+    import ray.data
+    from cartwright_ray.sources.spatial_store import _pid_of_cell
+
+    ids, lat, lon = _points(n=2000, seed=13)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids), "lat": pa.array(lat),
+        "lon": pa.array(lon)}))
+    path = tempfile.mkdtemp(prefix="spstore_ckpt_")
+    try:
+        stats = write_spatial_partitioned(ds, path, precision=1,
+                                          resumable=True)
+        assert stats["skipped"] == 0 and stats["rows"] == 2000
+        n_parts = stats["written"]
+
+        # pruned read over the checkpointed layout == full-scan filter
+        box = (10.0, 40.0, -30.0, 20.0)
+        got = read_bbox(path, *box, precision=1).to_pandas()
+        m = (lat >= box[0]) & (lat <= box[1]) \
+            & (lon >= box[2]) & (lon <= box[3])
+        assert sorted(got["vec_id"]) == sorted(ids[m])
+        assert set(got.columns) == {"vec_id", "lat", "lon"}
+
+        # kill one finished partition (data + manifest) and resume
+        victim = json.load(open(os.path.join(
+            path, "_manifest", sorted(os.listdir(
+                os.path.join(path, "_manifest")))[0])))
+        pid = victim["partition_id"]
+        assert pid == _pid_of_cell(victim["key"])
+        os.remove(os.path.join(path, f"part-{pid}.parquet"))
+        os.remove(os.path.join(path, "_manifest", f"{pid}.json"))
+
+        stats2 = write_spatial_partitioned(ds, path, precision=1,
+                                           resumable=True)
+        assert stats2["written"] == 1
+        assert stats2["skipped"] == n_parts - 1
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
