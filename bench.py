@@ -132,7 +132,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "knn_join_shuffle", "compact_cells", "uncompact_cells",
              "bloom_semi_join_lineitems", "hash_sample_events",
              "zscore_events", "inverted_index_postings",
-             "bbox_query_points", "radius_query_points", "box_join_pairs"]
+             "bbox_query_points", "radius_query_points", "box_join_pairs",
+             "cover_join_points"]
     out = {}
     for name in picks:
         t0 = time.time()
