@@ -162,7 +162,8 @@ def _safe_km(lat: np.ndarray, lon: np.ndarray, row: np.ndarray,
 
 def knn_join_shuffle(points_ds, features_ds, k: int = 3,
                      cell_deg: float | None = None,
-                     target_per_cell: int = 64, point_schema=None):
+                     target_per_cell: int = 64, point_schema=None,
+                     salt_cap: int | None = 200_000):
     """kNN join for a LARGE feature side (the broadcast plan's scale
     boundary): both sides are keyed onto a lat/lon graticule — features
     replicated into the 3x3 neighborhood of their cell (antimeridian
@@ -190,10 +191,15 @@ def knn_join_shuffle(points_ds, features_ds, k: int = 3,
     (lat, lon). Output: point columns + neighbor_rank + feat_id +
     feat_dist_km (same schema as :func:`knn_join`).
 
-    Hot cells: a dense point cell makes one big group; compose with
-    ``pip_join.salted_keys``-style salting on the point side (features
-    replicated per salt) if a histogram shows skew — same trade as
-    ``radius_join_shuffle``.
+    Hot cells: a dense point cell would make one big group (a straggler
+    at scale), so round 0 takes a cell histogram (per-block partials,
+    O(distinct cells) to the driver) and SALTS any cell above
+    ``salt_cap`` points across ``ceil(count/cap)`` subkeys (≤64): point
+    salt is a hash of its coordinates, features replicate into every
+    salt of a hot neighbor cell — each point still meets every feature
+    of its 3x3 neighborhood, but no group exceeds ~salt_cap points.
+    ``salt_cap=None`` disables (the pre-salting plan). Retry rounds
+    never salt (they run the single-task path below the row bound).
     """
     import pyarrow.compute as pc
     import ray.data
@@ -223,8 +229,12 @@ def knn_join_shuffle(points_ds, features_ds, k: int = 3,
         .append(pa.field("feat_dist_km", pa.float64())) \
         .append(pa.field("__knn_done", pa.bool_()))
 
+    SALT_M = 64                # salt multiplier in kj_key = cell*64 + salt
     done_parts = []
-    remaining = points_ds
+    # with salting on, round 0 scans the point side twice (histogram +
+    # keying) — pin it so the second scan reads the object store instead
+    # of re-running the upstream pipeline
+    remaining = points_ds.materialize() if salt_cap else points_ds
     retry_rows = None          # known after round 0 from the loop's count
     while True:
         cd = float(cell_deg)
@@ -232,6 +242,35 @@ def knn_join_shuffle(points_ds, features_ds, k: int = 3,
         col_deg = 360.0 / n_cols
         n_rows = max(1, int(np.ceil(180.0 / cd)))
         complete = n_rows * n_cols <= 9      # neighborhood covers the globe
+
+        # round-0 hot-cell histogram → salt map (see docstring); a corpus
+        # at or under the cap cannot have a hot cell, so the histogram
+        # pass is skipped (count is metadata on the pinned points)
+        hot_cells = np.empty(0, np.int64)
+        hot_k = np.empty(0, np.int64)
+        if retry_rows is None and salt_cap \
+                and remaining.count() > salt_cap:
+            def cell_partial(t: pa.Table, cd=cd, col_deg=col_deg,
+                             n_cols=n_cols) -> pa.Table:
+                lat = np.asarray(t["lat"], dtype=np.float64)
+                lon = np.asarray(t["lon"], dtype=np.float64)
+                r = np.floor((np.clip(lat, -90.0, 90.0) + 90.0) / cd) \
+                    .astype(np.int64)
+                c = np.floor(((lon + 180.0) % 360.0) / col_deg) \
+                    .astype(np.int64)
+                u, n = np.unique(r * n_cols + c, return_counts=True)
+                return pa.table({"k": pa.array(u),
+                                 "n": pa.array(n.astype(np.int64))})
+
+            hist = (remaining.map_batches(cell_partial,
+                                          batch_format="pyarrow")
+                    .to_pandas().groupby("k")["n"].sum())
+            hot = hist[hist > salt_cap]
+            if len(hot):
+                hot = hot.sort_index()
+                hot_cells = hot.index.to_numpy(dtype=np.int64)
+                hot_k = np.minimum(np.ceil(hot.to_numpy() / salt_cap),
+                                   SALT_M).astype(np.int64)
 
         wanted_ref = None
         if retry_rows is not None and 0 < retry_rows <= 1_000_000:
@@ -260,13 +299,26 @@ def knn_join_shuffle(points_ds, features_ds, k: int = 3,
                       if key_parts else np.empty(0, np.int64))
             wanted_ref = _ray.put(wanted)
 
-        def key_points(t: pa.Table, cd=cd, col_deg=col_deg, n_cols=n_cols):
+        def key_points(t: pa.Table, cd=cd, col_deg=col_deg, n_cols=n_cols,
+                       hot_cells=hot_cells, hot_k=hot_k):
+            import pandas as pd
             lat = np.asarray(t["lat"], dtype=np.float64)
             lon = np.asarray(t["lon"], dtype=np.float64)
             row = np.floor((np.clip(lat, -90.0, 90.0) + 90.0) / cd) \
                     .astype(np.int64)
             col = np.floor(((lon + 180.0) % 360.0) / col_deg).astype(np.int64)
-            key = row * n_cols + col
+            cell = row * n_cols + col
+            salt = np.zeros(len(cell), dtype=np.int64)
+            if hot_cells.size:
+                pos = np.minimum(np.searchsorted(hot_cells, cell),
+                                 hot_cells.size - 1)
+                m = hot_cells[pos] == cell
+                if m.any():
+                    h = (pd.util.hash_array(lat[m].view(np.int64))
+                         ^ pd.util.hash_array(lon[m].view(np.int64)))
+                    salt[m] = (h % hot_k[pos[m]].astype(np.uint64)) \
+                        .astype(np.int64)
+            key = cell * SALT_M + salt
             t = t.append_column("kj_key", pa.array(key, pa.int64()))
             t = t.append_column("kj_row", pa.array(row, pa.int64()))
             t = t.append_column("kj_col", pa.array(col, pa.int64()))
@@ -275,7 +327,8 @@ def knn_join_shuffle(points_ds, features_ds, k: int = 3,
 
         def key_features(t: pa.Table, cd=cd, col_deg=col_deg,
                          n_cols=n_cols, n_rows=n_rows,
-                         wanted_ref=wanted_ref):
+                         wanted_ref=wanted_ref,
+                         hot_cells=hot_cells, hot_k=hot_k):
             lat = np.asarray(t["lat"], dtype=np.float64)
             lon = np.asarray(t["lon"], dtype=np.float64)
             fid = t["feat_id"]
@@ -307,6 +360,19 @@ def knn_join_shuffle(points_ds, features_ds, k: int = 3,
             # feature enters each group at most once
             uniq = np.unique(np.stack([key, idx]), axis=1)
             key, idx = uniq[0], uniq[1]
+            # hot-cell salting: a feature replicates into EVERY salt of a
+            # hot neighbor cell (vectorized repeat + local-offset salts)
+            k_of = np.ones(len(key), dtype=np.int64)
+            if hot_cells.size:
+                pos = np.minimum(np.searchsorted(hot_cells, key),
+                                 hot_cells.size - 1)
+                m = hot_cells[pos] == key
+                k_of[m] = hot_k[pos[m]]
+            key = np.repeat(key, k_of)
+            idx = np.repeat(idx, k_of)
+            salt = np.arange(int(k_of.sum())) \
+                - np.repeat(np.cumsum(k_of) - k_of, k_of)
+            key = key * SALT_M + salt
             n = len(idx)
             take = pa.array(idx, pa.int64())
             cols = [pa.nulls(n, fld.type) for fld in p_schema]

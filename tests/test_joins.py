@@ -313,3 +313,46 @@ def test_knn_tie_band_overflow_beyond_margin(ray_session):
     out = knn_join(ray.data.from_pandas(pts), feats, k=3).to_pandas()
     got = out.sort_values("neighbor_rank")["feat_id"].tolist()
     assert got == ["F000", "F001", "F002"]
+
+
+def test_knn_join_shuffle_salted_hot_cell(ray_session):
+    """Hot-cell salting: a cell holding most points splits into salted
+    subgroups, features replicate per salt, and the result still equals
+    brute force AND the unsalted plan exactly."""
+    import ray.data
+
+    from cartwright_ray.joins.knn_join import brute_force_knn, \
+        knn_join_shuffle
+
+    rng = np.random.default_rng(31)
+    n = 600
+    pts = pd.DataFrame({
+        "doc_id": [f"p{i:04d}" for i in range(n)],
+        # 80% of points crammed into one ~2x2 degree patch (one hot cell
+        # at cell_deg=6), the rest spread out
+        "lat": np.concatenate([rng.uniform(10.0, 12.0, int(n * 0.8)),
+                               rng.uniform(-70, 70, n - int(n * 0.8))]),
+        "lon": np.concatenate([rng.uniform(20.0, 22.0, int(n * 0.8)),
+                               rng.uniform(-170, 170, n - int(n * 0.8))]),
+    })
+    m = 300
+    feats = pd.DataFrame({
+        "feat_id": [f"F{i:04d}" for i in range(m)],
+        "lat": rng.uniform(-75, 75, m), "lon": rng.uniform(-180, 180, m)})
+    fdict = {"feat_id": feats["feat_id"].tolist(),
+             "lat": feats["lat"].values, "lon": feats["lon"].values}
+
+    def run(cap):
+        out = knn_join_shuffle(
+            ray.data.from_pandas(pts).repartition(4),
+            ray.data.from_pandas(feats).repartition(3),
+            k=3, cell_deg=6.0, salt_cap=cap).to_pandas()
+        return sorted(zip(out["doc_id"], out["neighbor_rank"],
+                          out["feat_id"]))
+
+    want = sorted((pts["doc_id"].iloc[i], rank, fid) for i, rank, fid in
+                  brute_force_knn(pts["lat"].values, pts["lon"].values,
+                                  fdict, k=3))
+    salted = run(cap=25)          # hot cell count ~480 >> 25 => many salts
+    assert salted == want
+    assert run(cap=None) == want  # unsalted plan agrees
