@@ -464,6 +464,29 @@ def _q_media_frames(sf_dir):
     return df.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
 
 
+def _q_media_resized(sf_dir):
+    """MediaResize end to end over REAL PNG payloads: decode (pure-stdlib
+    codec), stride-downsample 16x16 → 8x8, re-encode PNG. The oracle
+    verifies the row structure and output dimensions (the codec's
+    pixel-exactness is property-tested in tests/test_png.py — SQL cannot
+    decode PNG)."""
+    from cartwright_ray.pipelines.derived import derived_corpus
+    from cartwright_ray.stages.media import MediaResize, \
+        media_rows_from_corpus
+
+    media = media_rows_from_corpus(derived_corpus(sf_dir),
+                                   payload_kind="png")
+    resized = media.map_batches(
+        MediaResize,
+        fn_constructor_kwargs={"decoder": "png", "out_size": 8},
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+    df = resized.to_pandas()
+    df["width"] = df["width"].astype("int64")
+    df["height"] = df["height"].astype("int64")
+    df = df[["doc_id", "span_idx", "media_ref", "width", "height"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_knn(sf_dir):
     """kNN join of the derived-corpus extraction against part-derived
     features — the oracle brute-forces the same haversine ranking."""
@@ -1253,7 +1276,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": rel.orders_by_nation,
         "box_join_pairs": _q_box_join,
         "interval_join_events": rel.interval_join_events,
-        "track_segments": rel.track_segments,
         "sliding_window_user_counts": rel.sliding_window_user_counts,
         "sketch_quantiles_by_type": rel.sketch_quantiles_by_type,
         "asof_join_rates": rel.asof_join_rates,
@@ -1298,6 +1320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redacted_spans": _q_redacted_spans,
         "raster_pyramid": _q_raster_pyramid,
         "media_frames": _q_media_frames,
+        "media_resized": _q_media_resized,
         "knn_join_sample": _q_knn,
         "knn_join_table": _q_knn_join_table,
         "knn_join_shuffle": _q_knn_join_shuffle,
@@ -1315,6 +1338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_value": rel.top_users_by_value,
         "sessionize_events": rel.sessionize_events,
         "events_hourly_window": rel.events_hourly_window,
+        "track_segments": rel.track_segments,
         "tile_assignment": rel.tile_assignment,
         "tile_heatmap": rel.tile_heatmap,
         "haversine_origin": rel.haversine_from_origin,
@@ -1518,6 +1542,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents, (VALUES (0), (4), (8), (12)) t(f)
             WHERE doc_id % 5 = 0
             ORDER BY doc_id, frame_idx
+        """,
+        "media_resized": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(1 AS INT) AS span_idx,
+                   'media://' || CAST(doc_id AS VARCHAR) || '/1' AS media_ref,
+                   CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height
+            FROM documents
+            WHERE doc_id % 5 = 0
+            ORDER BY doc_id
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
