@@ -826,6 +826,36 @@ def _q_ivf_ann(sf_dir):
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_ivf_ann_pruned(sf_dir):
+    """IVF ANN through the PARTITION-PRUNED read path: the corpus is
+    written partitioned by ivf_list, the search opens only the probed
+    list directories (reader-level prune), and the ranking contract —
+    and therefore the oracle — is identical to ``ivf_ann_topk``."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from cartwright_ray.stages.ann import (ivf_ann_search_partitioned,
+                                           ivf_partition_write)
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet") \
+        .slice(0, 500).to_pandas()
+    qrows = head[head["vec_id"] < 3].sort_values("vec_id")
+    queries = {"query_id": qrows["vec_id"].tolist(),
+               "vec": np.asarray(qrows["embedding"].tolist(),
+                                 dtype=np.float64)}
+    path = tempfile.mkdtemp(prefix="ivf_store_")
+    try:
+        ivf_partition_write(_embeddings(sf_dir), path)
+        df = ivf_ann_search_partitioned(path, queries, k=10).to_pandas()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    df["score"] = df["score"].round(6)
+    df = df[["query_id", "vec_id", "rank", "score"]]
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _ivf_centroid_values(dim: int = 64, nlist: int = 16,
                          seed: int = 29) -> str:
     """The exact centroid literals stages.ann.ivf_centroids(dim, nlist,
@@ -1278,7 +1308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join_events": rel.interval_join_events,
         "sliding_window_user_counts": rel.sliding_window_user_counts,
         "sketch_quantiles_by_type": rel.sketch_quantiles_by_type,
-        "asof_join_rates": rel.asof_join_rates,
+        "ivf_ann_pruned": _q_ivf_ann_pruned,
         "bloom_semi_join_lineitems": _q_bloom_semi_join,
         "top_orders_per_customer": rel.top_orders_per_customer,
         # geo kernels with SQL-reproducible math
@@ -1346,6 +1376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": _q_fingerprint,
         "lsh_ann_topk": _q_lsh_ann,
         "ivf_ann_topk": _q_ivf_ann,
+        "asof_join_rates": rel.asof_join_rates,
         "media_features_png": _q_media_png,
         "value_quantiles_by_type": rel.value_quantiles_by_type,
         "user_running_value": rel.user_running_value,
@@ -2505,6 +2536,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "ivf_ann_topk": _ivf_ann_oracle_sql(),
+        "ivf_ann_pruned": _ivf_ann_oracle_sql(),
         "spatial_resolution_grid": """
             SELECT 'square' AS kind, 'degrees' AS unit,
                    CAST(1.0 AS DOUBLE) AS resolution, 'PERFECT' AS uniformity
