@@ -1230,6 +1230,54 @@ def _q_radius_query(sf_dir):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_orders_customers_join(sf_dir):
+    """General equi-join, BROADCAST plan: orders x customer on custkey
+    (per-batch Arrow Acero hash join against the shipped small side)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from cartwright_ray.joins.equi_join import equi_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .map_batches(lambda t: t.rename_columns(
+            ["o_orderkey", "custkey", "o_totalprice"]),
+            batch_format="pyarrow")
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_nationkey"]) \
+        .rename_columns(["custkey", "c_name", "c_nationkey"])
+    df = equi_join(orders, cust, on="custkey").to_pandas()
+    df = df[["o_orderkey", "custkey", "o_totalprice", "c_name",
+             "c_nationkey"]]
+    return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def _q_lineitem_orders_join(sf_dir):
+    """General equi-join, SHUFFLE plan: lineitem x orders on orderkey —
+    both sides tagged through ONE single-key sort exchange, one in-block
+    Acero join per block (equal keys co-located by the range
+    partitioner), zero driver materialization."""
+    import ray.data
+
+    from cartwright_ray.joins.equi_join import equi_join_shuffle
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"]) \
+        .map_batches(lambda t: t.rename_columns(
+            ["okey", "l_linenumber", "l_quantity"]),
+            batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda t: t.rename_columns(["okey", "o_custkey"]),
+                     batch_format="pyarrow")
+    df = equi_join_shuffle(li, orders, on="okey").to_pandas()
+    df["l_quantity"] = df["l_quantity"].astype("float64")
+    df = df[["okey", "l_linenumber", "l_quantity", "o_custkey"]]
+    return df.sort_values(["okey", "l_linenumber"]).reset_index(drop=True)
+
+
 def _q_box_join(sf_dir):
     """Box-overlap join, SHUFFLE plan (``joins/box_join.py``): part-derived
     boxes (3°x4° at .25 offsets) x nation-derived boxes, graticule-keyed
@@ -1303,10 +1351,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational surface (groupby / broadcast join / window / top-k /
         # global aggregate)
         "q1_pricing_summary": rel.q1_pricing_summary,
-        "orders_by_nation": rel.orders_by_nation,
+        "orders_customers_join": _q_orders_customers_join,
+        "lineitem_orders_join": _q_lineitem_orders_join,
         "box_join_pairs": _q_box_join,
         "interval_join_events": rel.interval_join_events,
-        "sliding_window_user_counts": rel.sliding_window_user_counts,
         "sketch_quantiles_by_type": rel.sketch_quantiles_by_type,
         "ivf_ann_pruned": _q_ivf_ann_pruned,
         "bloom_semi_join_lineitems": _q_bloom_semi_join,
@@ -1369,6 +1417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": rel.sessionize_events,
         "events_hourly_window": rel.events_hourly_window,
         "track_segments": rel.track_segments,
+        "orders_by_nation": rel.orders_by_nation,
+        "sliding_window_user_counts": rel.sliding_window_user_counts,
         "tile_assignment": rel.tile_assignment,
         "tile_heatmap": rel.tile_heatmap,
         "haversine_origin": rel.haversine_from_origin,
@@ -2220,6 +2270,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM per GROUP BY admin_id)
             SELECT admin_id, floor(a * 10) / 10 AS area_km2
             FROM areas ORDER BY admin_id
+        """,
+        "orders_customers_join": """
+            SELECT o_orderkey, o_custkey AS custkey, o_totalprice,
+                   c_name, c_nationkey
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey
+        """,
+        "lineitem_orders_join": """
+            SELECT l_orderkey AS okey, l_linenumber,
+                   CAST(l_quantity AS DOUBLE) AS l_quantity, o_custkey
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ORDER BY okey, l_linenumber
         """,
         "cover_join_points": f"""
             WITH pts AS (
