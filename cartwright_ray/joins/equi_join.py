@@ -52,15 +52,20 @@ def equi_join(large_ds, small: pa.Table, on: str, how: str = "inner",
     return large_ds.map_batches(probe, batch_format="pyarrow")
 
 
-def equi_join_shuffle(a_ds, b_ds, on: str, suffix: str = "_r"):
-    """Shuffle plan (inner join) for two large Datasets — see module
-    docstring. Hot keys: a single key's rows land in one block; salt the
-    key upstream (``pip_join.salted_keys`` pattern) if a histogram shows
-    a key whose matched cartesian product exceeds a block."""
+def equi_join_shuffle(a_ds, b_ds, on: str, how: str = "inner",
+                      suffix: str = "_r"):
+    """Shuffle plan for two large Datasets — see module docstring.
+    ``how``: ``inner`` or ``left`` (left outer is block-local too: the
+    exchange co-locates ALL rows of a key, so an unmatched left row is
+    provably unmatched globally). Hot keys: a single key's rows land in
+    one block; salt the key upstream (``pip_join.salted_keys`` pattern)
+    if a histogram shows a key whose matched cartesian product exceeds
+    a block."""
     import pyarrow.compute as pc
 
     from ..stages.partition import arrow_schema_of
 
+    join_type = {"inner": "inner", "left": "left outer"}[how]
     a_schema = arrow_schema_of(a_ds)
     b_schema = arrow_schema_of(b_ds)
     if on not in a_schema.names or on not in b_schema.names:
@@ -113,9 +118,10 @@ def equi_join_shuffle(a_ds, b_ds, on: str, suffix: str = "_r"):
             .select([on] + [c for c in a_schema.names if c != on])
         b_part = t.filter(pc.equal(side, 1)) \
             .select([on] + [out for _, out in b_out])
-        if a_part.num_rows == 0 or b_part.num_rows == 0:
+        if a_part.num_rows == 0 or \
+                (b_part.num_rows == 0 and join_type == "inner"):
             return out_schema.empty_table()
-        return a_part.join(b_part, keys=on, join_type="inner") \
+        return a_part.join(b_part, keys=on, join_type=join_type) \
             .select(out_schema.names).cast(out_schema)
 
     return (both.sort(on)

@@ -78,3 +78,14 @@ def test_missing_key_rejected(ray_session):
     with pytest.raises(KeyError):
         equi_join_shuffle(_ds(ray_session, a, 1), _ds(ray_session, b, 1),
                           on="k")
+
+
+def test_shuffle_left_outer_matches_pandas(ray_session):
+    a, b = _tables(5)
+    got = equi_join_shuffle(_ds(ray_session, a), _ds(ray_session, b),
+                            on="k", how="left").to_pandas()
+    want = a.merge(b, on="k", how="left", suffixes=("", "_r"))
+    assert len(got) == len(want)
+    assert got["bv"].isna().sum() == want["bv"].isna().sum()
+    cols = ["k", "av", "name"]
+    pd.testing.assert_frame_equal(_sorted(got, cols), _sorted(want, cols))
