@@ -1230,6 +1230,24 @@ def _q_radius_query(sf_dir):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_events_pivot(sf_dir):
+    """Pivot long→wide (``stages/pivot.py``): per-user event-type counts
+    as columns. Per-block crosstab partials, one native Sum groupby —
+    integer-exact, so the oracle is plain FILTER aggregates."""
+    import ray.data
+
+    from cartwright_ray.stages.pivot import pivot
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    df = pivot(ds, "user_id", "event_type",
+               pivot_values=["click", "error", "purchase", "signup",
+                             "view"]).to_pandas()
+    for c in ["click", "error", "purchase", "signup", "view"]:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_orders_customers_join(sf_dir):
     """General equi-join, BROADCAST plan: orders x customer on custkey
     (per-batch Arrow Acero hash join against the shipped small side)."""
@@ -1354,7 +1372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customers_join": _q_orders_customers_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "box_join_pairs": _q_box_join,
-        "interval_join_events": rel.interval_join_events,
+        "events_pivot_by_user": _q_events_pivot,
         "sketch_quantiles_by_type": rel.sketch_quantiles_by_type,
         "ivf_ann_pruned": _q_ivf_ann_pruned,
         "bloom_semi_join_lineitems": _q_bloom_semi_join,
@@ -1418,6 +1436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": rel.events_hourly_window,
         "track_segments": rel.track_segments,
         "orders_by_nation": rel.orders_by_nation,
+        "interval_join_events": rel.interval_join_events,
         "sliding_window_user_counts": rel.sliding_window_user_counts,
         "tile_assignment": rel.tile_assignment,
         "tile_heatmap": rel.tile_heatmap,
@@ -2270,6 +2289,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM per GROUP BY admin_id)
             SELECT admin_id, floor(a * 10) / 10 AS area_km2
             FROM areas ORDER BY admin_id
+        """,
+        "events_pivot_by_user": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click')    AS click,
+                   count(*) FILTER (WHERE event_type = 'error')    AS error,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+                   count(*) FILTER (WHERE event_type = 'view')     AS view
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "orders_customers_join": """
             SELECT o_orderkey, o_custkey AS custkey, o_totalprice,

@@ -1,0 +1,66 @@
+"""Pivot (long → wide): one row per key, one column per pivot value —
+the classic reshape every reporting pipeline ends with (reference has
+no relational layer; engine surface, SURVEY §2.7 family).
+
+Scale plan: each block computes a WIDE partial (pandas crosstab /
+pivot_table — vectorized C) over the ``pivot_values`` column set, then
+ONE ``groupby(key)`` with a native Sum per pivot column merges the
+partials — the shuffle carries O(distinct keys per block × P) rows,
+never the raw events. ``pivot_values`` is explicit by default-None
+discovery, but at scale callers should PASS it (a fixed output schema
+is a contract, not something to discover from 100 TB of data; the
+discovery path is one tiny distinct over the pivot column).
+
+``agg="count"`` is integer-exact (cross-engine comparable).
+``agg="sum"`` sums floats in engine block order — bit-equality with a
+SQL oracle is NOT guaranteed for floats (use integer-cent values for
+exact replay, same rule as stages/normalize.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def pivot(ds, key_col: str, pivot_col: str, value_col: str | None = None,
+          agg: str = "count", pivot_values: list | None = None):
+    """Wide Dataset: ``key_col`` + one int64/float64 column per pivot
+    value (missing combinations are 0)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    if agg not in ("count", "sum"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    if agg == "sum" and value_col is None:
+        raise ValueError("agg='sum' needs value_col")
+
+    if pivot_values is None:
+        vals = (ds.select_columns([pivot_col])
+                .groupby(pivot_col).count().to_pandas()[pivot_col])
+        pivot_values = sorted(str(v) for v in vals)
+    pivot_values = [str(v) for v in pivot_values]
+
+    cols = [key_col, pivot_col] + ([value_col] if value_col else [])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(cols).to_pandas()
+        pv = df[pivot_col].astype(str)
+        if agg == "count":
+            w = pd.crosstab(df[key_col], pv)
+        else:
+            w = df.pivot_table(index=key_col, columns=pv,
+                               values=value_col, aggfunc="sum",
+                               fill_value=0)
+        w = w.reindex(columns=pivot_values, fill_value=0)
+        w.columns = list(pivot_values)
+        w = w.reset_index()
+        out = {key_col: w[key_col].to_numpy()}
+        dtype = np.int64 if agg == "count" else np.float64
+        for c in pivot_values:
+            out[c] = w[c].to_numpy().astype(dtype)
+        return pa.table(out)
+
+    aggs = [Sum(c, alias_name=c) for c in pivot_values]
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key_col).aggregate(*aggs))
