@@ -64,3 +64,26 @@ def pivot(ds, key_col: str, pivot_col: str, value_col: str | None = None,
     aggs = [Sum(c, alias_name=c) for c in pivot_values]
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(key_col).aggregate(*aggs))
+
+
+def melt(ds, key_col: str, value_cols: list[str],
+         var_name: str = "variable", value_name: str = "value"):
+    """Unpivot (wide → long): one output row per (key, value column) —
+    the inverse of :func:`pivot`. Pure streaming fan-out inside
+    ``map_batches`` (zero-copy column reuse, no shuffle, no state)."""
+
+    value_cols = list(value_cols)
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        keys = pa.concat_arrays(
+            [t.column(key_col).combine_chunks()] * len(value_cols))
+        names = pa.array(np.repeat(np.array(value_cols, dtype=object), n),
+                         pa.string())
+        vals = pa.concat_arrays(
+            [t.column(c).cast(pa.float64()).combine_chunks()
+             for c in value_cols])
+        return pa.table({key_col: keys, var_name: names,
+                         value_name: vals})
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -56,3 +56,20 @@ def test_pivot_explicit_values_fixes_schema(ray_session):
 def test_pivot_bad_agg_rejected(ray_session):
     with pytest.raises(ValueError):
         pivot(_ds(ray_session, _df(), 1), "user", "kind", agg="median")
+
+
+def test_melt_roundtrips_pivot(ray_session):
+    """melt(pivot(ds)) recovers the long counts table exactly."""
+    from cartwright_ray.stages.pivot import melt
+    df = _df(17)
+    wide = pivot(_ds(ray_session, df), "user", "kind",
+                 pivot_values=["a", "b", "c", "d"])
+    long = melt(wide, "user", ["a", "b", "c", "d"]).to_pandas()
+    want = pd.crosstab(df["user"], df["kind"]) \
+        .reindex(columns=["a", "b", "c", "d"], fill_value=0) \
+        .stack().reset_index()
+    want.columns = ["user", "variable", "value"]
+    got = long.sort_values(["user", "variable"]).reset_index(drop=True)
+    want = want.sort_values(["user", "variable"]).reset_index(drop=True)
+    np.testing.assert_array_equal(got["value"].to_numpy(dtype=np.float64),
+                                  want["value"].to_numpy(dtype=np.float64))
