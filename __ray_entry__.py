@@ -1230,6 +1230,28 @@ def _q_radius_query(sf_dir):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_props_sum(sf_dir):
+    """JSON scalar-field extraction (``stages/json_field.py``): pull the
+    integer ``k`` out of the events ``props`` JSON blobs with one RE2
+    kernel per batch, then an integer-exact grouped sum — the oracle
+    replays it with DuckDB's json_extract_string."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from cartwright_ray.stages.json_field import json_field
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "props"])
+    ds = json_field(ds, "props", "k", out_type=pa.int64())
+    df = (ds.groupby("event_type")
+          .aggregate(Sum("k", alias_name="k_sum"),
+                     Count(alias_name="n"))
+          .to_pandas())
+    df["k_sum"] = df["k_sum"].astype("int64")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
 def _q_events_pivot(sf_dir):
     """Pivot long→wide (``stages/pivot.py``): per-user event-type counts
     as columns. Per-block crosstab partials, one native Sum groupby —
@@ -1380,7 +1402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # geo kernels with SQL-reproducible math
         "tile_pyramid": _q_tile_pyramid,
         # text / dedup / ANN
-        "text_stats_docs": _q_text_stats,
+        "props_sum_by_type": _q_props_sum,
         "top_tokens": _q_top_tokens,
         "tfidf_top_docs": _q_tfidf,
         "inverted_index_postings": _q_inverted_index,
@@ -1436,6 +1458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": rel.events_hourly_window,
         "track_segments": rel.track_segments,
         "orders_by_nation": rel.orders_by_nation,
+        "text_stats_docs": _q_text_stats,
         "interval_join_events": rel.interval_join_events,
         "sliding_window_user_counts": rel.sliding_window_user_counts,
         "tile_assignment": rel.tile_assignment,
@@ -2289,6 +2312,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM per GROUP BY admin_id)
             SELECT admin_id, floor(a * 10) / 10 AS area_km2
             FROM areas ORDER BY admin_id
+        """,
+        "props_sum_by_type": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS k_sum,
+                   count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "events_pivot_by_user": """
             SELECT user_id,
