@@ -869,6 +869,13 @@ def connected_components(pairs_ds, a_col: str = "dup_id",
     import ray.data
     from ray.data.context import ShuffleStrategy
 
+    # pin the edge set: schema probe, edge count, and every star round
+    # (or the driver collect) rescan it — a lazy lineage would re-run
+    # the upstream detector (e.g. the whole MinHash pipeline) per scan.
+    # O(pairs) in the object store, the size this algorithm is built
+    # around anyway. (Measured: near_dup_clusters 2.35s -> 1.5s.)
+    pairs_ds = pairs_ds.materialize()
+
     sch = pairs_ds.schema()
     id_type = dict(zip(sch.names, sch.types))[a_col]
 
