@@ -51,6 +51,12 @@ def kmeans_fit(ds, k: int = 10, iters: int = 2, vec_col: str = "embedding",
     """
     import ray
 
+    # pin the working set: Lloyd's rescans the corpus once per iteration
+    # (plus init and any caller's final-count pass) — the standard cache
+    # for iterative fitting; a lazy lineage would re-run the upstream
+    # pipeline per scan
+    ds = ds.materialize()
+
     init = (ds.select_columns([id_col, vec_col])
             .sort(id_col).limit(k).to_pandas())
     cents = np.array([np.asarray(v, dtype=np.float64)
@@ -99,6 +105,7 @@ def kmeans_summary(ds, k: int = 10, iters: int = 2,
     """
     import ray
 
+    ds = ds.materialize()        # shared by fit's scans + the count pass
     cents = kmeans_fit(ds, k=k, iters=iters, vec_col=vec_col,
                        id_col=id_col)
     ref = ray.put(cents)
