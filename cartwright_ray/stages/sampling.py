@@ -63,7 +63,8 @@ def hash_sample(ds, id_col: str, frac: float):
 
 
 def stratified_topk_sample(ds, key_col: str, id_col: str, k: int,
-                           num_partitions: int | None = None):
+                           num_partitions: int | None = None,
+                           small_limit: int = 262_144):
     """Per-key deterministic sample: for every distinct ``key_col``
     value, the ``k`` rows with the smallest ``(lehmer_hash(id), id)`` —
     a uniform-without-replacement sample whose membership is a pure
@@ -96,7 +97,17 @@ def stratified_topk_sample(ds, key_col: str, id_col: str, k: int,
         return out.append_column("h", pa.array(hh, pa.int64())) \
             if "h" not in out.column_names else out
 
-    candidates = ds.map_batches(topk_block, batch_format="pyarrow")
+    # candidates are at most k x keys_per_block x blocks rows — pin them
+    # (the count below and the exchange both scan) and take the
+    # tiny-exchange fast path when they fit one block: the kernel only
+    # needs every key's rows co-located, which ONE coalesced block
+    # trivially satisfies, skipping the hash-shuffle aggregator spin-up
+    # (~1-2s fixed, dominated this operator at benchmark scale)
+    candidates = ds.map_batches(topk_block,
+                                batch_format="pyarrow").materialize()
+    if candidates.count() <= small_limit:   # small_limit=0 forces hash plan
+        return candidates.repartition(1).map_batches(
+            topk_block, batch_format="pyarrow", batch_size=None)
     parted = hash_partitioned(candidates, [key_col], num_partitions)
     if parted is None:
         return candidates  # empty input

@@ -25,7 +25,8 @@ def test_hash_sample_deterministic_and_unbiased(ray_session):
     assert 0.08 < len(a) / len(df) < 0.12
 
 
-def test_stratified_topk_sample_per_key(ray_session):
+@pytest.mark.parametrize("plan", [{}, {"small_limit": 0}])
+def test_stratified_topk_sample_per_key(ray_session, plan):
     import ray
     from cartwright_ray.stages.sampling import (stratified_topk_sample,
                                                 lehmer_hash)
@@ -39,7 +40,7 @@ def test_stratified_topk_sample_per_key(ray_session):
     })
     out = stratified_topk_sample(
         ray.data.from_pandas(df).repartition(7), "key", "id",
-        k=15).to_pandas()
+        k=15, **plan).to_pandas()
     h = lehmer_hash(df["id"].to_numpy())
     df2 = df.assign(h=h)
     for key, g in df2.groupby("key"):
