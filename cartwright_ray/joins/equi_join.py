@@ -13,9 +13,10 @@ Two physical plans, mirroring the engine's spatial-join family:
   and runs one in-block Acero join — one C++ join call per BLOCK, not
   per key, and nothing ever collects to the driver.
 
-Column collisions on the right side get ``suffix``. Join keys must be
-a single column present on both sides (compose a struct/concat key
-upstream for multi-column joins — keeps the exchange narrow).
+Column collisions on the right side get ``suffix``. ``on`` is one
+column name or a list (both sides must carry the same names); the
+shuffle plan sorts on EXACTLY the key columns — equal key tuples land
+in one block, the engine's exchange-discipline rule.
 """
 
 from __future__ import annotations
@@ -24,17 +25,21 @@ import numpy as np
 import pyarrow as pa
 
 
-def _suffix_collisions(right: pa.Table, left_names, on: str,
-                       suffix: str) -> pa.Table:
+def _keys(on) -> list:
+    return [on] if isinstance(on, str) else list(on)
+
+
+def _suffix_collisions(right: pa.Table, left_names, on, suffix: str) -> pa.Table:
+    keys = set(_keys(on))
     renames = {c: c + suffix for c in right.column_names
-               if c != on and c in left_names}
+               if c not in keys and c in left_names}
     if renames:
         right = right.rename_columns(
             [renames.get(c, c) for c in right.column_names])
     return right
 
 
-def equi_join(large_ds, small: pa.Table, on: str, how: str = "inner",
+def equi_join(large_ds, small: pa.Table, on, how: str = "inner",
               suffix: str = "_r"):
     """Broadcast hash join: ``small`` is a pyarrow Table. ``how`` is
     ``inner`` or ``left`` (left outer, preserving every large-side
@@ -47,12 +52,12 @@ def equi_join(large_ds, small: pa.Table, on: str, how: str = "inner",
     def probe(t: pa.Table) -> pa.Table:
         s = _suffix_collisions(ray.get(small_ref), set(t.column_names),
                                on, suffix)
-        return t.join(s, keys=on, join_type=join_type)
+        return t.join(s, keys=_keys(on), join_type=join_type)
 
     return large_ds.map_batches(probe, batch_format="pyarrow")
 
 
-def equi_join_shuffle(a_ds, b_ds, on: str, how: str = "inner",
+def equi_join_shuffle(a_ds, b_ds, on, how: str = "inner",
                       suffix: str = "_r"):
     """Shuffle plan for two large Datasets — see module docstring.
     ``how``: ``inner`` or ``left`` (left outer is block-local too: the
@@ -66,19 +71,24 @@ def equi_join_shuffle(a_ds, b_ds, on: str, how: str = "inner",
     from ..stages.partition import arrow_schema_of
 
     join_type = {"inner": "inner", "left": "left outer"}[how]
+    keys = _keys(on)
     a_schema = arrow_schema_of(a_ds)
     b_schema = arrow_schema_of(b_ds)
-    if on not in a_schema.names or on not in b_schema.names:
-        raise KeyError(f"join key {on!r} missing on one side")
+    for kcol in keys:
+        if kcol not in a_schema.names or kcol not in b_schema.names:
+            raise KeyError(f"join key {kcol!r} missing on one side")
+    kset = set(keys)
     a_names = set(a_schema.names)
-    b_out = [(c, c + suffix if (c != on and c in a_names) else c)
-             for c in b_schema.names if c != on]
+    b_out = [(c, c + suffix if (c not in kset and c in a_names) else c)
+             for c in b_schema.names if c not in kset]
 
-    # one unified exchange schema: key + side + both sides' payloads
+    # one unified exchange schema: keys + side + both sides' payloads
     # (other side's columns null)
     uni = pa.schema(
-        [(on, a_schema.field(on).type), ("__ej_side", pa.int8())]
-        + [(c, a_schema.field(c).type) for c in a_schema.names if c != on]
+        [(kcol, a_schema.field(kcol).type) for kcol in keys]
+        + [("__ej_side", pa.int8())]
+        + [(c, a_schema.field(c).type) for c in a_schema.names
+           if c not in kset]
         + [(out, b_schema.field(src).type) for src, out in b_out])
 
     def tag(side: int, schema, out_names):
@@ -86,8 +96,8 @@ def equi_join_shuffle(a_ds, b_ds, on: str, how: str = "inner",
             n = t.num_rows
             cols = []
             for fld in uni:
-                if fld.name == on:
-                    cols.append(t.column(on).cast(fld.type))
+                if fld.name in kset:
+                    cols.append(t.column(fld.name).cast(fld.type))
                 elif fld.name == "__ej_side":
                     cols.append(pa.array(np.full(n, side, np.int8)))
                 elif fld.name in out_names:
@@ -98,7 +108,7 @@ def equi_join_shuffle(a_ds, b_ds, on: str, how: str = "inner",
             return pa.Table.from_arrays(cols, schema=uni)
         return fn
 
-    a_map = {c: c for c in a_schema.names if c != on}
+    a_map = {c: c for c in a_schema.names if c not in kset}
     b_map = {out: src for src, out in b_out}
     both = (a_ds.map_batches(tag(0, a_schema, a_map),
                              batch_format="pyarrow")
@@ -106,8 +116,9 @@ def equi_join_shuffle(a_ds, b_ds, on: str, how: str = "inner",
                                     batch_format="pyarrow")))
 
     out_schema = pa.schema(
-        [(on, a_schema.field(on).type)]
-        + [(c, a_schema.field(c).type) for c in a_schema.names if c != on]
+        [(kcol, a_schema.field(kcol).type) for kcol in keys]
+        + [(c, a_schema.field(c).type) for c in a_schema.names
+           if c not in kset]
         + [(out, b_schema.field(src).type) for src, out in b_out])
 
     def block_join(t: pa.Table) -> pa.Table:
@@ -115,15 +126,15 @@ def equi_join_shuffle(a_ds, b_ds, on: str, how: str = "inner",
             return out_schema.empty_table()
         side = t.column("__ej_side")
         a_part = t.filter(pc.equal(side, 0)) \
-            .select([on] + [c for c in a_schema.names if c != on])
+            .select(keys + [c for c in a_schema.names if c not in kset])
         b_part = t.filter(pc.equal(side, 1)) \
-            .select([on] + [out for _, out in b_out])
+            .select(keys + [out for _, out in b_out])
         if a_part.num_rows == 0 or \
                 (b_part.num_rows == 0 and join_type == "inner"):
             return out_schema.empty_table()
-        return a_part.join(b_part, keys=on, join_type=join_type) \
+        return a_part.join(b_part, keys=keys, join_type=join_type) \
             .select(out_schema.names).cast(out_schema)
 
-    return (both.sort(on)
+    return (both.sort(keys)
             .map_batches(block_join, batch_format="pyarrow",
                          batch_size=None))

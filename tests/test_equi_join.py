@@ -89,3 +89,32 @@ def test_shuffle_left_outer_matches_pandas(ray_session):
     assert got["bv"].isna().sum() == want["bv"].isna().sum()
     cols = ["k", "av", "name"]
     pd.testing.assert_frame_equal(_sorted(got, cols), _sorted(want, cols))
+
+
+def test_shuffle_multi_column_keys(ray_session):
+    rng = np.random.default_rng(7)
+    a = pd.DataFrame({"k1": rng.integers(0, 10, 400),
+                      "k2": rng.choice(["x", "y", "z"], 400),
+                      "av": np.arange(400)})
+    b = pd.DataFrame({"k1": rng.integers(0, 12, 150),
+                      "k2": rng.choice(["x", "y", "w"], 150),
+                      "bv": np.arange(150)})
+    got = equi_join_shuffle(_ds(ray_session, a), _ds(ray_session, b),
+                            on=["k1", "k2"]).to_pandas()
+    want = a.merge(b, on=["k1", "k2"])
+    cols = ["k1", "k2", "av", "bv"]
+    pd.testing.assert_frame_equal(_sorted(got, cols), _sorted(want, cols))
+
+
+def test_broadcast_multi_column_keys(ray_session):
+    rng = np.random.default_rng(9)
+    a = pd.DataFrame({"k1": rng.integers(0, 8, 300),
+                      "k2": rng.integers(0, 4, 300), "av": np.arange(300)})
+    b = pd.DataFrame({"k1": rng.integers(0, 8, 60),
+                      "k2": rng.integers(0, 4, 60), "bv": np.arange(60)})
+    got = equi_join(_ds(ray_session, a),
+                    pa.Table.from_pandas(b, preserve_index=False),
+                    on=["k1", "k2"]).to_pandas()
+    want = a.merge(b, on=["k1", "k2"])
+    cols = ["k1", "k2", "av", "bv"]
+    pd.testing.assert_frame_equal(_sorted(got, cols), _sorted(want, cols))
