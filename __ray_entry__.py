@@ -1230,6 +1230,30 @@ def _q_radius_query(sf_dir):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_events_rollup(sf_dir):
+    """GROUP BY ROLLUP analogue (``relational.rollup_counts``): per
+    (event_type, user-bucket) counts plus each prefix level and the
+    grand total, coarser levels marked ``__all__`` — the oracle replays
+    it with SQL ROLLUP + coalesce."""
+    import pyarrow as pa
+    import ray.data
+
+    from cartwright_ray.pipelines.relational import rollup_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ub = np.char.add("u", (np.asarray(t["user_id"], dtype=np.int64)
+                               % 4).astype(str))
+        return t.append_column("ub", pa.array(ub, pa.string()))
+
+    out = rollup_counts(ds.map_batches(bucket, batch_format="pyarrow"),
+                        ["event_type", "ub"]).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "ub"]).reset_index(drop=True)
+
+
 def _q_props_sum(sf_dir):
     """JSON scalar-field extraction (``stages/json_field.py``): pull the
     integer ``k`` out of the events ``props`` JSON blobs with one RE2
@@ -1400,7 +1424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join_lineitems": _q_bloom_semi_join,
         "top_orders_per_customer": rel.top_orders_per_customer,
         # geo kernels with SQL-reproducible math
-        "tile_pyramid": _q_tile_pyramid,
+        "events_rollup_counts": _q_events_rollup,
         # text / dedup / ANN
         "props_sum_by_type": _q_props_sum,
         "top_tokens": _q_top_tokens,
@@ -1458,6 +1482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": rel.events_hourly_window,
         "track_segments": rel.track_segments,
         "orders_by_nation": rel.orders_by_nation,
+        "tile_pyramid": _q_tile_pyramid,
         "text_stats_docs": _q_text_stats,
         "interval_join_events": rel.interval_join_events,
         "sliding_window_user_counts": rel.sliding_window_user_counts,
@@ -2312,6 +2337,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM per GROUP BY admin_id)
             SELECT admin_id, floor(a * 10) / 10 AS area_km2
             FROM areas ORDER BY admin_id
+        """,
+        "events_rollup_counts": """
+            SELECT coalesce(event_type, '__all__') AS event_type,
+                   coalesce(ub, '__all__') AS ub, count(*) AS n
+            FROM (SELECT event_type,
+                         'u' || CAST(user_id % 4 AS VARCHAR) AS ub
+                  FROM events)
+            GROUP BY ROLLUP(event_type, ub)
+            ORDER BY event_type, ub
         """,
         "props_sum_by_type": """
             SELECT event_type,

@@ -135,7 +135,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "bbox_query_points", "radius_query_points", "box_join_pairs",
              "cover_join_points", "ivf_ann_pruned", "media_resized",
              "orders_customers_join", "lineitem_orders_join",
-             "events_pivot_by_user", "props_sum_by_type"]
+             "events_pivot_by_user", "props_sum_by_type",
+             "events_rollup_counts"]
     out = {}
     for name in picks:
         t0 = time.time()

@@ -817,3 +817,48 @@ def user_set_ops(sf_dir: str, type_a: str = "purchase",
 
     out = agg.map_batches(label, batch_format="pyarrow").to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def rollup_counts(ds, cols: list[str], count_name: str = "n"):
+    """GROUP BY ROLLUP(cols): one aggregate per prefix level (full
+    grouping, each prefix, grand total), the coarser levels' absent
+    columns emitted as the sentinel ``__all__`` (SQL replays it with
+    ``coalesce`` over ROLLUP's NULLs — Ray aggregates cannot key on
+    null).
+
+    Scale shape: level k groups by ``cols[:k]`` — each level is its own
+    small pre-aggregated shuffle over the SAME input (pinned once), and
+    at 100 TB the right plan is exactly this cascade (each level could
+    also re-aggregate the previous level's output; kept explicit and
+    simple because level outputs are O(groups), tiny either way).
+    """
+    from ray.data.aggregate import Count
+
+    ds = ds.select_columns(cols).materialize()   # scanned once per level
+    levels = []
+    for k in range(len(cols), -1, -1):
+        keep = cols[:k]
+        if keep:
+            lvl = ds.groupby(keep).aggregate(Count(alias_name=count_name))
+        else:
+            total = ds.count()
+            lvl = ray.data.from_arrow(pa.table({count_name: pa.array(
+                [total], pa.int64())}))
+
+        def widen(t: pa.Table, keep=tuple(keep)) -> pa.Table:
+            # every level unions into one schema: group columns as string
+            # (kept columns cast; absent ones the sentinel)
+            for c in cols:
+                if c in keep:
+                    t = t.set_column(t.column_names.index(c), c,
+                                     pc.cast(t[c], pa.string()))
+                else:
+                    t = t.append_column(c, pa.array(
+                        ["__all__"] * t.num_rows, pa.string()))
+            return t.select(cols + [count_name])
+
+        levels.append(lvl.map_batches(widen, batch_format="pyarrow"))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

@@ -129,3 +129,30 @@ def test_track_segments_brute(ray_session, tmp_path):
         got = got.set_index("event_id").loc[e]["segment_id"].to_numpy()
         assert (got == want).all()
     assert out["segment_id"].max() > 0
+
+
+def test_rollup_counts_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from cartwright_ray.pipelines.relational import rollup_counts
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"a": rng.choice(["x", "y", "z"], 2000),
+                       "b": rng.choice(["p", "q"], 2000)})
+    out = rollup_counts(
+        ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        .repartition(5), ["a", "b"]).to_pandas()
+    # full level
+    full = df.groupby(["a", "b"]).size()
+    for (a, b), n in full.items():
+        assert out[(out.a == a) & (out.b == b)].n.item() == n
+    # prefix level
+    pre = df.groupby("a").size()
+    for a, n in pre.items():
+        assert out[(out.a == a) & (out.b == "__all__")].n.item() == n
+    # grand total
+    assert out[(out.a == "__all__") & (out.b == "__all__")].n.item() == 2000
+    assert len(out) == len(full) + len(pre) + 1
