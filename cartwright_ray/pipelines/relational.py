@@ -483,48 +483,41 @@ def interval_join(events_ds, intervals: dict, ts_col: str = "ts"):
     bucket to its own and its predecessor bucket's intervals (same
     co-location trick, one shuffle).
     """
+    start = np.asarray(intervals["start_us"], dtype=np.int64)
+    end = np.asarray(intervals["end_us"], dtype=np.int64)
+    order = np.argsort(start, kind="stable")
+    w = end - start
+    # start-sorted arrays shipped once; TASKS probe them (plasma reads
+    # are zero-copy) — an actor pool's ramp-up was the dominant cost at
+    # benchmark scale and its only "state" was this driver-side sort
     ref = ray.put({
-        "id": np.asarray(intervals["interval_id"]),
-        "start": np.asarray(intervals["start_us"], dtype=np.int64),
-        "end": np.asarray(intervals["end_us"], dtype=np.int64),
+        "id": np.asarray(intervals["interval_id"])[order],
+        "start": start[order], "end": end[order],
+        "max_w": int(w.max()) if len(w) else 0,
     })
 
-    class _Probe:
-        def __init__(self):
-            iv = ray.get(ref)
-            order = np.argsort(iv["start"], kind="stable")
-            self.ids = iv["id"][order]
-            self.start = iv["start"][order]
-            self.end = iv["end"][order]
-            w = self.end - self.start
-            self.max_w = int(w.max()) if len(w) else 0
+    def probe(t: pa.Table) -> pa.Table:
+        iv = ray.get(ref)
+        ts = np.asarray(
+            t[ts_col].cast(pa.timestamp("us")), dtype="datetime64[us]"
+        ).astype(np.int64)
+        lo = np.searchsorted(iv["start"], ts - iv["max_w"], side="right")
+        hi = np.searchsorted(iv["start"], ts, side="right")
+        counts = hi - lo
+        ev_idx = np.repeat(np.arange(len(ts)), counts)
+        # per-event candidate interval positions lo[e] .. hi[e]-1
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        iv_idx = (np.arange(counts.sum()) - np.repeat(offs, counts)
+                  + np.repeat(lo, counts))
+        keep = ts[ev_idx] < iv["end"][iv_idx]
+        ev_idx, iv_idx = ev_idx[keep], iv_idx[keep]
+        out = t.take(pa.array(ev_idx, pa.int64()))
+        out = out.append_column(
+            "interval_id", pa.array(iv["id"][iv_idx], pa.int64()))
+        return out
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ts = np.asarray(
-                t[ts_col].cast(pa.timestamp("us")), dtype="datetime64[us]"
-            ).astype(np.int64)
-            lo = np.searchsorted(self.start, ts - self.max_w, side="right")
-            hi = np.searchsorted(self.start, ts, side="right")
-            counts = hi - lo
-            ev_idx = np.repeat(np.arange(len(ts)), counts)
-            # per-event candidate interval positions lo[e] .. hi[e]-1
-            offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
-            iv_idx = (np.arange(counts.sum()) - np.repeat(offs, counts)
-                      + np.repeat(lo, counts))
-            keep = ts[ev_idx] < self.end[iv_idx]
-            ev_idx, iv_idx = ev_idx[keep], iv_idx[keep]
-            out = t.take(pa.array(ev_idx, pa.int64()))
-            out = out.append_column(
-                "interval_id", pa.array(self.ids[iv_idx], pa.int64()))
-            return out
-
-    return events_ds.map_batches(_Probe, batch_format="pyarrow",
-                                 concurrency=_pool_rel(), zero_copy_batch=True)
-
-
-def _pool_rel():
-    from ..util import _pool
-    return _pool(None)
+    return events_ds.map_batches(probe, batch_format="pyarrow",
+                                 zero_copy_batch=True)
 
 
 # interval grid constants shared by the query wrapper and the SQL oracle:
