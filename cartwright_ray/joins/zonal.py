@@ -19,8 +19,6 @@ Verified against :func:`brute_force_zonal`.
 
 from __future__ import annotations
 
-from ..util import _pool
-
 import numpy as np
 import pyarrow as pa
 
@@ -128,9 +126,11 @@ class _ZonalActor:
 
 
 def zonal_stats(polygons: list[dict], zoom: int = 8,
-                tile_fn=synth_tile_pixels, concurrency: int = 4):
+                tile_fn=synth_tile_pixels, concurrency: int | None = None):
     """Per-polygon raster stats as a small result Dataset
-    (admin_id, px_count, mean, min, max)."""
+    (admin_id, px_count, mean, min, max). ``concurrency`` is retained
+    for API compatibility; the stage runs as TASKS (Ray sizes the
+    parallelism), see ``zonal_task`` below."""
     import ray.data
     from ray.data.aggregate import Max, Min, Sum
 
@@ -144,9 +144,16 @@ def zonal_stats(polygons: list[dict], zoom: int = 8,
 
     import ray
     polygons_ref = ray.put(polygons)
-    partials = ds.map_batches(
-        _ZonalActor, fn_constructor_args=(polygons_ref, tile_fn),
-        batch_format="pyarrow", batch_size=8, concurrency=_pool(concurrency))
+
+    def zonal_task(batch: pa.Table, _ref=polygons_ref,
+                   _fn=tile_fn) -> pa.Table:
+        # TASKS, not an actor pool: the "state" is one plasma get of the
+        # polygon list — pool ramp-up dominated the query at benchmark
+        # scale (same trade as pip_join/_radius_task)
+        return _ZonalActor(_ref, _fn)(batch)
+
+    partials = ds.map_batches(zonal_task, batch_format="pyarrow",
+                              batch_size=8)
 
     agg = partials.groupby("admin_id").aggregate(
         Sum("px_count", alias_name="px_count"),
