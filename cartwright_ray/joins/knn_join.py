@@ -102,16 +102,32 @@ class _KNNActor:
         return out
 
 
+_KNN_TASK_CACHE: dict = {}
+
+
 def knn_join(points_ds, features: dict, k: int = 3,
              concurrency: int | None = None, batch_size: int = 8192):
     """points Dataset (lat/lon) × broadcast features {feat_id, lat, lon}
-    → k rows per point with feat_id / neighbor_rank / feat_dist_km."""
+    → k rows per point with feat_id / neighbor_rank / feat_dist_km.
+
+    TASKS with a worker-global index cache (the pip_join pattern): the
+    sorted feature arrays + unit-xyz matrix still build once per WORKER
+    process, but no actor pool has to ramp (pool spin-up dominated the
+    query at benchmark scale). ``concurrency`` retained for API
+    compatibility; Ray sizes task parallelism."""
     import ray
     features_ref = ray.put(features)
+
+    def knn_task(batch: pa.Table, _ref=features_ref, _k=k) -> pa.Table:
+        key = (getattr(_ref, "hex", lambda: id(_ref))(), _k)
+        actor = _KNN_TASK_CACHE.get(key)
+        if actor is None:
+            actor = _KNN_TASK_CACHE.setdefault(key, _KNNActor(_ref, _k))
+        return actor(batch)
+
     return points_ds.map_batches(
-        _KNNActor, fn_constructor_args=(features_ref, k),
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=_pool(concurrency), zero_copy_batch=True)
+        knn_task, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
