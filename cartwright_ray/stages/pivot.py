@@ -24,9 +24,14 @@ import pyarrow as pa
 
 
 def pivot(ds, key_col: str, pivot_col: str, value_col: str | None = None,
-          agg: str = "count", pivot_values: list | None = None):
+          agg: str = "count", pivot_values: list | None = None,
+          small_limit: int = 262_144):
     """Wide Dataset: ``key_col`` + one int64/float64 column per pivot
-    value (missing combinations are 0)."""
+    value (missing combinations are 0). Partial sets at or under
+    ``small_limit`` rows merge on the driver (one vectorized pandas
+    groupby — O(keys × P), the exact_dedup boundary pattern) instead of
+    paying the distributed aggregate's spin-up; ``small_limit=0`` forces
+    the distributed merge (tests run both)."""
     import pandas as pd
     from ray.data.aggregate import Sum
 
@@ -61,9 +66,16 @@ def pivot(ds, key_col: str, pivot_col: str, value_col: str | None = None,
             out[c] = w[c].to_numpy().astype(dtype)
         return pa.table(out)
 
+    partials = ds.map_batches(partial,
+                              batch_format="pyarrow").materialize()
+    if partials.count() <= small_limit:
+        import ray.data
+        df = partials.to_pandas().groupby(key_col, as_index=False)[
+            pivot_values].sum()
+        return ray.data.from_arrow(pa.Table.from_pandas(
+            df, preserve_index=False))
     aggs = [Sum(c, alias_name=c) for c in pivot_values]
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(key_col).aggregate(*aggs))
+    return partials.groupby(key_col).aggregate(*aggs)
 
 
 def melt(ds, key_col: str, value_cols: list[str],

@@ -22,9 +22,10 @@ def _ds(ray, df, nblocks=6):
         pa.Table.from_pandas(df, preserve_index=False)).repartition(nblocks)
 
 
-def test_pivot_count_matches_pandas(ray_session):
+@pytest.mark.parametrize("plan", [{}, {"small_limit": 0}])
+def test_pivot_count_matches_pandas(ray_session, plan):
     df = _df()
-    got = pivot(_ds(ray_session, df), "user", "kind").to_pandas() \
+    got = pivot(_ds(ray_session, df), "user", "kind", **plan).to_pandas() \
         .sort_values("user").reset_index(drop=True)
     want = pd.crosstab(df["user"], df["kind"]) \
         .reindex(columns=["a", "b", "c", "d"], fill_value=0) \
