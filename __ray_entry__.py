@@ -1230,6 +1230,38 @@ def _q_radius_query(sf_dir):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_edit_sim_join(sf_dir):
+    """Edit-distance similarity join (``stages/editsim.py``): part names
+    with one planted character substitution vs the distinct-name
+    gazetteer, within 2 edits — q-gram count prefilter + batched-DP
+    verify, bit-identical to DuckDB's levenshtein (the oracle replays
+    the typo derivation with substr surgery and the predicate with a
+    cross join)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from cartwright_ray.stages.editsim import edit_similarity_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    keys = np.asarray(part["p_partkey"], dtype=np.int64)
+    names = np.asarray(part["p_name"], dtype=object)
+    am = keys % 20 == 0
+    a_names = [n[:k % 5] + "q" + n[k % 5 + 1:]
+               for k, n in zip(keys[am], names[am])]
+    a = ray.data.from_arrow(pa.table({
+        "rid": pa.array(keys[am]),
+        "name": pa.array(a_names, pa.string())}))
+    b_names = sorted(set(names[keys % 31 == 0]))
+    out = edit_similarity_join(a, b_names, b_ids=np.array(b_names,
+                                                          dtype=object),
+                               a_col="name", max_dist=2).to_pandas()
+    out = out.rename(columns={"b_id": "b_name"})
+    out = out[["rid", "b_name", "edit_dist"]]
+    return out.sort_values(["rid", "b_name"]).reset_index(drop=True)
+
+
 def _q_events_rollup(sf_dir):
     """GROUP BY ROLLUP analogue (``relational.rollup_counts``): per
     (event_type, user-bucket) counts plus each prefix level and the
@@ -1422,7 +1454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_quantiles_by_type": rel.sketch_quantiles_by_type,
         "ivf_ann_pruned": _q_ivf_ann_pruned,
         "bloom_semi_join_lineitems": _q_bloom_semi_join,
-        "top_orders_per_customer": rel.top_orders_per_customer,
+        "edit_similarity_join": _q_edit_sim_join,
         # geo kernels with SQL-reproducible math
         "events_rollup_counts": _q_events_rollup,
         # text / dedup / ANN
@@ -1482,6 +1514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": rel.events_hourly_window,
         "track_segments": rel.track_segments,
         "orders_by_nation": rel.orders_by_nation,
+        "top_orders_per_customer": rel.top_orders_per_customer,
         "tile_pyramid": _q_tile_pyramid,
         "text_stats_docs": _q_text_stats,
         "interval_join_events": rel.interval_join_events,
@@ -2337,6 +2370,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM per GROUP BY admin_id)
             SELECT admin_id, floor(a * 10) / 10 AS area_km2
             FROM areas ORDER BY admin_id
+        """,
+        "edit_similarity_join": """
+            WITH a AS (
+                SELECT p_partkey AS rid,
+                       substr(p_name, 1, p_partkey % 5) || 'q'
+                           || substr(p_name, p_partkey % 5 + 2) AS name
+                FROM part WHERE p_partkey % 20 = 0),
+            b AS (SELECT DISTINCT p_name FROM part
+                  WHERE p_partkey % 31 = 0)
+            SELECT a.rid, b.p_name AS b_name,
+                   CAST(levenshtein(a.name, b.p_name) AS BIGINT)
+                       AS edit_dist
+            FROM a CROSS JOIN b
+            WHERE levenshtein(a.name, b.p_name) <= 2
+            ORDER BY rid, b_name
         """,
         "events_rollup_counts": """
             SELECT coalesce(event_type, '__all__') AS event_type,

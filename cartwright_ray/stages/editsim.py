@@ -1,0 +1,174 @@
+"""Edit-distance similarity join: stream rows against a broadcast name
+table, returning pairs within Levenshtein distance ``max_dist`` — the
+fuzzy-entity-matching primitive (typo'd gazetteer lookups, record
+linkage), the exact-threshold cousin of the reference's fuzzy-ratio
+matching (`cartwright/categories/geos.py`).
+
+Plan (the classic filter + verify of the similarity-join literature):
+
+* FILTER — positional q-gram COUNT filtering (Gravano et al., VLDB'01):
+  strings within edit distance ``d`` share at least
+  ``max(|a|,|b|) - q + 1 - q*d`` q-grams, so candidates come from a
+  broadcast q-gram → name-id CSR index probed fully vectorized
+  (searchsorted bucket lookup + repeat + unique pair counting — no
+  per-row Python). The count used is Σ mult_a·mult_b ≥ Σ min(mult_a,
+  mult_b), so the test only ever ADMITS extra pairs, never rejects a
+  true one; pairs whose bound is ≤ 0 (short strings) fall back to the
+  length-window candidate set.
+* VERIFY — exact Levenshtein over all candidate pairs at once with a
+  BATCHED DP: one numpy row-recurrence per character position,
+  vectorized across pairs, with the horizontal running-min dependency
+  resolved by the ``j + accumulate-min(c[j] - j)`` prefix trick.
+  Unit costs, no transposition — bit-identical to DuckDB's
+  ``levenshtein`` (the oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def levenshtein_pairs(a_strs, b_strs) -> np.ndarray:
+    """Exact Levenshtein distance for each aligned pair (vectorized
+    across pairs; unit costs)."""
+    a_bytes = [s.encode("utf-8") for s in a_strs]
+    b_bytes = [s.encode("utf-8") for s in b_strs]
+    n = len(a_bytes)
+    if n == 0:
+        return np.empty(0, np.int32)
+    la = np.array([len(s) for s in a_bytes], np.int32)
+    lb = np.array([len(s) for s in b_bytes], np.int32)
+    La, Lb = int(la.max(initial=0)), int(lb.max(initial=0))
+    A = np.zeros((n, La), np.uint8)
+    B = np.zeros((n, Lb), np.uint8)
+    for r, s in enumerate(a_bytes):
+        A[r, :len(s)] = np.frombuffer(s, np.uint8)
+    for r, s in enumerate(b_bytes):
+        B[r, :len(s)] = np.frombuffer(s, np.uint8)
+
+    js = np.arange(Lb + 1, dtype=np.int32)
+    d = np.tile(js, (n, 1))
+    out = lb.astype(np.int32).copy()          # rows with |a| == 0
+    c = np.empty((n, Lb + 1), np.int32)
+    for i in range(1, La + 1):
+        cost = (A[:, i - 1:i] != B).astype(np.int32)
+        c[:, 0] = i
+        if Lb:
+            np.minimum(d[:, 1:] + 1, d[:, :-1] + cost, out=c[:, 1:])
+        # d_new[j] = min_{k<=j} c[k] + (j-k)  (insertion chains)
+        d = js + np.minimum.accumulate(c - js, axis=1)
+        hit = la == i
+        if hit.any():
+            out[hit] = d[hit, lb[hit]]
+    return out
+
+
+def _grams(s: bytes, q: int) -> np.ndarray:
+    """Positional-free q-gram keys (uint64) with multiplicity."""
+    if len(s) < q:
+        return np.empty(0, np.uint64)
+    a = np.frombuffer(s, np.uint8)
+    w = np.zeros(len(s) - q + 1, np.uint64)
+    for k in range(q):
+        w = (w << np.uint64(8)) | a[k:len(s) - q + 1 + k].astype(np.uint64)
+    return w
+
+
+def edit_similarity_join(a_ds, b_names, b_ids=None, a_col: str = "name",
+                         max_dist: int = 2, q: int = 2):
+    """Rows of ``a_ds`` joined to every broadcast name within
+    ``max_dist`` edits: output = a columns + ``b_id`` + ``edit_dist``.
+    ``b_names``: list/array of strings; ``b_ids`` defaults to their
+    positions."""
+    import ray
+
+    b_names = [str(s) for s in b_names]
+    if b_ids is None:
+        b_ids = np.arange(len(b_names), dtype=np.int64)
+    b_bytes = [s.encode("utf-8") for s in b_names]
+    lb = np.array([len(s) for s in b_bytes], np.int32)
+    gram_keys, gram_bids = [], []
+    for bid, s in enumerate(b_bytes):
+        g = _grams(s, q)
+        gram_keys.append(g)
+        gram_bids.append(np.full(len(g), bid, np.int64))
+    gk = np.concatenate(gram_keys) if gram_keys else np.empty(0, np.uint64)
+    gb = np.concatenate(gram_bids) if gram_bids else np.empty(0, np.int64)
+    order = np.argsort(gk, kind="stable")
+    # CSR: sorted distinct gram keys -> slice of b-id occurrences
+    gk, gb = gk[order], gb[order]
+    uniq, starts = np.unique(gk, return_index=True)
+    ends = np.r_[starts[1:], len(gk)]
+    bundle_ref = ray.put({
+        "uniq": uniq, "starts": starts, "ends": ends, "occ": gb,
+        "lb": lb, "names": b_names,
+        "ids": np.asarray(b_ids),
+    })
+
+    def probe(t: pa.Table, _q=q, _d=max_dist) -> pa.Table:
+        bx = ray.get(bundle_ref)
+        vals = t.column(a_col).to_pylist()
+        n_b = len(bx["lb"])
+        rows_out, bid_out, dist_out = [], [], []
+        # vectorized gram probe for the whole batch
+        a_bytes = [str(s).encode("utf-8") for s in vals]
+        la = np.array([len(s) for s in a_bytes], np.int32)
+        rr, kk = [], []
+        for r, s in enumerate(a_bytes):
+            g = _grams(s, _q)
+            rr.append(np.full(len(g), r, np.int64))
+            kk.append(g)
+        rr = np.concatenate(rr) if rr else np.empty(0, np.int64)
+        kk = np.concatenate(kk) if kk else np.empty(0, np.uint64)
+        pos = np.searchsorted(bx["uniq"], kk)
+        pos[pos == len(bx["uniq"])] = 0
+        m = bx["uniq"][pos] == kk if len(bx["uniq"]) else \
+            np.zeros(len(kk), bool)
+        rr, pos = rr[m], pos[m]
+        cnt = bx["ends"][pos] - bx["starts"][pos]
+        prow = np.repeat(rr, cnt)
+        off = np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt,
+                                                    cnt)
+        pbid = bx["occ"][np.repeat(bx["starts"][pos], cnt) + off]
+        pair = prow * n_b + pbid
+        upair, shared = np.unique(pair, return_counts=True)
+        crow = (upair // n_b).astype(np.int64)
+        cbid = (upair % n_b).astype(np.int64)
+        # count-filter bound (conservative; see module docstring)
+        bound = (np.maximum(la[crow], bx["lb"][cbid]) - _q + 1
+                 - _q * _d)
+        keep = (shared >= np.maximum(bound, 1)) \
+            & (np.abs(la[crow] - bx["lb"][cbid]) <= _d)
+        crow, cbid = crow[keep], cbid[keep]
+        # short-string fallback: bound <= 0 rows must consider every
+        # length-window name (the gram filter proves nothing there)
+        srows = np.nonzero(la - _q + 1 - _q * _d <= 0)[0]
+        if srows.size:
+            win = [(r, b) for r in srows for b in
+                   np.nonzero(np.abs(bx["lb"] - la[r]) <= _d)[0]]
+            if win:
+                wr, wb = np.array(win, np.int64).T
+                crow = np.concatenate([crow, wr])
+                cbid = np.concatenate([cbid, wb])
+                upair = crow * n_b + cbid
+                u = np.unique(upair)
+                crow = (u // n_b).astype(np.int64)
+                cbid = (u % n_b).astype(np.int64)
+        if crow.size:
+            dists = levenshtein_pairs([vals[r] for r in crow],
+                                      [bx["names"][b] for b in cbid])
+            ok = dists <= _d
+            rows_out, bid_out, dist_out = crow[ok], cbid[ok], dists[ok]
+        else:
+            rows_out = np.empty(0, np.int64)
+            bid_out = np.empty(0, np.int64)
+            dist_out = np.empty(0, np.int32)
+        order = np.argsort(rows_out, kind="stable")
+        out = t.take(pa.array(rows_out[order], pa.int64()))
+        out = out.append_column(
+            "b_id", pa.array(bx["ids"][bid_out[order]]))
+        return out.append_column(
+            "edit_dist", pa.array(dist_out[order].astype(np.int64)))
+
+    return a_ds.map_batches(probe, batch_format="pyarrow")
