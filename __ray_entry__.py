@@ -1262,6 +1262,22 @@ def _q_edit_sim_join(sf_dir):
     return out.sort_values(["rid", "b_name"]).reset_index(drop=True)
 
 
+def _q_funnel(sf_dir):
+    """Ordered funnel view→click→purchase (``relational.funnel_counts``):
+    stage k counts users with an event strictly after their stage-k-1
+    chain timestamp; the oracle replays the chain with nested min
+    joins."""
+    import ray.data
+
+    from cartwright_ray.pipelines.relational import funnel_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "ts"])
+    out = funnel_counts(ds, ["view", "click", "purchase"]).to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("stage").reset_index(drop=True)
+
+
 def _q_events_rollup(sf_dir):
     """GROUP BY ROLLUP analogue (``relational.rollup_counts``): per
     (event_type, user-bucket) counts plus each prefix level and the
@@ -1446,7 +1462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational surface (groupby / broadcast join / window / top-k /
         # global aggregate)
-        "q1_pricing_summary": rel.q1_pricing_summary,
+        "funnel_view_click_purchase": _q_funnel,
         "orders_customers_join": _q_orders_customers_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "box_join_pairs": _q_box_join,
@@ -1514,6 +1530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": rel.events_hourly_window,
         "track_segments": rel.track_segments,
         "orders_by_nation": rel.orders_by_nation,
+        "q1_pricing_summary": rel.q1_pricing_summary,
         "top_orders_per_customer": rel.top_orders_per_customer,
         "tile_pyramid": _q_tile_pyramid,
         "text_stats_docs": _q_text_stats,
@@ -2370,6 +2387,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM per GROUP BY admin_id)
             SELECT admin_id, floor(a * 10) / 10 AS area_km2
             FROM areas ORDER BY admin_id
+        """,
+        "funnel_view_click_purchase": """
+            WITH v AS (SELECT user_id, min(ts) AS t FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                  JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click' AND e.ts > v.t
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                  JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t
+                  GROUP BY e.user_id)
+            SELECT stage, CAST(n_users AS BIGINT) AS n_users FROM (
+                VALUES ('view', (SELECT count(*) FROM v)),
+                       ('click', (SELECT count(*) FROM c)),
+                       ('purchase', (SELECT count(*) FROM p)))
+                t(stage, n_users)
+            ORDER BY stage
         """,
         "edit_similarity_join": """
             WITH a AS (

@@ -136,7 +136,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "cover_join_points", "ivf_ann_pruned", "media_resized",
              "orders_customers_join", "lineitem_orders_join",
              "events_pivot_by_user", "props_sum_by_type",
-             "events_rollup_counts", "edit_similarity_join"]
+             "events_rollup_counts", "edit_similarity_join",
+             "funnel_view_click_purchase"]
     out = {}
     for name in picks:
         t0 = time.time()

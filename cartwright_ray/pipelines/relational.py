@@ -855,3 +855,84 @@ def rollup_counts(ds, cols: list[str], count_name: str = "n"):
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def funnel_counts(ds, stages: list[str], user_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type"):
+    """Ordered-funnel analysis: how many users reached each stage IN
+    ORDER (stage k counts users with an event of type ``stages[k]``
+    strictly after their stage-k-1 timestamp; stage 0 is the user's
+    earliest such event). Returns one row per stage: (stage, n_users).
+
+    Scale shape: blocks project each event to (user, stage_idx, ts) and
+    DROP everything outside the funnel's type set; ONE hash exchange
+    co-locates each user's funnel events, and the resolver runs the
+    strict-order chain fully vectorized ACROSS users (one masked
+    ``np.minimum.reduceat`` per stage — K passes, no per-user Python).
+    The exchange carries every funnel-typed event, which is the honest
+    lower bound: no constant-size per-(user, stage) summary can resolve
+    an order-sensitive chain exactly (a later stage's winner can sit
+    arbitrarily deep in that stage's timestamp order when earlier
+    stages start late), so nothing smaller is forwarded — only
+    narrower.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.partition import hash_partitioned
+
+    k_stages = list(stages)
+    stage_idx = {s: i for i, s in enumerate(k_stages)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        typ = t.column(type_col).to_pandas().map(stage_idx).to_numpy()
+        keep = ~pd.isna(typ)
+        users = np.asarray(t[user_col], dtype=np.int64)[keep]
+        st = typ[keep].astype(np.int64)
+        ts = np.asarray(
+            t[ts_col].cast(pa.timestamp("us")), dtype="datetime64[us]"
+        ).astype(np.int64)[keep]
+        return pa.table({user_col: pa.array(users),
+                         "__fk_stage": pa.array(st),
+                         "__fk_ts": pa.array(ts, pa.int64())})
+
+    parted = hash_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"), [user_col])
+    if parted is None:
+        return ray.data.from_arrow(pa.table({
+            "stage": pa.array(k_stages, pa.string()),
+            "n_users": pa.array([0] * len(k_stages), pa.int64())}))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        users = np.asarray(t[user_col], dtype=np.int64)
+        st = np.asarray(t["__fk_stage"], dtype=np.int64)
+        ts = np.asarray(t["__fk_ts"], dtype=np.int64)
+        order = np.lexsort((ts, st, users))
+        users, st, ts = users[order], st[order], ts[order]
+        ustarts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        uidx = np.cumsum(np.r_[0, (users[1:] != users[:-1])
+                               .astype(np.int64)])   # per-row user ordinal
+        INF = np.iinfo(np.int64).max
+        cur = np.full(len(ustarts), np.int64(-2**62))
+        counts = np.zeros(len(k_stages), np.int64)
+        # chain is sequential in STAGES (K iterations) but fully
+        # vectorized across users: per stage, the per-user min candidate
+        # strictly after cur via one masked minimum.reduceat
+        for si in range(len(k_stages)):
+            cand = np.where((st == si) & (ts > cur[uidx]), ts, INF)
+            umin = np.minimum.reduceat(cand, ustarts) \
+                if len(cand) else np.empty(0, np.int64)
+            ok = umin < INF
+            counts[si] = int(ok.sum())
+            cur = np.where(ok, umin, INF)   # failed users fail onward
+        return pa.table({"stage_idx": pa.array(np.arange(len(k_stages))),
+                         "n": pa.array(counts, pa.int64())})
+
+    from ray.data.aggregate import Sum
+    agg = (parted.map_batches(resolve, batch_format="pyarrow",
+                              batch_size=None)
+           .groupby("stage_idx").aggregate(Sum("n", alias_name="n_users"))
+           .to_pandas().sort_values("stage_idx"))
+    return ray.data.from_arrow(pa.table({
+        "stage": pa.array(k_stages, pa.string()),
+        "n_users": pa.array(agg["n_users"].to_numpy().astype(np.int64)),
+    }))

@@ -156,3 +156,40 @@ def test_rollup_counts_matches_pandas(ray_session):
     # grand total
     assert out[(out.a == "__all__") & (out.b == "__all__")].n.item() == 2000
     assert len(out) == len(full) + len(pre) + 1
+
+
+def test_funnel_counts_matches_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from cartwright_ray.pipelines.relational import funnel_counts
+
+    rng = np.random.default_rng(29)
+    n = 6000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 300, n),
+        "event_type": rng.choice(["view", "click", "purchase", "other"],
+                                 n, p=[0.4, 0.3, 0.1, 0.2]),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+    })
+    stages = ["view", "click", "purchase"]
+    out = funnel_counts(
+        ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        .repartition(7), stages).to_pandas()
+
+    # brute force, incl. the late-start case the K-truncation design
+    # failed on (winner deep in a later stage's timestamp order)
+    want = np.zeros(3, int)
+    for _, g in df.groupby("user_id"):
+        cur = pd.Timestamp.min
+        for i, s in enumerate(stages):
+            cand = g[(g.event_type == s) & (g.ts > cur)]
+            if cand.empty:
+                break
+            cur = cand.ts.min()
+            want[i] += 1
+    assert dict(zip(out["stage"], out["n_users"])) == dict(
+        zip(stages, want.tolist()))
+    assert (np.diff(out["n_users"].to_numpy()) <= 0).all()  # monotone
