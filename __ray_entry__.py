@@ -1262,6 +1262,21 @@ def _q_edit_sim_join(sf_dir):
     return out.sort_values(["rid", "b_name"]).reset_index(drop=True)
 
 
+def _q_mode_per_user(sf_dir):
+    """Per-key MODE (``relational.mode_per_key``): each user's most
+    frequent event type, ties to the lexicographically smallest — the
+    oracle replays it with row_number over (count DESC, value)."""
+    import ray.data
+
+    from cartwright_ray.pipelines.relational import mode_per_key
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    out = mode_per_key(ds, "user_id", "event_type").to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_funnel(sf_dir):
     """Ordered funnel view→click→purchase (``relational.funnel_counts``):
     stage k counts users with an event strictly after their stage-k-1
@@ -1493,7 +1508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_dedup_pairs": _q_simhash,
         "embedding_near_dups": _q_embedding_dups,
-        "langid_counts": _q_langid,
+        "mode_event_type_per_user": _q_mode_per_user,
         # cartwright-parity inference
         "temporal_resolution_events": _q_temporal_resolution,
         "spatial_resolution_grid": _q_spatial_resolution,
@@ -1531,6 +1546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "track_segments": rel.track_segments,
         "orders_by_nation": rel.orders_by_nation,
         "q1_pricing_summary": rel.q1_pricing_summary,
+        "langid_counts": _q_langid,
         "top_orders_per_customer": rel.top_orders_per_customer,
         "tile_pyramid": _q_tile_pyramid,
         "text_stats_docs": _q_text_stats,
@@ -2387,6 +2403,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM per GROUP BY admin_id)
             SELECT admin_id, floor(a * 10) / 10 AS area_km2
             FROM areas ORDER BY admin_id
+        """,
+        "mode_event_type_per_user": """
+            WITH c AS (SELECT user_id, event_type, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY n DESC, event_type) AS rk FROM c)
+            SELECT user_id, event_type AS mode_value,
+                   CAST(n AS BIGINT) AS n
+            FROM r WHERE rk = 1 ORDER BY user_id
         """,
         "funnel_view_click_purchase": """
             WITH v AS (SELECT user_id, min(ts) AS t FROM events

@@ -936,3 +936,54 @@ def funnel_counts(ds, stages: list[str], user_col: str = "user_id",
         "stage": pa.array(k_stages, pa.string()),
         "n_users": pa.array(agg["n_users"].to_numpy().astype(np.int64)),
     }))
+
+
+def mode_per_key(ds, key_col: str, val_col: str):
+    """Per-key MODE: each key's most frequent value, ties broken by the
+    lexicographically smallest value (deterministic, SQL-replayable as
+    ``row_number() OVER (ORDER BY n DESC, val)``). Returns
+    (key, mode_value, n).
+
+    Scale shape: per-block (key, val) partial counts (one vectorized
+    ``np.unique`` per block) → ONE hash exchange keyed on ``key_col`` →
+    a whole-block segment argmax (sort by (key, -n, val), first row per
+    key segment) — the shuffle carries distinct (key, val) partials,
+    never raw rows.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..stages.partition import hash_partitioned
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([key_col, val_col]).to_pandas()
+        g = df.groupby([key_col, val_col], as_index=False).size()
+        return pa.table({key_col: pa.array(g[key_col].to_numpy()),
+                         val_col: pa.array(g[val_col].astype(str)
+                                           .to_numpy(), pa.string()),
+                         "__n": pa.array(g["size"].to_numpy()
+                                         .astype(np.int64))})
+
+    # merge partials across blocks first (same (key,val) can appear per
+    # block), then pick per-key winners — both on ONE keyed exchange
+    parted = hash_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"), [key_col])
+    if parted is None:
+        return ray.data.from_arrow(pa.table({
+            key_col: pa.array([], pa.int64()),
+            "mode_value": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64())}))
+
+    def winners(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.groupby([key_col, val_col], as_index=False)["__n"].sum()
+        df = df.sort_values([key_col, "__n", val_col],
+                            ascending=[True, False, True])
+        top = df.drop_duplicates(key_col, keep="first")
+        return pa.table({key_col: pa.array(top[key_col].to_numpy()),
+                         "mode_value": pa.array(top[val_col].to_numpy(),
+                                                pa.string()),
+                         "n": pa.array(top["__n"].to_numpy()
+                                       .astype(np.int64))})
+
+    return parted.map_batches(winners, batch_format="pyarrow",
+                              batch_size=None)

@@ -193,3 +193,26 @@ def test_funnel_counts_matches_brute_force(ray_session):
     assert dict(zip(out["stage"], out["n_users"])) == dict(
         zip(stages, want.tolist()))
     assert (np.diff(out["n_users"].to_numpy()) <= 0).all()  # monotone
+
+
+def test_mode_per_key_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from cartwright_ray.pipelines.relational import mode_per_key
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame({"k": rng.integers(0, 120, 5000),
+                       "v": rng.choice(["a", "b", "c", "d"], 5000)})
+    out = mode_per_key(
+        ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        .repartition(6), "k", "v").to_pandas().sort_values("k") \
+        .reset_index(drop=True)
+    cnt = df.groupby(["k", "v"], as_index=False).size()
+    cnt = cnt.sort_values(["k", "size", "v"],
+                          ascending=[True, False, True])
+    want = cnt.drop_duplicates("k", keep="first").reset_index(drop=True)
+    assert out["mode_value"].tolist() == want["v"].tolist()
+    assert out["n"].tolist() == want["size"].tolist()
