@@ -858,7 +858,8 @@ def rollup_counts(ds, cols: list[str], count_name: str = "n"):
 
 
 def funnel_counts(ds, stages: list[str], user_col: str = "user_id",
-                  ts_col: str = "ts", type_col: str = "event_type"):
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  small_limit: int = 262_144):
     """Ordered-funnel analysis: how many users reached each stage IN
     ORDER (stage k counts users with an event of type ``stages[k]``
     strictly after their stage-k-1 timestamp; stage 0 is the user's
@@ -895,8 +896,16 @@ def funnel_counts(ds, stages: list[str], user_col: str = "user_id",
                          "__fk_stage": pa.array(st),
                          "__fk_ts": pa.array(ts, pa.int64())})
 
-    parted = hash_partitioned(
-        ds.map_batches(partial, batch_format="pyarrow"), [user_col])
+    # funnel-typed rows only (narrow projection); pin them — counted
+    # and exchanged below
+    rows = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if rows.count() <= small_limit:   # small_limit=0 forces the hash plan
+        # tiny-exchange fast path (see stratified_topk_sample): the
+        # resolver only needs each user's rows co-located, which one
+        # coalesced block satisfies — skips the hash-shuffle spin-up
+        parted = rows.repartition(1)
+    else:
+        parted = hash_partitioned(rows, [user_col])
     if parted is None:
         return ray.data.from_arrow(pa.table({
             "stage": pa.array(k_stages, pa.string()),

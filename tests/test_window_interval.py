@@ -158,7 +158,8 @@ def test_rollup_counts_matches_pandas(ray_session):
     assert len(out) == len(full) + len(pre) + 1
 
 
-def test_funnel_counts_matches_brute_force(ray_session):
+@pytest.mark.parametrize("fplan", [{}, {"small_limit": 0}])
+def test_funnel_counts_matches_brute_force(ray_session, fplan):
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -177,7 +178,7 @@ def test_funnel_counts_matches_brute_force(ray_session):
     stages = ["view", "click", "purchase"]
     out = funnel_counts(
         ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
-        .repartition(7), stages).to_pandas()
+        .repartition(7), stages, **fplan).to_pandas()
 
     # brute force, incl. the late-start case the K-truncation design
     # failed on (winner deep in a later stage's timestamp order)
