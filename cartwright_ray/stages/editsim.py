@@ -110,7 +110,6 @@ def edit_similarity_join(a_ds, b_names, b_ids=None, a_col: str = "name",
         bx = ray.get(bundle_ref)
         vals = t.column(a_col).to_pylist()
         n_b = len(bx["lb"])
-        rows_out, bid_out, dist_out = [], [], []
         # vectorized gram probe for the whole batch
         a_bytes = [str(s).encode("utf-8") for s in vals]
         la = np.array([len(s) for s in a_bytes], np.int32)
