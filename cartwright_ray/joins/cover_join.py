@@ -1,4 +1,6 @@
-"""Cell-cover membership join: stream points against a broadcast
+"""Cell-cover membership join (engine surface; the reference —
+jataware/cartwright — classifies geo columns, `cartwright/categories/
+geos.py`, but has no cell algebra): stream points against a broadcast
 mixed-precision geohash cell set (typically the output of
 ``geo/compact.compact_geohash``) — "which cover cell(s) contain this
 point", the membership primitive behind cell-algebra filters (H3

@@ -1,5 +1,6 @@
 """General equi-join operator (the relational primitive the query layer
-had been hand-rolling per pipeline).
+had been hand-rolling per pipeline; engine surface — the reference,
+jataware/cartwright, is a column classifier with no join layer).
 
 Two physical plans, mirroring the engine's spatial-join family:
 

@@ -1,6 +1,9 @@
 """Vectorized JSON scalar-field extraction over string columns — the
 shredding fast path every columnar engine special-cases (DuckDB/Spark
-extract flat scalar fields without materializing a JSON DOM).
+extract flat scalar fields without materializing a JSON DOM). Engine
+surface beyond the reference (jataware/cartwright infers column TYPES,
+`cartwright/categorize.py`; it never extracts nested payloads) — same
+RE2-kernel family as the span extractor, ``stages/extract.py``.
 
 Scope (documented, asserted by tests): FLAT scalar fields — numbers,
 strings without escaped quotes, booleans, null — addressed by a single
