@@ -122,6 +122,8 @@ def knn_join(points_ds, features: dict, k: int = 3,
         key = (getattr(_ref, "hex", lambda: id(_ref))(), _k)
         actor = _KNN_TASK_CACHE.get(key)
         if actor is None:
+            if len(_KNN_TASK_CACHE) > 8:     # bound worker memory across
+                _KNN_TASK_CACHE.clear()      # many joins (ADVICE r03)
             actor = _KNN_TASK_CACHE.setdefault(key, _KNNActor(_ref, _k))
         return actor(batch)
 

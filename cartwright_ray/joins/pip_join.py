@@ -166,8 +166,10 @@ def _pip_task(batch: pa.Table, polygons_ref, cover_res: int) -> pa.Table:
     key = (getattr(polygons_ref, "hex", lambda: id(polygons_ref))(), cover_res)
     idx = _TASK_INDEX_CACHE.get(key)
     if idx is None:
+        if len(_TASK_INDEX_CACHE) > 8:       # bound worker memory: a
+            _TASK_INDEX_CACHE.clear()        # long-lived worker running many
         polys = ray.get(polygons_ref) if not isinstance(polygons_ref, list) \
-            else polygons_ref
+            else polygons_ref                # joins must not hoard indexes
         idx = _TASK_INDEX_CACHE.setdefault(key, PolygonIndex(polys, cover_res))
     return _join_batch(batch, idx)
 
@@ -268,6 +270,8 @@ def pip_join_shuffle(points_ds, polygons: list[dict],
                cover_res)
         index = _TASK_INDEX_CACHE.get(key)
         if index is None:
+            if len(_TASK_INDEX_CACHE) > 8:   # same bound as _pip_task
+                _TASK_INDEX_CACHE.clear()
             index = _TASK_INDEX_CACHE.setdefault(
                 key, PolygonIndex(ray.get(polygons_ref), cover_res))
         lat = np.asarray(t["lat"], dtype=np.float64)

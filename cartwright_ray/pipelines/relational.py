@@ -899,6 +899,14 @@ def funnel_counts(ds, stages: list[str], user_col: str = "user_id",
     # funnel-typed rows only (narrow projection); pin them — counted
     # and exchanged below
     rows = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if rows.count() == 0:
+        # empty funnel-typed input: the small path's repartition(1) would
+        # bypass the `parted is None` guard, Ray would skip the resolve
+        # UDF on the empty block, and the final table would pair a len-K
+        # stage array with a 0-length aggregate (ADVICE r03)
+        return ray.data.from_arrow(pa.table({
+            "stage": pa.array(k_stages, pa.string()),
+            "n_users": pa.array([0] * len(k_stages), pa.int64())}))
     if rows.count() <= small_limit:   # small_limit=0 forces the hash plan
         # tiny-exchange fast path (see stratified_topk_sample): the
         # resolver only needs each user's rows co-located, which one

@@ -128,6 +128,19 @@ def _files_for_prefixes(path: str, prefixes) -> list[str]:
     return files
 
 
+def _extend_columns(columns, lat_col: str, lon_col: str):
+    """Extend a caller projection with whichever of lat/lon the residual
+    filter needs, each checked INDEPENDENTLY (requesting lat but not lon
+    raised KeyError before, ADVICE r03), and report the appended names so
+    the residual can drop them — the caller gets exactly the projection
+    it asked for."""
+    if columns is None:
+        return None, []
+    columns = list(columns)
+    extra = [c for c in (lat_col, lon_col) if c not in columns]
+    return columns + extra, extra
+
+
 def read_bbox(path: str, lat0: float, lat1: float, lon0: float, lon1: float,
               precision: int = 3, lat_col: str = "lat",
               lon_col: str = "lon", columns: list[str] | None = None):
@@ -140,8 +153,7 @@ def read_bbox(path: str, lat0: float, lat1: float, lon0: float, lon1: float,
 
     prefixes = bbox_cover_prefixes(lat0, lat1, lon0, lon1, precision)
     files = _files_for_prefixes(path, prefixes)
-    if columns is not None and lat_col not in columns:
-        columns = columns + [lat_col, lon_col]
+    columns, extra = _extend_columns(columns, lat_col, lon_col)
     if not files:
         return None
     ds = ray.data.read_parquet(files, columns=columns)
@@ -155,7 +167,8 @@ def read_bbox(path: str, lat0: float, lat1: float, lon0: float, lon1: float,
                     pc.less_equal(lat, pa.scalar(float(lat1)))),
             pc.and_(pc.greater_equal(lon, pa.scalar(float(lon0))),
                     pc.less_equal(lon, pa.scalar(float(lon1)))))
-        return t.filter(m)
+        t = t.filter(m)
+        return t.drop_columns(extra) if extra else t
 
     return ds.map_batches(residual, batch_format="pyarrow")
 
@@ -197,8 +210,7 @@ def read_radius(path: str, lat: float, lon: float, radius_km: float,
     for lo0, lo1 in lon_spans:
         prefixes |= set(bbox_cover_prefixes(lat0, lat1, lo0, lo1, precision))
     files = _files_for_prefixes(path, sorted(prefixes))
-    if columns is not None and lat_col not in columns:
-        columns = columns + [lat_col, lon_col]
+    columns, extra = _extend_columns(columns, lat_col, lon_col)
     if not files:
         return None
     ds = ray.data.read_parquet(files, columns=columns)
@@ -209,6 +221,7 @@ def read_radius(path: str, lat: float, lon: float, radius_km: float,
         plon = np.asarray(t[lon_col], dtype=np.float64)
         d = haversine_km(plat, plon, np.full_like(plat, lat),
                          np.full_like(plon, lon))
-        return t.filter(pa.array(d <= radius_km))
+        t = t.filter(pa.array(d <= radius_km))
+        return t.drop_columns(extra) if extra else t
 
     return ds.map_batches(residual, batch_format="pyarrow")

@@ -57,9 +57,12 @@ def json_field(ds, col: str, key: str, out_col: str | None = None,
         c = t.column(col).combine_chunks()
         s = _group(c, sp, "s")
         v = _group(c, vp, "v")
+        # the 'null'-token rewrite applies to the BARE-scalar branch only,
+        # BEFORE merging: a genuine JSON string value "null" ({"k": "null"})
+        # must survive as the string it is (ADVICE r03)
+        v = pc.if_else(pc.equal(v, pa.scalar("null")),
+                       pa.nulls(t.num_rows, pa.string()), v)
         raw = pc.if_else(pc.is_valid(s), s, v)
-        raw = pc.if_else(pc.equal(raw, pa.scalar("null")),
-                         pa.nulls(t.num_rows, pa.string()), raw)
         if out_type is not None:
             raw = raw.cast(out_type)
         return t.append_column(out_col, raw)

@@ -45,6 +45,12 @@ def pivot(ds, key_col: str, pivot_col: str, value_col: str | None = None,
                 .groupby(pivot_col).count().to_pandas()[pivot_col])
         pivot_values = sorted(str(v) for v in vals)
     pivot_values = [str(v) for v in pivot_values]
+    if key_col in pivot_values:
+        # a pivot value whose string equals key_col would overwrite the
+        # key column in the wide partial and corrupt the merge (ADVICE r03)
+        raise ValueError(
+            f"pivot value {key_col!r} collides with key_col; rename the "
+            f"key column or remap the colliding value upstream")
 
     cols = [key_col, pivot_col] + ([value_col] if value_col else [])
 

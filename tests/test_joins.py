@@ -44,6 +44,28 @@ def test_pip_broadcast_exact(ray_session, points_df):
     assert len(out)  # the hot cluster guarantees matches
 
 
+def test_worker_index_caches_are_bounded():
+    """The task-plan worker caches must not hoard one index per feature
+    set forever in long-lived workers (ADVICE r03): inserting past the
+    bound clears the cache."""
+    import importlib
+
+    import pyarrow as pa
+
+    pj = importlib.import_module("cartwright_ray.joins.pip_join")
+
+    saved = dict(pj._TASK_INDEX_CACHE)
+    try:
+        pj._TASK_INDEX_CACHE.clear()
+        pj._TASK_INDEX_CACHE.update({("dummy", i): object() for i in range(9)})
+        batch = pa.table({"lat": pa.array([2.0]), "lon": pa.array([5.0])})
+        pj._pip_task(batch, ADMIN_POLYGONS, 2)
+        assert len(pj._TASK_INDEX_CACHE) <= 2   # cleared, then repopulated
+    finally:
+        pj._TASK_INDEX_CACHE.clear()
+        pj._TASK_INDEX_CACHE.update(saved)
+
+
 def test_pip_shuffle_exact_with_salt(ray_session, points_df):
     import ray.data
     ds = ray.data.from_pandas(points_df).repartition(8)

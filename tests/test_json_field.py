@@ -34,6 +34,18 @@ def test_scalar_kinds_match_json_loads(ray_session):
     assert want[0] == "69"
 
 
+def test_string_null_token_survives(ray_session):
+    """A genuine JSON STRING value "null" must come back as the string,
+    not be rewritten to null — only the bare-scalar branch carries the
+    JSON null token (ADVICE r03)."""
+    texts = ['{"k": "null"}', '{"k": null}', '{"k": "x"}']
+    out = json_field(_ds(ray_session, texts), "js", "k").to_pandas() \
+        .sort_values("i")
+    got = [None if v is None or (isinstance(v, float) and np.isnan(v))
+           else v for v in out["k"]]
+    assert got == ["null", None, "x"]
+
+
 def test_typed_cast(ray_session):
     texts = ['{"k": 10}', '{"k": 20}', '{"nope": 1}']
     out = json_field(_ds(ray_session, texts), "js", "k",

@@ -59,6 +59,15 @@ def test_pivot_bad_agg_rejected(ray_session):
         pivot(_ds(ray_session, _df(), 1), "user", "kind", agg="median")
 
 
+def test_pivot_value_colliding_with_key_rejected(ray_session):
+    """A pivot value whose string equals key_col would overwrite the key
+    column in the wide partial (ADVICE r03) — rejected up front."""
+    df = _df(19)
+    df.loc[df["kind"] == "a", "kind"] = "user"
+    with pytest.raises(ValueError, match="collides"):
+        pivot(_ds(ray_session, df, 2), "user", "kind")
+
+
 def test_melt_roundtrips_pivot(ray_session):
     """melt(pivot(ds)) recovers the long counts table exactly."""
     from cartwright_ray.stages.pivot import melt

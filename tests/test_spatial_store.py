@@ -93,6 +93,39 @@ def test_empty_cover_returns_none(ray_session):
         shutil.rmtree(path, ignore_errors=True)
 
 
+@pytest.mark.parametrize("cols", [
+    ["vec_id"],                  # neither lat nor lon requested
+    ["vec_id", "lat"],           # lat but NOT lon (KeyError before, ADVICE r03)
+    ["vec_id", "lon"],           # lon but NOT lat
+    ["vec_id", "lat", "lon"],    # both requested — nothing appended
+])
+def test_bbox_read_projection_honored(store, cols):
+    """read_bbox extends the projection with whichever of lat/lon the
+    residual needs and DROPS the appended columns after filtering — the
+    caller gets exactly the projection it asked for (ADVICE r03)."""
+    path, ids, lat, lon = store
+    box = (10.0, 40.0, -30.0, 20.0)
+    got = read_bbox(path, *box, precision=1, columns=cols).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert list(got.columns) == cols
+    lat0, lat1, lon0, lon1 = box
+    m = (lat >= lat0) & (lat <= lat1) & (lon >= lon0) & (lon <= lon1)
+    assert list(got["vec_id"]) == list(np.sort(ids[m]))
+
+
+def test_radius_read_projection_honored(store):
+    from cartwright_ray.geo.haversine import haversine_km
+    from cartwright_ray.sources.spatial_store import read_radius
+    path, ids, lat, lon = store
+    got = read_radius(path, 20.0, 10.0, 1500.0, precision=1,
+                      columns=["vec_id", "lat"]).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert list(got.columns) == ["vec_id", "lat"]
+    d = haversine_km(lat, lon, np.full_like(lat, 20.0),
+                     np.full_like(lon, 10.0))
+    assert list(got["vec_id"]) == list(np.sort(ids[d <= 1500.0]))
+
+
 # ---- radius reads --------------------------------------------------------
 
 def test_radius_read_equals_full_scan(store):

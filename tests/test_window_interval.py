@@ -196,6 +196,30 @@ def test_funnel_counts_matches_brute_force(ray_session, fplan):
     assert (np.diff(out["n_users"].to_numpy()) <= 0).all()  # monotone
 
 
+@pytest.mark.parametrize("fplan", [{}, {"small_limit": 0}])
+def test_funnel_counts_empty_input(ray_session, fplan):
+    """No funnel-typed rows at all → all-zero counts, not an Arrow
+    length-mismatch crash (ADVICE r03: the empty small path skipped the
+    resolve UDF and paired a len-K stage array with a 0-length agg)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from cartwright_ray.pipelines.relational import funnel_counts
+
+    df = pd.DataFrame({
+        "user_id": [1, 2, 3],
+        "event_type": ["other", "other", "misc"],
+        "ts": pd.to_datetime([1, 2, 3], unit="s"),
+    })
+    stages = ["view", "click", "purchase"]
+    out = funnel_counts(
+        ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        .repartition(2), stages, **fplan).to_pandas()
+    assert list(out["stage"]) == stages
+    assert list(out["n_users"]) == [0, 0, 0]
+
+
 def test_mode_per_key_matches_pandas(ray_session):
     import numpy as np
     import pandas as pd
