@@ -417,40 +417,162 @@ def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
     return _exact_verify_pairs(ds, cand, col, id_col, threshold, shingle_k)
 
 
-def _exact_verify_pairs(ds, cand_ds, col: str, id_col: str,
-                        threshold: float, shingle_k: int):
-    """Second pass: exact jaccard over the (small) candidate pair set.
+def _pairwise_exact_jaccard(a_texts, b_texts, shingle_k: int) -> np.ndarray:
+    """Exact jaccard for N (a, b) text pairs, fully vectorized: one
+    ``_shingle_hashes`` per side, per-pair set dedup via lexsort, and the
+    intersection as adjacent-duplicate counting over the concatenated
+    (pair, code) streams — no per-pair Python, no Python sets.
 
-    Candidate ids are broadcast; only their texts are pulled out of the
-    corpus with a streaming filter — the corpus itself is never collected.
-    """
+    Value-identical to ``jaccard(_shingle_set(a), _shingle_set(b))``: the
+    set sizes are integer counts and the division is the same
+    float64 int/int."""
+    n = len(a_texts)
+    if n == 0:
+        return np.empty(0, np.float64)
+    ha, ca = _shingle_hashes(list(a_texts), shingle_k)
+    hb, cb = _shingle_hashes(list(b_texts), shingle_k)
+    ia = np.repeat(np.arange(n, dtype=np.int64), ca)
+    ib = np.repeat(np.arange(n, dtype=np.int64), cb)
+
+    def _uniq(idx, h):
+        order = np.lexsort((h, idx))
+        idx, h = idx[order], h[order]
+        keep = np.ones(h.shape[0], bool)
+        if h.shape[0]:
+            keep[1:] = (idx[1:] != idx[:-1]) | (h[1:] != h[:-1])
+        return idx[keep], h[keep]
+
+    ia, ha = _uniq(ia, ha)
+    ib, hb = _uniq(ib, hb)
+    sa = np.bincount(ia, minlength=n)
+    sb = np.bincount(ib, minlength=n)
+    ci = np.concatenate([ia, ib])
+    ch = np.concatenate([ha, hb])
+    order = np.lexsort((ch, ci))
+    ci, ch = ci[order], ch[order]
+    dup = np.zeros(ch.shape[0], bool)
+    if ch.shape[0]:
+        dup[1:] = (ci[1:] == ci[:-1]) & (ch[1:] == ch[:-1])
+    inter = np.bincount(ci[dup], minlength=n)
+    union = sa + sb - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+
+# candidate-pair boundary between the broadcast and shuffle text-attach
+# plans — same design as ``exact_dedup``'s `_BROADCAST_LIMIT`: broadcast
+# ships O(candidate ids) through the driver (ids ONLY, never texts);
+# beyond it the keyed corpus exchange wins
+_VERIFY_PAIR_LIMIT = 2_000_000
+
+# worker-global cache for the broadcast plan's assembled candidate-texts
+# table (one ray.get + concat per worker, not per batch)
+_VERIFY_TEXT_CACHE: dict = {}
+
+
+def _attach_texts_broadcast(ds, cand_ds, col: str, id_col: str):
+    """Attach ``__dup_text``/``__kept_text`` to candidate pairs with the
+    corpus texts of the candidate ids broadcast once: distinct ids are
+    reduced per batch and merged on the driver (O(candidate ids) — the
+    plan's documented bound; TEXTS never touch the driver), the corpus is
+    filtered streaming, and its blocks ship by ref — each worker
+    assembles the candidate-texts table once and runs two Acero joins per
+    batch."""
     import ray
-    import ray.data
 
-    cand = cand_ds.to_pandas()
-    if not len(cand):
-        return ray.data.from_pandas(pd.DataFrame(
-            {"dup_id": [], "kept_id": [], "jac": []}))
-    need_ids = set(cand["dup_id"]) | set(cand["kept_id"])
-    need_arr = pa.array(sorted(need_ids))
+    def id_partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(pa.concat_arrays(
+            [t["dup_id"].combine_chunks(), t["kept_id"].combine_chunks()]))
+        return pa.table({"__vid": u})
+
+    parts = cand_ds.map_batches(id_partial, batch_format="pyarrow") \
+        .to_pandas()
+    need_arr = pa.array(sorted(set(parts["__vid"])))
     need_ref = ray.put(need_arr)
 
     def pull(batch: pa.Table) -> pa.Table:
         m = pc.is_in(batch.column(id_col), value_set=ray.get(need_ref))
         return batch.filter(m).select([id_col, col])
 
-    texts = ds.map_batches(pull, batch_format="pyarrow").to_pandas()
-    text_of = dict(zip(texts[id_col], texts[col]))
-    out = {"dup_id": [], "kept_id": [], "jac": []}
-    for dup_id, kept_id in zip(cand["dup_id"], cand["kept_id"]):
-        a = _shingle_set(str(text_of.get(dup_id, "")), shingle_k)
-        b = _shingle_set(str(text_of.get(kept_id, "")), shingle_k)
-        jc = jaccard(a, b)
-        if jc >= threshold:
-            out["dup_id"].append(dup_id)
-            out["kept_id"].append(kept_id)
-            out["jac"].append(jc)
-    return ray.data.from_pandas(pd.DataFrame(out))
+    mat = ds.map_batches(pull, batch_format="pyarrow").materialize()
+    refs = [ref for b in mat.iter_internal_ref_bundles()
+            for ref, meta in b.blocks if meta.num_rows]
+    cache_key = tuple(r.hex() for r in refs)
+
+    def attach(t: pa.Table) -> pa.Table:
+        tex = _VERIFY_TEXT_CACHE.get(cache_key)
+        if tex is None:
+            if len(_VERIFY_TEXT_CACHE) > 2:      # bound worker memory
+                _VERIFY_TEXT_CACHE.clear()
+            blocks = ray.get(list(refs))
+            blocks = [b if isinstance(b, pa.Table)
+                      else pa.Table.from_pandas(b) for b in blocks]
+            tex = pa.concat_tables(blocks) if blocks else \
+                pa.table({id_col: pa.array([], t.column("dup_id").type),
+                          col: pa.array([], pa.string())})
+            tex = _VERIFY_TEXT_CACHE.setdefault(cache_key, tex)
+        d_tab = pa.table({"dup_id": tex[id_col], "__dup_text": tex[col]})
+        k_tab = pa.table({"kept_id": tex[id_col], "__kept_text": tex[col]})
+        t = t.join(d_tab, keys=["dup_id"], join_type="left outer")
+        return t.join(k_tab, keys=["kept_id"], join_type="left outer")
+
+    return cand_ds.map_batches(attach, batch_format="pyarrow")
+
+
+def _attach_texts_shuffle(ds, cand_ds, col: str, id_col: str):
+    """Shuffle plan (candidate pairs beyond the broadcast bound): two
+    keyed corpus exchanges via ``equi_join_shuffle`` — pairs keyed by
+    dup_id then kept_id, texts co-located by the sort exchange, joined
+    in-block. Nothing collects to the driver at any size."""
+    from ..joins.equi_join import equi_join_shuffle
+
+    def as_side(key_name: str, text_name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({key_name: t[id_col], text_name: t[col]})
+        return fn
+
+    d_texts = ds.map_batches(as_side("dup_id", "__dup_text"),
+                             batch_format="pyarrow")
+    j1 = equi_join_shuffle(cand_ds, d_texts, on="dup_id", how="left")
+    k_texts = ds.map_batches(as_side("kept_id", "__kept_text"),
+                             batch_format="pyarrow")
+    return equi_join_shuffle(j1, k_texts, on="kept_id", how="left")
+
+
+def _exact_verify_pairs(ds, cand_ds, col: str, id_col: str,
+                        threshold: float, shingle_k: int,
+                        pair_limit: int = _VERIFY_PAIR_LIMIT):
+    """Second pass: exact jaccard over the candidate pair set,
+    DISTRIBUTED end to end (VERDICT r03 Next #1 — the old version pulled
+    every candidate text into a driver dict and looped per pair).
+
+    Texts attach to pairs via a broadcast plan under ``pair_limit``
+    (driver sees candidate IDS only) or a keyed-shuffle plan above it
+    (driver sees nothing); the verify itself is one vectorized
+    ``map_batches`` kernel either way. Pairs whose ids are missing from
+    the corpus verify against "" — the prior semantics."""
+    import ray
+    import ray.data
+
+    cand_ds = cand_ds.materialize()          # counted, then re-scanned
+    if cand_ds.count() == 0:
+        return ray.data.from_pandas(pd.DataFrame(
+            {"dup_id": [], "kept_id": [], "jac": []}))
+    if cand_ds.count() <= pair_limit:
+        attached = _attach_texts_broadcast(ds, cand_ds, col, id_col)
+    else:
+        attached = _attach_texts_shuffle(ds, cand_ds, col, id_col)
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = ["" if v is None else str(v)
+             for v in t["__dup_text"].to_pylist()]
+        b = ["" if v is None else str(v)
+             for v in t["__kept_text"].to_pylist()]
+        jac = _pairwise_exact_jaccard(a, b, shingle_k)
+        keep = jac >= threshold
+        out = t.select(["dup_id", "kept_id"]).filter(pa.array(keep))
+        return out.append_column("jac", pa.array(jac[keep], pa.float64()))
+
+    return attached.map_batches(verify, batch_format="pyarrow")
 
 
 def brute_force_near_dups(texts, ids, threshold=0.8, shingle_k=4):

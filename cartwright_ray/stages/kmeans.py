@@ -57,8 +57,19 @@ def kmeans_fit(ds, k: int = 10, iters: int = 2, vec_col: str = "embedding",
     # pipeline per scan
     ds = ds.materialize()
 
-    init = (ds.select_columns([id_col, vec_col])
-            .sort(id_col).limit(k).to_pandas())
+    # seeding: the k lowest-id vectors via PER-BLOCK k-smallest partials
+    # merged on the driver (num_blocks × k candidate rows, the
+    # stratified_topk_sample pattern) — the previous sort(id).limit(k)
+    # range-shuffled the entire corpus to fetch k rows (VERDICT r03
+    # Next #2)
+    def k_smallest(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, vec_col])
+        order = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])
+        return t.take(order[:k])
+
+    init = (ds.map_batches(k_smallest, batch_format="pyarrow",
+                           batch_size=None)
+            .to_pandas().sort_values(id_col).head(k))
     cents = np.array([np.asarray(v, dtype=np.float64)
                       for v in init[vec_col]])
 

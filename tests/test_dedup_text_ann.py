@@ -410,6 +410,62 @@ def test_drop_near_dups_shuffle_plan_matches_broadcast(ray_session):
     assert len(got) and not any(g >= 100000 for g in got)
 
 
+def test_pairwise_exact_jaccard_matches_set_kernel():
+    """The vectorized pair kernel is value-identical to
+    jaccard(_shingle_set(a), _shingle_set(b)) — same sets, same int/int
+    division."""
+    import numpy as np
+
+    from cartwright_ray.stages.dedup import (_pairwise_exact_jaccard,
+                                             _shingle_set, jaccard)
+
+    a = ["the quick brown fox jumps", "aaaa", "", "short", "xyzw" * 50,
+         "the quick brown fox jumps over the lazy dog"]
+    b = ["the quick brown fox jumped", "aaab", "", "shore", "xyzw" * 49,
+         "a completely different sentence entirely"]
+    got = _pairwise_exact_jaccard(a, b, 4)
+    want = np.array([jaccard(_shingle_set(x, 4), _shingle_set(y, 4))
+                     for x, y in zip(a, b)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_exact_verify_shuffle_plan_no_driver_collect(ray_session):
+    """VERDICT r03 Next #1: above the pair bound the verify stage must
+    run with ZERO driver-side collection — texts attach via keyed
+    shuffles and the jaccard verify is in-batch. Poisoned to_pandas
+    proves it; results must equal the broadcast plan's."""
+    import ray.data
+    from ray.data import Dataset
+
+    from cartwright_ray.pipelines.derived import planted_near_clone_docs
+    from cartwright_ray.stages.dedup import (_exact_verify_pairs,
+                                             minhash_lsh_dedup)
+
+    corpus = planted_near_clone_docs(SF, clones=10).materialize()
+    cand = minhash_lsh_dedup(corpus, threshold=0.8,
+                             verify="estimate").materialize()
+    assert cand.count() > 0
+    want = _exact_verify_pairs(corpus, cand, "text", "doc_id", 0.8, 4) \
+        .to_pandas().sort_values("dup_id").reset_index(drop=True)
+
+    real_to_pandas = Dataset.to_pandas
+
+    def _poisoned(self, *a, **k):
+        raise AssertionError("driver-side collect on the shuffle "
+                             "verify path")
+
+    Dataset.to_pandas = _poisoned
+    try:
+        out = _exact_verify_pairs(corpus, cand, "text", "doc_id", 0.8, 4,
+                                  pair_limit=0)
+        rows = sorted(((r["dup_id"], r["kept_id"], r["jac"])
+                       for r in out.iter_rows()))
+    finally:
+        Dataset.to_pandas = real_to_pandas
+    assert rows == sorted(zip(want["dup_id"], want["kept_id"], want["jac"]))
+    assert len(rows) == 10
+
+
 def test_vecs_from_arrow_sliced_plain_list():
     """Regression (ADVICE r02): a sliced NON-chunked ListArray must not
     double-apply the slice offset."""

@@ -97,6 +97,37 @@ def test_kmeans_matches_driver_replication(ray_session):
     assert np.abs(got - cents).max() < 1e-12
 
 
+def test_kmeans_seeding_never_sorts(ray_session):
+    """VERDICT r03 Next #2: seeding is per-block k-smallest partials,
+    not a global sort(id).limit(k) range shuffle of the corpus."""
+    import ray
+    from ray.data import Dataset
+
+    from cartwright_ray.stages.kmeans import kmeans_fit
+
+    rng = np.random.default_rng(3)
+    n, d = 300, 4
+    tbl = pa.table({
+        "vec_id": pa.array(rng.permutation(n), pa.int64()),
+        "embedding": pa.array(
+            rng.normal(size=(n, d)).astype(np.float32).tolist(),
+            pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(6)
+
+    real_sort = Dataset.sort
+
+    def _poisoned(self, *a, **k):
+        raise AssertionError("global sort in kmeans seeding")
+
+    Dataset.sort = _poisoned
+    try:
+        cents = kmeans_fit(ds, k=4, iters=1)
+    finally:
+        Dataset.sort = real_sort
+    assert cents.shape == (4, d)
+
+
 def test_kmeans_summary_counts_and_floor_margin(ray_session):
     import ray
     from cartwright_ray.stages.kmeans import kmeans_summary
