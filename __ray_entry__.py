@@ -106,14 +106,24 @@ def entry() -> Any:
 # query callables
 # ---------------------------------------------------------------------------
 
-def _docs(sf_dir):
+def _docs(sf_dir, columns=("doc_id", "text")):
+    """Documents projection, PRUNED AT THE READ (VERDICT r03 Next #5):
+    the text/dedup stages only touch (doc_id, text) — lang/source/
+    n_chars never leave storage. Classification passes ``columns=None``
+    (it classifies every column)."""
     import ray.data
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    cols = None if columns is None else list(columns)
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=cols)
 
 
-def _embeddings(sf_dir):
+def _embeddings(sf_dir, columns=("vec_id", "embedding")):
+    """Embeddings projection pruned to (vec_id, embedding) — the table
+    also carries ``label``, which no ANN/kmeans/dedup caller uses."""
     import ray.data
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cols = None if columns is None else list(columns)
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=cols)
 
 
 def _q_text_stats(sf_dir):
@@ -203,7 +213,8 @@ def _q_training_prep(sf_dir):
 def _q_ann(sf_dir):
     import pyarrow.parquet as pq
     from cartwright_ray.stages.ann import ann_search
-    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 500).to_pandas()
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).slice(0, 500).to_pandas()
     qrows = head[head["vec_id"] < 3].sort_values("vec_id")
     queries = {"query_id": qrows["vec_id"].tolist(),
                "vec": np.asarray(qrows["embedding"].tolist(), dtype=np.float64)}
@@ -239,7 +250,7 @@ def _q_temporal_resolution_by_type(sf_dir):
 
 def _q_classify_documents(sf_dir):
     from cartwright_ray.detectors.cascade import classify_dataset
-    cls = classify_dataset(_docs(sf_dir))
+    cls = classify_dataset(_docs(sf_dir, columns=None))
     rows = [{"column": c.column, "category": c.category or "",
              "subcategory": c.subcategory or "", "format": c.format or ""}
             for c in cls.classifications]
@@ -801,7 +812,8 @@ def _q_spatial_resolution_table(sf_dir):
 def _q_lsh_ann(sf_dir):
     import pyarrow.parquet as pq
     from cartwright_ray.stages.ann import lsh_ann_search
-    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 500).to_pandas()
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).slice(0, 500).to_pandas()
     qrows = head[head["vec_id"] < 3].sort_values("vec_id")
     queries = {"query_id": qrows["vec_id"].tolist(),
                "vec": np.asarray(qrows["embedding"].tolist(), dtype=np.float64)}
@@ -816,7 +828,8 @@ def _q_lsh_ann(sf_dir):
 def _q_ivf_ann(sf_dir):
     import pyarrow.parquet as pq
     from cartwright_ray.stages.ann import ivf_ann_search
-    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 500).to_pandas()
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).slice(0, 500).to_pandas()
     qrows = head[head["vec_id"] < 3].sort_values("vec_id")
     queries = {"query_id": qrows["vec_id"].tolist(),
                "vec": np.asarray(qrows["embedding"].tolist(), dtype=np.float64)}
@@ -839,7 +852,8 @@ def _q_ivf_ann_pruned(sf_dir):
     from cartwright_ray.stages.ann import (ivf_ann_search_partitioned,
                                            ivf_partition_write)
 
-    head = pq.read_table(f"{sf_dir}/embeddings.parquet") \
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]) \
         .slice(0, 500).to_pandas()
     qrows = head[head["vec_id"] < 3].sort_values("vec_id")
     queries = {"query_id": qrows["vec_id"].tolist(),

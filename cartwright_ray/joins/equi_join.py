@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _keys(on) -> list:
@@ -58,21 +59,120 @@ def equi_join(large_ds, small: pa.Table, on, how: str = "inner",
     return large_ds.map_batches(probe, batch_format="pyarrow")
 
 
+_SALT_COL = "__ej_salt"
+
+
+def _key_hash(t: pa.Table, keys: list) -> np.ndarray:
+    """uint64 hash of the key tuple per row (FNV-combine of
+    ``pd.util.hash_array`` per column) — identical on both sides, so the
+    hot-key probe is a numeric searchsorted. A hash collision merely
+    co-salts two keys (extra replication, never wrong rows: the in-block
+    join still matches on the real key columns)."""
+    import pandas as pd
+
+    h = np.zeros(t.num_rows, dtype=np.uint64)
+    for kcol in keys:
+        vals = np.asarray(t.column(kcol).to_numpy(zero_copy_only=False))
+        h = (h * np.uint64(1099511628211)
+             ^ pd.util.hash_array(vals, hash_key="cartwright_ejsalt").astype(np.uint64))
+    return h
+
+
+def _salt_hot_keys(a_ds, b_ds, keys: list, cap: int, max_salts: int):
+    """Append ``__ej_salt`` to both sides: keys whose A-side count
+    exceeds ``cap`` split their A rows over ``ceil(n/cap)`` salts
+    (clamped to ``max_salts``) while their B rows REPLICATE once per
+    salt; cold keys carry salt 0. The (key, salt) exchange then bounds
+    any one block by ~cap A-rows — the straggler fix (VERDICT r03
+    Next #4; the kNN-join salting design).
+
+    The histogram is distributed end to end: per-block (hash, n)
+    partials → one narrow groupby → a count filter — only the HOT keys
+    (tiny by definition) ever reach the driver. Skew on the B side is
+    NOT detected: pass the skewed/fact side as ``a_ds``."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(_key_hash(t, keys), return_counts=True)
+        return pa.table({"__kh": pa.array(u.view(np.int64)),
+                         "__n": pa.array(c, pa.int64())})
+
+    hist = (a_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__kh").aggregate(Sum("__n", alias_name="__n")))
+    hot_df = hist.map_batches(
+        lambda t: t.filter(pc.greater(t["__n"], cap)),
+        batch_format="pyarrow").to_pandas()
+    hot_h = hot_df["__kh"].to_numpy().astype(np.int64).view(np.uint64)
+    order = np.argsort(hot_h)
+    hot_h = hot_h[order]
+    hot_k = np.minimum(
+        np.ceil(hot_df["__n"].to_numpy()[order] / cap), max_salts
+    ).astype(np.int64)
+
+    def _probe(h: np.ndarray):
+        if not hot_h.size:
+            return np.zeros(h.shape[0], bool), np.empty(0, np.int64)
+        pos = np.minimum(np.searchsorted(hot_h, h), hot_h.size - 1)
+        mask = hot_h[pos] == h
+        return mask, pos
+
+    def a_assign(t: pa.Table) -> pa.Table:
+        salts = np.zeros(t.num_rows, dtype=np.int64)
+        mask, pos = _probe(_key_hash(t, keys))
+        if mask.any():
+            # round-robin within the batch spreads a hot key's rows
+            # evenly over its K salts
+            salts[mask] = np.arange(int(mask.sum())) % hot_k[pos[mask]]
+        return t.append_column(_SALT_COL, pa.array(salts, pa.int64()))
+
+    def b_assign(t: pa.Table) -> pa.Table:
+        mask, pos = _probe(_key_hash(t, keys))
+        reps = np.ones(t.num_rows, dtype=np.int64)
+        if mask.any():
+            reps[mask] = hot_k[pos[mask]]
+        idx = np.repeat(np.arange(t.num_rows), reps)
+        starts = np.cumsum(reps) - reps
+        salts = np.arange(idx.shape[0]) - starts[idx]
+        out = t.take(pa.array(idx))
+        return out.append_column(_SALT_COL, pa.array(salts, pa.int64()))
+
+    return (a_ds.map_batches(a_assign, batch_format="pyarrow"),
+            b_ds.map_batches(b_assign, batch_format="pyarrow"))
+
+
 def equi_join_shuffle(a_ds, b_ds, on, how: str = "inner",
-                      suffix: str = "_r"):
+                      suffix: str = "_r", salt_cap: int | None = None,
+                      max_salts: int = 64):
     """Shuffle plan for two large Datasets — see module docstring.
     ``how``: ``inner`` or ``left`` (left outer is block-local too: the
     exchange co-locates ALL rows of a key, so an unmatched left row is
-    provably unmatched globally). Hot keys: a single key's rows land in
-    one block; salt the key upstream (``pip_join.salted_keys`` pattern)
-    if a histogram shows a key whose matched cartesian product exceeds
-    a block."""
+    provably unmatched globally).
+
+    Hot keys: by default a single key's rows land in ONE block, so a
+    mega-hot key is a straggler (documented boundary). Pass ``salt_cap``
+    to enable salting: keys whose A-side count exceeds the cap split
+    over up to ``max_salts`` subkeys (A rows split, B rows replicate —
+    :func:`_salt_hot_keys`), the exchange runs on (key, salt), and the
+    in-block join matches on (key, salt) so each A row meets exactly one
+    B replica set. Costs one extra narrow histogram shuffle; results are
+    row-identical to the unsalted plan (fuzz-tested against DuckDB on a
+    zipf-skewed key)."""
+    if salt_cap is not None:
+        keys = _keys(on)
+        a_ds, b_ds = _salt_hot_keys(a_ds, b_ds, keys, salt_cap, max_salts)
+        out = _equi_join_shuffle_impl(a_ds, b_ds, keys + [_SALT_COL],
+                                      how, suffix)
+        return out.map_batches(lambda t: t.drop_columns([_SALT_COL]),
+                               batch_format="pyarrow")
+    return _equi_join_shuffle_impl(a_ds, b_ds, _keys(on), how, suffix)
+
+
+def _equi_join_shuffle_impl(a_ds, b_ds, keys: list, how: str, suffix: str):
     import pyarrow.compute as pc
 
     from ..stages.partition import arrow_schema_of
 
     join_type = {"inner": "inner", "left": "left outer"}[how]
-    keys = _keys(on)
     a_schema = arrow_schema_of(a_ds)
     b_schema = arrow_schema_of(b_ds)
     for kcol in keys:

@@ -106,6 +106,64 @@ def test_shuffle_multi_column_keys(ray_session):
     pd.testing.assert_frame_equal(_sorted(got, cols), _sorted(want, cols))
 
 
+@pytest.mark.parametrize("seed", [21, 22])
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_shuffle_salted_zipf_skew_matches_unsalted_and_sql(ray_session,
+                                                           seed, how):
+    """VERDICT r03 Next #4: on a zipf-skewed key (one key carries ~40%
+    of the A side), the salted plan (tiny cap → many salts) returns
+    row-identical results to the unsalted plan AND to a DuckDB join."""
+    import duckdb
+
+    rng = np.random.default_rng(seed)
+    n_a, n_b = 4000, 300
+    # zipf-ish: key 0 is mega-hot on A, plus a mild long tail
+    ka = np.where(rng.random(n_a) < 0.4, 0,
+                  rng.zipf(1.6, n_a).clip(0, 50))
+    a = pd.DataFrame({"k": ka.astype(np.int64),
+                      "av": rng.integers(0, 1000, n_a)})
+    b = pd.DataFrame({"k": rng.integers(0, 55, n_b).astype(np.int64),
+                      "bv": rng.integers(0, 1000, n_b)})
+
+    unsalted = equi_join_shuffle(_ds(ray_session, a, 6),
+                                 _ds(ray_session, b, 4),
+                                 on="k", how=how).to_pandas()
+    salted = equi_join_shuffle(_ds(ray_session, a, 6),
+                               _ds(ray_session, b, 4),
+                               on="k", how=how, salt_cap=100,
+                               max_salts=16).to_pandas()
+    con = duckdb.connect()
+    con.register("a", a)
+    con.register("b", b)
+    jt = "JOIN" if how == "inner" else "LEFT JOIN"
+    want = con.execute(
+        f"SELECT a.k, a.av, b.bv FROM a {jt} b USING (k)").df()
+    cols = ["k", "av", "bv"]
+    pd.testing.assert_frame_equal(
+        _sorted(salted, cols), _sorted(unsalted, cols))
+    pd.testing.assert_frame_equal(
+        _sorted(salted, cols).astype({"bv": "float64"}),
+        _sorted(want, cols).astype({"bv": "float64"}))
+
+
+def test_salted_plan_actually_salts(ray_session):
+    """The hot key's A rows really do spread over several salts (the
+    mitigation is live, not a no-op)."""
+    import importlib
+
+    ej = importlib.import_module("cartwright_ray.joins.equi_join")
+    a = pd.DataFrame({"k": np.zeros(1000, np.int64),
+                      "av": np.arange(1000)})
+    b = pd.DataFrame({"k": np.array([0, 1], np.int64), "bv": [7, 8]})
+    a_s, b_s = ej._salt_hot_keys(_ds(ray_session, a, 2),
+                                 _ds(ray_session, b, 1), ["k"], 100, 16)
+    a_salts = a_s.to_pandas()["__ej_salt"]
+    assert a_salts.nunique() >= 8            # 1000/100 → 10 salts
+    bp = b_s.to_pandas()
+    assert (bp["k"] == 0).sum() == a_salts.nunique()   # replicated per salt
+    assert (bp["k"] == 1).sum() == 1                    # cold key untouched
+
+
 def test_broadcast_multi_column_keys(ray_session):
     rng = np.random.default_rng(9)
     a = pd.DataFrame({"k1": rng.integers(0, 8, 300),
