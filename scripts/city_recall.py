@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Held-out city-recall measurement (VERDICT r03 Next #7).
+
+Scores the engine's curated gazetteer + 2-of-5 fuzzy rule against the
+reference's 24.5k-row ``city_lookup.csv`` WITHOUT copying it: the
+reference file is only READ here to measure, never to generate list
+entries (``resources/cities_extended.py`` documents provenance).
+
+Reports:
+  * exact-cover   — fraction of reference gazetteer names whose
+                    normalized form is in the curated list;
+  * per-value     — P(fuzzy score > 90) for a seeded uniform sample of
+                    reference names (the validator's member test);
+  * column 2-of-5 — induced recall of the column rule for a column
+                    drawn uniformly from the reference gazetteer
+                    (binomial P(X>=2), X~Bin(5, per-value)) — a
+                    PESSIMISTIC model: real columns repeat prominent
+                    cities, which the curated list covers much better.
+
+Usage: python scripts/city_recall.py [n_sample]
+"""
+import random
+import sys
+from math import comb
+
+sys.path.insert(0, ".")
+
+from cartwright_ray.resources.cities import CITIES          # noqa: E402
+from cartwright_ray.text.fuzz import FuzzyLookup, _normalize  # noqa: E402
+
+REF_CSV = "/root/reference/cartwright/resources/city_lookup.csv"
+
+
+def measure(n_sample: int = 400, seed: int = 42):
+    ref = [l.rstrip("\n") for l in open(REF_CSV, encoding="utf-8")][1:]
+    ref = [r for r in ref if r.strip()]
+    lk = FuzzyLookup(CITIES)
+    norm = set(" ".join(sorted(_normalize(c).split())) for c in CITIES)
+    held = [r for r in ref
+            if " ".join(sorted(_normalize(r).split())) not in norm]
+    exact_cover = 1 - len(held) / len(ref)
+    rng = random.Random(seed)
+    sample = rng.sample(ref, min(n_sample, len(ref)))
+    hits = sum(1 for v in sample
+               if (m := lk.best(v)) is not None and m[1] > 90)
+    r = hits / len(sample)
+    p2of5 = sum(comb(5, k) * r ** k * (1 - r) ** (5 - k)
+                for k in range(2, 6))
+    return {"n_ref": len(ref), "n_curated": len(CITIES),
+            "exact_cover": exact_cover, "per_value_recall": r,
+            "column_2of5_recall": p2of5}
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    m = measure(n)
+    for k, v in m.items():
+        print(f"{k}: {v:.4f}" if isinstance(v, float) else f"{k}: {v}")
