@@ -769,6 +769,25 @@ def _q_media_png(sf_dir):
     return df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
 
 
+def _q_media_jpeg(sf_dir):
+    """SAME media pipeline through the BASELINE JPEG codec (VERDICT r03
+    Next #9): payloads are real JFIF bytes (Annex K tables, seeded
+    restart intervals) decoded by the pure-stdlib T.81 decoder. The
+    oracle verifies the row structure (like media_features_png — SQL
+    cannot decode JPEG); the codec's pixel exactness is property-tested
+    against an independent DCT/quant reconstruction in
+    tests/test_jpeg.py."""
+    from cartwright_ray.pipelines.derived import derived_corpus
+    from cartwright_ray.stages.media import (extract_media_features,
+                                             media_rows_from_corpus)
+    media = media_rows_from_corpus(derived_corpus(sf_dir),
+                                   payload_kind="jpeg")
+    df = extract_media_features(media, decoder="jpeg").to_pandas()
+    df["feat_dim"] = df["feature"].map(len).astype("int64")
+    df = df[["doc_id", "span_idx", "media_ref", "media_type", "feat_dim"]]
+    return df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+
+
 def _q_spatial_resolution(sf_dir):
     import ray.data
     from cartwright_ray.analysis.space_resolution import detect_latlon_resolution_ds
@@ -1521,7 +1540,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_dedup_pairs": _q_simhash,
-        "embedding_near_dups": _q_embedding_dups,
         "mode_event_type_per_user": _q_mode_per_user,
         # cartwright-parity inference
         "temporal_resolution_events": _q_temporal_resolution,
@@ -1540,6 +1558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_pyramid": _q_raster_pyramid,
         "media_frames": _q_media_frames,
         "media_resized": _q_media_resized,
+        "media_features_jpeg": _q_media_jpeg,
         "knn_join_sample": _q_knn,
         "knn_join_table": _q_knn_join_table,
         "knn_join_shuffle": _q_knn_join_shuffle,
@@ -1552,6 +1571,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # user_set_ops / distinct_users_by_type / top_users_by_value
         # (driver-green r02; demoted to keep the new spatial-store +
         # uncompact queries inside the window) ----
+        "embedding_near_dups": _q_embedding_dups,   # double-green r02+r03,
+        # untouched in r4 — demoted for media_features_jpeg's window slot
         "user_set_ops": rel.user_set_ops,
         "distinct_users_by_type": rel.distinct_users_by_type,
         "top_users_by_value": rel.top_users_by_value,
@@ -2806,6 +2827,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id
         """,
         "media_features_png": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(1 AS INT) AS span_idx,
+                   'media://' || CAST(doc_id AS VARCHAR) || '/1' AS media_ref,
+                   'image' AS media_type, CAST(64 AS BIGINT) AS feat_dim
+            FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id
+        """,
+        "media_features_jpeg": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(1 AS INT) AS span_idx,
                    'media://' || CAST(doc_id AS VARCHAR) || '/1' AS media_ref,
                    'image' AS media_type, CAST(64 AS BIGINT) AS feat_dim

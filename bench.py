@@ -137,7 +137,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "orders_customers_join", "lineitem_orders_join",
              "events_pivot_by_user", "props_sum_by_type",
              "events_rollup_counts", "edit_similarity_join",
-             "funnel_view_click_purchase", "mode_event_type_per_user"]
+             "funnel_view_click_purchase", "mode_event_type_per_user",
+             # round-4 additions
+             "media_features_jpeg", "track_segments"]
     out = {}
     for name in picks:
         t0 = time.time()

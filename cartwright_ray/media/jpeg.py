@@ -1,0 +1,640 @@
+"""Pure-stdlib baseline JPEG codec (numpy) — makes the multimodal column
+real for the dominant web-image format (VERDICT r03 Next #9; the PNG
+codec, ``media/png.py``, proved the pattern).
+
+Public spec: ITU-T T.81 / ISO 10918-1 (baseline sequential DCT, Annex F)
+with the JFIF container (ITU-T T.871). Scope — the baseline profile that
+covers the overwhelming majority of web JPEGs:
+
+* 8-bit baseline sequential (SOF0); progressive (SOF2) and the other
+  SOFn variants raise ``NotImplementedError`` cleanly so callers can
+  route to a richer codec off-container;
+* grayscale (1 component) and YCbCr (3 components) with sampling
+  factors 1 or 2 per axis — 4:4:4, 4:2:2 and 4:2:0 all decode;
+* multiple DQT/DHT tables, restart markers (DRI/RSTn), APPn/COM skip;
+* standard Annex K quantization + Huffman tables on the encode side
+  (the encoder exists to fabricate real payloads for tests/pipelines,
+  like ``png_encode``).
+
+Cost model: Huffman entropy decode is bit-serial in Python (inherent to
+pure-stdlib JPEG) but everything after entropy decode — dequantize,
+inverse zigzag, IDCT, upsample, color convert — is batched numpy over
+ALL blocks of a component at once (one einsum per component). Fine for
+thumbnail/preview payloads; a libjpeg-backed decoder drops in behind the
+same two-function signature.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# constants (public tables from ITU-T T.81 Annex K)
+# ---------------------------------------------------------------------------
+
+# zigzag order: index i of the zigzag sequence -> (row, col) flat index
+_ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+# Annex K.1 luminance / K.2 chrominance quantization tables (natural order)
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+# Annex K.3 typical Huffman tables: (bits[1..16], values)
+_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)))
+_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)))
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+     0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+     0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+     0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+     0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+     0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+     0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+     0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+     0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+     0xf9, 0xfa])
+# AC chroma table bits from Annex K.3.2 (differs from luma)
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+     0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+     0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+     0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+     0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+     0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+     0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+     0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+     0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+     0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+     0xf9, 0xfa])
+
+# orthonormal 8-point DCT-II basis: C[k, n] = s(k) cos((2n+1)kπ/16)
+_DCT8 = np.zeros((8, 8))
+for _k in range(8):
+    _s = np.sqrt(1.0 / 8.0) if _k == 0 else np.sqrt(2.0 / 8.0)
+    _DCT8[_k] = _s * np.cos((2 * np.arange(8) + 1) * _k * np.pi / 16.0)
+del _k, _s
+
+
+def _quality_scale(q_table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-compatible quality scaling of a base table (public
+    formula): scale = 5000/q below 50, 200-2q above."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = (q_table * scale + 50) // 100
+    return np.clip(t, 1, 255)
+
+
+# ---------------------------------------------------------------------------
+# Huffman table plumbing
+# ---------------------------------------------------------------------------
+
+def _build_decode_table(bits, values):
+    """(length, code) -> value map per T.81 Annex C code assignment."""
+    table = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[vi]
+            vi += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits, values):
+    dec = _build_decode_table(bits, values)
+    return {v: (length, code) for (length, code), v in dec.items()}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:                  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad_to_byte(self):
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # pad with 1-bits
+
+
+class _BitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF00, surfaces RSTn."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None                    # pending marker (e.g. RSTn)
+
+    def _fill(self):
+        if self.marker is not None:
+            raise EOFError("hit marker")
+        d = self.data
+        p = self.pos
+        b = d[p]
+        if b == 0xFF:
+            nxt = d[p + 1]
+            if nxt == 0x00:                   # stuffed literal 0xFF
+                self.pos = p + 2
+            else:                             # a real marker ends the data
+                self.marker = nxt
+                self.pos = p + 2              # consume FF + marker id
+                raise EOFError("hit marker")
+        else:
+            self.pos = p + 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_huff(self, table) -> int:
+        length = 0
+        code = 0
+        while True:
+            code = (code << 1) | self.read(1)
+            length += 1
+            v = table.get((length, code))
+            if v is not None:
+                return v
+            if length > 16:
+                raise ValueError("invalid JPEG: bad Huffman code")
+
+    def sync_restart(self):
+        """Consume an expected RSTn marker and byte-align."""
+        self.acc = 0
+        self.nbits = 0
+        if self.marker is None:
+            # reader stopped mid-byte; pad bits (and their stuffing)
+            # separate us from the marker — scan forward for FF + id
+            d, p = self.data, self.pos
+            while d[p] != 0xFF or d[p + 1] == 0x00:
+                p += 1
+            self.marker = d[p + 1]
+            self.pos = p + 2
+        if not (0xD0 <= self.marker <= 0xD7):
+            raise ValueError("invalid JPEG: expected restart marker")
+        self.marker = None
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `size`-bit magnitude to signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """Signed value -> (size, code bits) per F.1.2.1."""
+    size = int(v).bit_length() if v >= 0 else int(-v).bit_length()
+    code = v if v >= 0 else v + (1 << size) - 1
+    return size, code
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+def _fdct_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) spatial -> (n, 8, 8) DCT coefficients (orthonormal)."""
+    return np.einsum("ur,nrc,vc->nuv", _DCT8, blocks, _DCT8)
+
+
+def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
+    return np.einsum("ur,nuv,vc->nrc", _DCT8, coefs, _DCT8)
+
+
+def _component_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Edge-pad a plane to 8x8 multiples and cut into raster-order
+    blocks: returns (n_blocks, 8, 8), blocks_y, blocks_x."""
+    h, w = plane.shape
+    H = (h + 7) // 8 * 8
+    W = (w + 7) // 8 * 8
+    padded = np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+    by, bx = H // 8, W // 8
+    blocks = (padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+              .reshape(by * bx, 8, 8))
+    return blocks, by, bx
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
+                  dc_tab, ac_tab) -> int:
+    """Entropy-encode one zigzag coefficient vector; returns new DC pred."""
+    dc = int(zz[0])
+    size, code = _magnitude(dc - pred)
+    l, c = dc_tab[size]
+    bw.write(c, l)
+    if size:
+        bw.write(code, size)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            l, c = ac_tab[0xF0]               # ZRL
+            bw.write(c, l)
+            run -= 16
+        size, code = _magnitude(v)
+        l, c = ac_tab[(run << 4) | size]
+        bw.write(c, l)
+        bw.write(code, size)
+        run = 0
+    if last_nz < 63:
+        l, c = ac_tab[0x00]                   # EOB
+        bw.write(c, l)
+    return dc
+
+
+def jpeg_encode(arr: np.ndarray, quality: int = 90,
+                subsampling: str = "4:4:4",
+                restart_interval: int = 0) -> bytes:
+    """uint8 grayscale (h, w) or RGB (h, w, 3) -> baseline JFIF bytes.
+
+    RGB converts to YCbCr (T.871); ``subsampling`` is ``"4:4:4"`` or
+    ``"4:2:0"`` (ignored for grayscale). ``restart_interval`` > 0 emits
+    DRI + RSTn markers every N MCUs (exercises the decoder's restart
+    path)."""
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint8:
+        raise ValueError("jpeg_encode expects uint8")
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("expected (h, w) or (h, w, 3)")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+    h, w = arr.shape[:2]
+
+    qt_luma = _quality_scale(_Q_LUMA, quality)
+    qt_chroma = _quality_scale(_Q_CHROMA, quality)
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+        samp = [(1, 1)]
+        qids = [0]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsampling == "4:2:0":
+            # pad to even, then 2x2 box average
+            He = (h + 1) // 2 * 2
+            We = (w + 1) // 2 * 2
+            def _down(p):
+                p = np.pad(p, ((0, He - h), (0, We - w)), mode="edge")
+                return (p.reshape(He // 2, 2, We // 2, 2)
+                        .mean(axis=(1, 3)))
+            planes = [y, _down(cb), _down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qids = [0, 1, 1]
+
+    h_max = max(s[0] for s in samp)
+    v_max = max(s[1] for s in samp)
+
+    # per-component blocks in raster order + per-MCU indexing
+    comp_blocks = []
+    comp_bxy = []
+    for ci, plane in enumerate(planes):
+        hi, vi = samp[ci]
+        # pad plane so its block grid is a multiple of the MCU's hi x vi
+        ph = (plane.shape[0] + 8 * vi - 1) // (8 * vi) * (8 * vi)
+        pw = (plane.shape[1] + 8 * hi - 1) // (8 * hi) * (8 * hi)
+        plane = np.pad(plane, ((0, ph - plane.shape[0]),
+                               (0, pw - plane.shape[1])), mode="edge")
+        blocks, by, bx = _component_blocks(plane)
+        qt = qt_luma if qids[ci] == 0 else qt_chroma
+        coefs = _fdct_blocks(blocks - 128.0)
+        quant = np.round(coefs.reshape(-1, 64) / qt[None, :]).astype(np.int64)
+        comp_blocks.append(quant[:, _ZIGZAG_INV_NAT])
+        comp_bxy.append((by, bx))
+    mcus_x = (w + 8 * h_max - 1) // (8 * h_max)
+    mcus_y = (h + 8 * v_max - 1) // (8 * v_max)
+
+    dc_luma_enc = _build_encode_table(*_HUFF_DC_LUMA)
+    ac_luma_enc = _build_encode_table(*_HUFF_AC_LUMA)
+    dc_chroma_enc = _build_encode_table(*_HUFF_DC_CHROMA)
+    ac_chroma_enc = _build_encode_table(*_HUFF_AC_CHROMA)
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                bw.pad_to_byte()
+                bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                preds = [0] * len(planes)
+            for ci in range(len(planes)):
+                hi, vi = samp[ci]
+                by, bx = comp_bxy[ci]
+                dc_tab = dc_luma_enc if qids[ci] == 0 else dc_chroma_enc
+                ac_tab = ac_luma_enc if qids[ci] == 0 else ac_chroma_enc
+                for dy in range(vi):
+                    for dx in range(hi):
+                        r_ = my * vi + dy
+                        c_ = mx * hi + dx
+                        zz = comp_blocks[ci][r_ * bx + c_]
+                        preds[ci] = _encode_block(bw, zz, preds[ci],
+                                                  dc_tab, ac_tab)
+            mcu_count += 1
+    bw.pad_to_byte()
+
+    out = bytearray()
+    out += b"\xff\xd8"                                         # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" \
+        + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    # DQT (two tables for color, one for gray)
+    # DQT bodies are in ZIGZAG order: position i carries natural index
+    # _ZIGZAG[i] (the decoder inverts with nat[_ZIGZAG] = t)
+    dqt = bytes([0]) + bytes(qt_luma[_ZIGZAG].tolist())
+    if not gray:
+        dqt += bytes([1]) + bytes(qt_chroma[_ZIGZAG].tolist())
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    # SOF0
+    ncomp = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, qids[ci]])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT
+    def _dht(cls, tid, bits, values):
+        return bytes([(cls << 4) | tid]) + bytes(bits) + bytes(values)
+    dht = _dht(0, 0, *_HUFF_DC_LUMA) + _dht(1, 0, *_HUFF_AC_LUMA)
+    if not gray:
+        dht += _dht(0, 1, *_HUFF_DC_CHROMA) + _dht(1, 1, *_HUFF_AC_CHROMA)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tid = 0 if qids[ci] == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bw.out
+    out += b"\xff\xd9"                                         # EOI
+    return bytes(out)
+
+
+# natural-order index of zigzag position i, and its inverse
+_ZIGZAG_INV_NAT = _ZIGZAG                    # zz[i] = natural[_ZIGZAG[i]]
+_ZIGZAG_NAT2ZZ = np.argsort(_ZIGZAG)         # natural j -> zigzag position
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> uint8 array: (h, w) for grayscale, (h, w, 3)
+    RGB for YCbCr. Raises ``NotImplementedError`` for progressive /
+    extended SOFn, ``ValueError`` for malformed streams."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    restart_interval = 0
+    frame = None
+    while True:
+        if data[pos] != 0xFF:
+            raise ValueError("invalid JPEG: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:                    # EOI
+            raise ValueError("invalid JPEG: no scan data")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue                          # standalone
+        seglen = struct.unpack(">H", data[pos:pos + 2])[0]
+        body = data[pos + 2:pos + seglen]
+        if marker == 0xDB:                    # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    t = np.frombuffer(body[i:i + 64],
+                                      dtype=np.uint8).astype(np.int64)
+                    i += 64
+                else:
+                    t = np.frombuffer(body[i:i + 128],
+                                      dtype=">u2").astype(np.int64)
+                    i += 128
+                nat = np.empty(64, np.int64)
+                nat[_ZIGZAG] = t              # de-zigzag to natural order
+                qtables[tq] = nat
+        elif marker == 0xC4:                  # DHT
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                values = list(body[i + 17:i + 17 + n])
+                htables[(cls, tid)] = _build_decode_table(bits, values)
+                i += 17 + n
+        elif marker == 0xDD:                  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext sequential
+            prec = body[0]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            fh, fw = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"SOF{marker - 0xC0}: only baseline sequential (SOF0) "
+                "is supported by the pure-stdlib codec")
+        elif marker == 0xDA:                  # SOS — scan follows
+            if frame is None:
+                raise ValueError("invalid JPEG: SOS before SOF")
+            ns = body[0]
+            scan_tabs = {}
+            for si in range(ns):
+                cs, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                scan_tabs[cs] = (tabs >> 4, tabs & 0x0F)
+            pos += seglen
+            return _decode_scan(data, pos, frame, scan_tabs, qtables,
+                                htables, restart_interval)
+        # APPn / COM / anything else: skip
+        pos += seglen
+
+
+def _decode_scan(data, pos, frame, scan_tabs, qtables, htables,
+                 restart_interval):
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    h_max = max(c["h"] for c in comps)
+    v_max = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * h_max - 1) // (8 * h_max)
+    mcus_y = (h + 8 * v_max - 1) // (8 * v_max)
+
+    for c in comps:
+        c["bx"] = mcus_x * c["h"]
+        c["by"] = mcus_y * c["v"]
+        c["coefs"] = np.zeros((c["by"] * c["bx"], 64), dtype=np.int64)
+        dc_tid, ac_tid = scan_tabs[c["id"]]
+        c["dc"] = htables[(0, dc_tid)]
+        c["ac"] = htables[(1, ac_tid)]
+
+    br = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                br.sync_restart()
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                for dy in range(c["v"]):
+                    for dx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = br.read_huff(c["dc"])
+                        diff = _extend(br.read(s), s) if s else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.read_huff(c["ac"])
+                            r_, s_ = rs >> 4, rs & 0x0F
+                            if s_ == 0:
+                                if r_ == 15:
+                                    k += 16   # ZRL
+                                    continue
+                                break         # EOB
+                            k += r_
+                            if k > 63:
+                                raise ValueError("invalid JPEG: AC overrun")
+                            zz[k] = _extend(br.read(s_), s_)
+                            k += 1
+                        r_idx = my * c["v"] + dy
+                        c_idx = mx * c["h"] + dx
+                        c["coefs"][r_idx * c["bx"] + c_idx] = zz
+            mcu_count += 1
+
+    # everything after entropy decode is batched numpy per component
+    planes = []
+    for c in comps:
+        qt = qtables[c["tq"]]
+        nat = np.zeros((c["coefs"].shape[0], 64), dtype=np.float64)
+        nat[:, _ZIGZAG] = c["coefs"]          # inverse zigzag
+        nat *= qt[None, :]
+        pix = _idct_blocks(nat.reshape(-1, 8, 8)) + 128.0
+        by, bx = c["by"], c["bx"]
+        plane = (pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(by * 8, bx * 8))
+        planes.append(plane)
+
+    if len(comps) == 1:
+        out = np.clip(np.round(planes[0][:h, :w]), 0, 255)
+        return out.astype(np.uint8)
+    if len(comps) != 3:
+        raise NotImplementedError("only 1- or 3-component JPEG supported")
+
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        ry, rx = v_max // c["v"], h_max // c["h"]
+        if ry > 1 or rx > 1:                  # nearest-neighbor upsample
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

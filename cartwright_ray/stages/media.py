@@ -5,17 +5,23 @@ are actor pools with deliberately small batches (payloads are wide —
 SURVEY.md "Memory-aware"): decode / feature-extract / resize / frame-sample
 all share the shape ``map_batches(Cls, concurrency=N, batch_size=small)``.
 
-The decode seam has three settings:
+The decode seam has four settings:
 
 - ``decoder="png"`` — REAL decoding via the pure-stdlib PNG codec
   (``cartwright_ray.media.png``: zlib chunks + all five scanline
   filters); payloads must be PNG bytes (``media_rows_from_corpus(...,
   payload_kind="png")`` generates them).
+- ``decoder="jpeg"`` — REAL decoding via the pure-stdlib baseline JPEG
+  codec (``cartwright_ray.media.jpeg``: T.81 baseline sequential,
+  grayscale + YCbCr 4:4:4/4:2:2/4:2:0, restart markers); payloads must
+  be JFIF bytes (``payload_kind="jpeg"`` generates them) — VERDICT r03
+  Next #9.
 - ``decoder="fake"`` — deterministic pseudo-decode from the payload
   bytes, for pipelines whose payloads are synthetic hashes.
 - ``decoder="stub"`` (default) — raises NotImplementedError: the honest
-  seam for formats this container cannot decode (JPEG/video need
-  libjpeg/ffmpeg); a PIL/ffmpeg decoder drops into ``_decode_real``.
+  seam for formats this container cannot decode (video needs ffmpeg;
+  progressive JPEG needs libjpeg); a PIL/ffmpeg decoder drops into
+  ``_decode_real``.
 """
 
 from __future__ import annotations
@@ -32,6 +38,7 @@ import pyarrow as pa
 # sys.path — by-value cloudpickle only covers symbols captured at
 # serialization time (observed as ModuleNotFoundError under the driver's
 # init-before-import lineage)
+from ..media.jpeg import jpeg_decode, jpeg_encode
 from ..media.png import png_decode, png_encode
 
 MEDIA_SCHEMA = pa.schema([
@@ -54,7 +61,9 @@ def media_rows_from_corpus(corpus_ds, payload_kind: str = "hash"):
     ``payload_kind="hash"``: 256 raw blake2 bytes (pair with
     ``decoder="fake"``). ``payload_kind="png"``: a REAL 16x16 grayscale
     PNG whose pixels derive from the media_ref (pair with
-    ``decoder="png"`` — the full decode path end to end)."""
+    ``decoder="png"`` — the full decode path end to end).
+    ``payload_kind="jpeg"``: a REAL baseline JFIF of the same seeded
+    pixels (pair with ``decoder="jpeg"``)."""
     import pyarrow.compute as pc
 
     def _payload(ref: str) -> bytes:
@@ -62,6 +71,9 @@ def media_rows_from_corpus(corpus_ds, payload_kind: str = "hash"):
         if payload_kind == "hash":
             return seed * 8
         px = np.frombuffer((seed * 8)[:256], dtype=np.uint8).reshape(16, 16)
+        if payload_kind == "jpeg":
+            return jpeg_encode(px, quality=90,
+                               restart_interval=(sum(seed) % 3) or 0)
         return png_encode(px, filter_type=sum(seed) % 5)
 
     def expand(batch: pa.Table) -> pa.Table:
@@ -117,14 +129,22 @@ class MediaFeatureExtractor:
 
     def _decode_real(self, payload: bytes) -> np.ndarray:  # pragma: no cover
         raise NotImplementedError(
-            "non-PNG media decoding requires PIL/ffmpeg, absent in this "
-            "container; use decoder='png' for PNG payloads or "
-            "decoder='fake' for the deterministic test path")
+            "video / progressive-JPEG decoding requires PIL/ffmpeg, absent "
+            "in this container; use decoder='png'/'jpeg' for those payload "
+            "formats or decoder='fake' for the deterministic test path")
 
     def _decode_png(self, payload: bytes) -> np.ndarray:
         """Real decode: PNG bytes → grayscale float array in [0, 1]
         (RGB is luma-averaged — features here are luminance-pooled)."""
         img = png_decode(payload).astype(np.float32) / 255.0
+        if img.ndim == 3:
+            img = img.mean(axis=2)
+        return img
+
+    def _decode_jpeg(self, payload: bytes) -> np.ndarray:
+        """Real decode: baseline JFIF bytes → grayscale float in [0, 1]
+        (same luma pooling as the PNG path)."""
+        img = jpeg_decode(payload).astype(np.float32) / 255.0
         if img.ndim == 3:
             img = img.mean(axis=2)
         return img
@@ -139,6 +159,8 @@ class MediaFeatureExtractor:
     def _decode(self, payload: bytes) -> np.ndarray:
         if self.decoder == "png":
             return self._decode_png(payload)
+        if self.decoder == "jpeg":
+            return self._decode_jpeg(payload)
         if self.decoder == "fake":
             return self._decode_fake(payload)
         return self._decode_real(payload)
@@ -184,6 +206,9 @@ class MediaResize(MediaFeatureExtractor):
             if self.decoder == "png":
                 payloads.append(png_encode(
                     (small * 255).astype(np.uint8)))
+            elif self.decoder == "jpeg":
+                payloads.append(jpeg_encode(
+                    (small * 255).astype(np.uint8), quality=90))
             else:
                 payloads.append((small * 255).astype(np.uint8).tobytes())
             widths.append(small.shape[1])

@@ -1,0 +1,135 @@
+"""Baseline JPEG codec (media/jpeg.py): roundtrip closeness, an
+independent test-side reconstruction oracle, marker features (restart,
+subsampling), and clean rejection of unsupported profiles."""
+
+import numpy as np
+import pytest
+
+from cartwright_ray.media.jpeg import (_quality_scale, _Q_LUMA, _ZIGZAG,
+                                       jpeg_decode, jpeg_encode)
+
+
+def _gradient(h, w):
+    x = np.linspace(0, 255, w)[None, :] * np.ones((h, 1))
+    y = np.linspace(0, 255, h)[:, None] * np.ones((1, w))
+    return ((x + y) / 2).astype(np.uint8)
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (16, 16), (24, 17), (9, 31)])
+@pytest.mark.parametrize("quality", [95, 75, 50])
+def test_gray_roundtrip_close(shape, quality):
+    img = _gradient(*shape)
+    dec = jpeg_decode(jpeg_encode(img, quality=quality))
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    err = np.abs(dec.astype(int) - img.astype(int))
+    # smooth gradients quantize almost losslessly at these qualities
+    assert err.max() <= {95: 2, 75: 4, 50: 6}[quality]
+
+
+def test_noise_roundtrip_bounded():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(img, quality=90))
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 40 and err.mean() <= 10   # worst-case content
+
+
+def _reference_reconstruction(img, quality):
+    """Independent (textbook-loop) DCT → quantize → dequantize → IDCT of a
+    block-aligned grayscale image — what a correct decoder must return,
+    to within float-rounding of the IDCT."""
+    qt = _quality_scale(_Q_LUMA, quality).astype(np.float64)
+    h, w = img.shape
+    out = np.zeros((h, w))
+    n = np.arange(8)
+    C = np.where(n == 0, np.sqrt(1 / 8), np.sqrt(2 / 8))
+    basis = C[:, None] * np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+            coef = basis @ blk @ basis.T
+            q = np.round(coef / qt.reshape(8, 8))
+            rec = basis.T @ (q * qt.reshape(8, 8)) @ basis
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = rec + 128.0
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("quality", [90, 60])
+def test_decode_matches_independent_reconstruction(quality):
+    """The only lossy step is quantization: decode(encode(img)) must
+    equal an independently computed DCT/quant/IDCT reconstruction to
+    within 1 intensity level (float rounding at x.5 boundaries)."""
+    rng = np.random.default_rng(11)
+    img = (rng.integers(0, 256, (16, 24)).astype(np.uint8) // 2 + 64) \
+        .astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(img, quality=quality))
+    want = _reference_reconstruction(img, quality)
+    assert np.abs(dec.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_restart_markers_do_not_change_pixels():
+    img = _gradient(32, 24)
+    base = jpeg_decode(jpeg_encode(img, quality=85))
+    for ri in (1, 2, 5):
+        data = jpeg_encode(img, quality=85, restart_interval=ri)
+        assert b"\xff\xdd" in data            # DRI present
+        assert np.array_equal(jpeg_decode(data), base)
+
+
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:0"])
+def test_rgb_roundtrip(sub):
+    img = _gradient(24, 17)
+    rgb = np.stack([img, 255 - img, np.full_like(img, 128)], axis=2)
+    dec = jpeg_decode(jpeg_encode(rgb, quality=90, subsampling=sub))
+    assert dec.shape == rgb.shape
+    err = np.abs(dec.astype(int) - rgb.astype(int))
+    # 4:2:0 loses chroma detail by design; luma stays tight either way
+    assert err.max() <= (20 if sub == "4:2:0" else 6)
+
+
+def test_progressive_rejected_cleanly():
+    data = bytearray(jpeg_encode(_gradient(8, 8)))
+    idx = bytes(data).find(b"\xff\xc0")
+    data[idx + 1] = 0xC2                      # SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        jpeg_decode(bytes(data))
+
+
+def test_non_jpeg_rejected():
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\x89PNG\r\n\x1a\n")
+
+
+def test_quality_affects_size_monotonically():
+    img = np.abs(np.subtract.outer(np.arange(64), np.arange(64))) \
+        .astype(np.uint8) * 4
+    sizes = [len(jpeg_encode(img, quality=q)) for q in (30, 60, 90)]
+    assert sizes[0] < sizes[2]                # higher quality, more bytes
+
+
+def test_media_stage_jpeg_decoder(ray_session):
+    """The decode seam end to end: real JFIF payloads through the
+    feature-extract actor stage."""
+    import pyarrow as pa
+    import ray.data
+
+    from cartwright_ray.stages.media import (MediaFeatureExtractor,
+                                             media_rows_from_corpus)
+
+    spans = pa.array([
+        [{"kind": "media", "text": "", "media_ref": "m://1", "offset": 0}],
+        [{"kind": "text", "text": "hi", "media_ref": "", "offset": 0},
+         {"kind": "media", "text": "", "media_ref": "m://2", "offset": 1}],
+    ])
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["a", "b"]), "spans": spans}))
+    media = media_rows_from_corpus(corpus, payload_kind="jpeg")
+    feats = media.map_batches(
+        MediaFeatureExtractor, fn_constructor_kwargs={"decoder": "jpeg"},
+        batch_format="pyarrow", batch_size=8,
+        concurrency=(1, 2)).to_pandas()
+    assert len(feats) == 2
+    assert all(len(f) == 64 for f in feats["feature"])
+    # features come from REAL decoded pixels: nonconstant across refs
+    assert not np.allclose(feats["feature"].iloc[0],
+                           feats["feature"].iloc[1])
