@@ -788,6 +788,45 @@ def _q_media_jpeg(sf_dir):
     return df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
 
 
+def _q_pack_tokens(sf_dir):
+    """Concat-then-chunk sequence packing over the documents table
+    (stages/packing.py): global token offsets via per-block exclusive
+    prefix (O(num_blocks) to the driver, never O(rows)); the oracle is
+    the identical windowed running sum."""
+    from cartwright_ray.stages.packing import pack_token_budget
+    df = pack_token_budget(_docs(sf_dir), budget=512).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_shuffled_order(sf_dir):
+    """Seeded deterministic global shuffle rank (Knuth multiplicative
+    hash, collision-free on 32-bit ids) — the training-data ordering
+    op; row_number() over the same expression replays it exactly."""
+    from cartwright_ray.stages.packing import shuffled_order
+    df = shuffled_order(_docs(sf_dir)).to_pandas()
+    df = df[["doc_id", "shuffle_key", "shuffle_rank"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_decontam(sf_dir):
+    """Benchmark decontamination: word-8-gram overlap of every doc
+    against the (broadcast) benchmark set = docs with doc_id % 37 == 0.
+    Exact string membership both sides, so the DuckDB list-slice oracle
+    agrees bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    from cartwright_ray.stages.decontam import (benchmark_gram_set,
+                                                contamination_flags)
+    bench_tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    mask = np.asarray(bench_tbl["doc_id"]) % 37 == 0
+    bench = benchmark_gram_set(
+        bench_tbl["text"].combine_chunks().filter(
+            __import__("pyarrow").array(mask)), n=8)
+    df = contamination_flags(_docs(sf_dir), bench, n=8).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_spatial_resolution(sf_dir):
     import ray.data
     from cartwright_ray.analysis.space_resolution import detect_latlon_resolution_ds
@@ -1539,11 +1578,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": _q_minhash,
         "near_dup_clusters": _q_near_dup_clusters,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "simhash_dedup_pairs": _q_simhash,
         "mode_event_type_per_user": _q_mode_per_user,
-        # cartwright-parity inference
-        "temporal_resolution_events": _q_temporal_resolution,
-        "spatial_resolution_grid": _q_spatial_resolution,
+        # round-4 training-data layout ops (never driver-verified — must
+        # sit in the window; three untouched double-greens demoted)
+        "pack_token_budget_docs": _q_pack_tokens,
+        "shuffled_order_docs": _q_shuffled_order,
+        "decontam_docs": _q_decontam,
         # spatial pipeline + the full spatial-join family (MUST stay in
         # the first 50 — two of these were red in r01 and unverified in
         # r02 because they sat past the window)
@@ -1571,8 +1611,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # user_set_ops / distinct_users_by_type / top_users_by_value
         # (driver-green r02; demoted to keep the new spatial-store +
         # uncompact queries inside the window) ----
-        "embedding_near_dups": _q_embedding_dups,   # double-green r02+r03,
-        # untouched in r4 — demoted for media_features_jpeg's window slot
+        # double-green r02+r03 entries, untouched in r4 — demoted to
+        # make window slots for media_features_jpeg + the three
+        # round-4 layout ops
+        "embedding_near_dups": _q_embedding_dups,
+        "simhash_dedup_pairs": _q_simhash,
+        "temporal_resolution_events": _q_temporal_resolution,
+        "spatial_resolution_grid": _q_spatial_resolution,
         "user_set_ops": rel.user_set_ops,
         "distinct_users_by_type": rel.distinct_users_by_type,
         "top_users_by_value": rel.top_users_by_value,
@@ -2837,6 +2882,51 @@ def oracle_sql() -> dict[str, str]:
                    'media://' || CAST(doc_id AS VARCHAR) || '/1' AS media_ref,
                    'image' AS media_type, CAST(64 AS BIGINT) AS feat_dim
             FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id
+        """,
+        "pack_token_budget_docs": r"""
+            WITH t AS (SELECT doc_id,
+                          CAST(len(list_filter(
+                              regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS nt
+                       FROM documents),
+            o AS (SELECT doc_id, nt,
+                         coalesce(sum(nt) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS st
+                  FROM t)
+            SELECT doc_id, nt AS n_tokens,
+                   CAST(st AS BIGINT) AS start_tok,
+                   CAST(st // 512 AS BIGINT) AS bin_start,
+                   CAST((st + greatest(nt, 1) - 1) // 512 AS BIGINT)
+                       AS bin_end
+            FROM o ORDER BY doc_id
+        """,
+        "shuffled_order_docs": """
+            SELECT doc_id,
+                   (doc_id * 2654435761) % 4294967296 AS shuffle_key,
+                   row_number() OVER (ORDER BY
+                       (doc_id * 2654435761) % 4294967296) - 1
+                       AS shuffle_rank
+            FROM documents ORDER BY doc_id
+        """,
+        "decontam_docs": r"""
+            WITH words AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(
+                                  lower(text), '\s+'), x -> x <> '') w
+                           FROM documents),
+            grams AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') g
+                      FROM (SELECT doc_id, w,
+                                   unnest(generate_series(1, len(w)-7)) i
+                            FROM words WHERE len(w) >= 8)),
+            bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0),
+            hits AS (SELECT doc_id, count(*) nh FROM grams
+                     JOIN bg USING (g) GROUP BY doc_id)
+            SELECT words.doc_id,
+                   CAST(greatest(len(w)-7, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(nh, 0) AS BIGINT) AS n_hits,
+                   CAST(coalesce(nh, 0) > 0 AS BIGINT) AS contaminated
+            FROM words LEFT JOIN hits ON words.doc_id = hits.doc_id
+            ORDER BY words.doc_id
         """,
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "ivf_ann_topk": _ivf_ann_oracle_sql(),

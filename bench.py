@@ -139,7 +139,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "events_rollup_counts", "edit_similarity_join",
              "funnel_view_click_purchase", "mode_event_type_per_user",
              # round-4 additions
-             "media_features_jpeg", "track_segments"]
+             "media_features_jpeg", "track_segments",
+             "pack_token_budget_docs", "shuffled_order_docs",
+             "decontam_docs"]
     out = {}
     for name in picks:
         t0 = time.time()
