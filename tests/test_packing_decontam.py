@@ -89,6 +89,63 @@ def test_contamination_flags_matches_brute_force(ray_session):
     assert got["contaminated"].sum() >= len(bench_rows)  # self-hits
 
 
+def test_repetition_signals_planted(ray_session):
+    from cartwright_ray.stages.repetition import repetition_signals
+
+    df = _docs_df(120, seed=21)
+    df.loc[3, "text"] = "spam line\nspam line\nother\nspam line"
+    df.loc[5, "text"] = "buy now buy now buy now great deal"
+    df.loc[9, "text"] = "\n\n"           # empty lines only
+    got = repetition_signals(_ds(ray_session, df, 5)).to_pandas() \
+        .set_index("doc_id")
+    r3 = got.loc[3]
+    assert r3["dup_line_chars"] == 3 * len("spam line")
+    assert r3["line_chars"] == 3 * len("spam line") + len("other")
+    r5 = got.loc[5]
+    assert r5["top2_gram"] == "buy now" and r5["top2_count"] == 3
+    assert r5["top2_chars"] == 3 * len("buy now")
+    r9 = got.loc[9]
+    assert r9["line_chars"] == 0 and r9["dup_line_chars"] == 0
+    # brute-force check of dup-line chars across all docs
+    for did, text in zip(df["doc_id"], df["text"]):
+        lines = text.split("\n")
+        from collections import Counter
+        cnt = Counter(lines)
+        want = sum(len(l) * c for l, c in cnt.items() if c > 1)
+        assert got.loc[did]["dup_line_chars"] == want, did
+
+
+def test_media_captions_nearest_preceding_text(ray_session):
+    """Caption = nearest PRECEDING text span, same document only: a
+    media-first doc gets a null caption even when the previous doc
+    ends with text (the cross-doc guard)."""
+    import ray.data
+
+    from cartwright_ray.stages.spans import media_captions
+
+    def sp(kind, text="", ref="", off=0):
+        return {"kind": kind, "text": text, "media_ref": ref,
+                "offset": off}
+
+    spans = pa.array([
+        [sp("text", "intro 12.3456, 65.4321 here"),
+         sp("media", ref="m://a/1"),
+         sp("text", "middle"), sp("media", ref="m://a/2")],
+        [sp("media", ref="m://b/1"), sp("text", "after")],   # media first
+        [sp("text", "only text")],                            # no media
+    ])
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["a", "b", "c"]), "spans": spans}))
+    got = media_captions(ds).to_pandas() \
+        .sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    assert list(got["doc_id"]) == ["a", "a", "b"]
+    assert list(got["span_idx"]) == [1, 3, 0]
+    assert got["caption"][0] == "intro [COORD] here"       # redacted
+    assert got["caption"][1] == "middle"                   # nearest, not first
+    assert got["caption"][2] is None or pd.isna(got["caption"][2])
+    assert list(got["media_ref"]) == ["m://a/1", "m://a/2", "m://b/1"]
+
+
 def test_decontam_empty_benchmark(ray_session):
     from cartwright_ray.stages.decontam import contamination_flags
 
