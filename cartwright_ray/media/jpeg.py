@@ -328,18 +328,19 @@ def jpeg_encode(arr: np.ndarray, quality: int = 90,
                 restart_interval: int = 0) -> bytes:
     """uint8 grayscale (h, w) or RGB (h, w, 3) -> baseline JFIF bytes.
 
-    RGB converts to YCbCr (T.871); ``subsampling`` is ``"4:4:4"`` or
-    ``"4:2:0"`` (ignored for grayscale). ``restart_interval`` > 0 emits
-    DRI + RSTn markers every N MCUs (exercises the decoder's restart
-    path)."""
+    RGB converts to YCbCr (T.871); ``subsampling`` is ``"4:4:4"``,
+    ``"4:2:2"`` (horizontal-only chroma downsample) or ``"4:2:0"``
+    (ignored for grayscale). ``restart_interval`` > 0 emits DRI + RSTn
+    markers every N MCUs (exercises the decoder's restart path)."""
     arr = np.asarray(arr)
     if arr.dtype != np.uint8:
         raise ValueError("jpeg_encode expects uint8")
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
         raise ValueError("expected (h, w) or (h, w, 3)")
-    if subsampling not in ("4:4:4", "4:2:0"):
-        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
+        raise ValueError(
+            "subsampling must be '4:4:4', '4:2:2' or '4:2:0'")
     h, w = arr.shape[:2]
 
     qt_luma = _quality_scale(_Q_LUMA, quality)
@@ -365,6 +366,15 @@ def jpeg_encode(arr: np.ndarray, quality: int = 90,
                         .mean(axis=(1, 3)))
             planes = [y, _down(cb), _down(cr)]
             samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "4:2:2":
+            # horizontal-only 2x box average (mixed h/v factors —
+            # exercises the decoder's anisotropic upsample path)
+            We = (w + 1) // 2 * 2
+            def _downh(p):
+                p = np.pad(p, ((0, 0), (0, We - w)), mode="edge")
+                return p.reshape(h, We // 2, 2).mean(axis=2)
+            planes = [y, _downh(cb), _downh(cr)]
+            samp = [(2, 1), (1, 1), (1, 1)]
         else:
             planes = [y, cb, cr]
             samp = [(1, 1), (1, 1), (1, 1)]
@@ -557,6 +567,12 @@ def _decode_scan(data, pos, frame, scan_tabs, qtables, htables,
                  restart_interval):
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — the
+        # MCU is one data unit and the declared sampling factors do not
+        # shape the scan (real-world grayscale JPEGs sometimes declare
+        # (2,2) here)
+        comps[0]["h"] = comps[0]["v"] = 1
     h_max = max(c["h"] for c in comps)
     v_max = max(c["v"] for c in comps)
     mcus_x = (w + 8 * h_max - 1) // (8 * h_max)

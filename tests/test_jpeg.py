@@ -76,15 +76,29 @@ def test_restart_markers_do_not_change_pixels():
         assert np.array_equal(jpeg_decode(data), base)
 
 
-@pytest.mark.parametrize("sub", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:2", "4:2:0"])
 def test_rgb_roundtrip(sub):
     img = _gradient(24, 17)
     rgb = np.stack([img, 255 - img, np.full_like(img, 128)], axis=2)
     dec = jpeg_decode(jpeg_encode(rgb, quality=90, subsampling=sub))
     assert dec.shape == rgb.shape
     err = np.abs(dec.astype(int) - rgb.astype(int))
-    # 4:2:0 loses chroma detail by design; luma stays tight either way
-    assert err.max() <= (20 if sub == "4:2:0" else 6)
+    # subsampled modes lose chroma detail by design; luma stays tight
+    assert err.max() <= (20 if sub != "4:4:4" else 6)
+
+
+def test_gray_with_22_sampling_factors_decodes():
+    """Real-world grayscale JPEGs sometimes declare (2,2) sampling in
+    SOF0; a single-component scan is non-interleaved per T.81 A.2.2, so
+    the factors must be ignored."""
+    img = _gradient(16, 16)
+    data = bytearray(jpeg_encode(img, quality=90))
+    idx = bytes(data).find(b"\xff\xc0")
+    # SOF0 component spec: [len(2) prec(1) h(2) w(2) nc(1) id(1) hv(1)...]
+    assert data[idx + 11] == 0x11             # encoder wrote (1,1)
+    data[idx + 11] = 0x22                     # declare (2,2)
+    dec = jpeg_decode(bytes(data))
+    assert np.array_equal(dec, jpeg_decode(jpeg_encode(img, quality=90)))
 
 
 def test_progressive_rejected_cleanly():
