@@ -788,6 +788,27 @@ def _q_media_jpeg(sf_dir):
     return df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
 
 
+def _q_audio_wav(sf_dir):
+    """Audio media path with a REAL decode-verifying oracle: payloads are
+    real 16-bit RIFF/WAVE square waves whose period / length / amplitude /
+    channel count derive arithmetically from the doc number
+    (stages/media.synth_wav_params), so the SQL oracle predicts the exact
+    integers a correct container parse + PCM decode must recover
+    (n_samples, sample_rate, n_channels, duration_ms, peak,
+    n_zero_crossings) — unlike the PNG/JPEG oracles, a decode bug here
+    fails the driver's VALUE hash, not just pytest."""
+    from cartwright_ray.pipelines.derived import derived_corpus
+    from cartwright_ray.stages.media import (extract_audio_features,
+                                             media_rows_from_corpus)
+    media = media_rows_from_corpus(derived_corpus(sf_dir),
+                                   payload_kind="wav")
+    df = extract_audio_features(media).to_pandas()
+    df = df[["doc_id", "span_idx", "media_ref", "n_samples",
+             "sample_rate", "n_channels", "duration_ms", "peak",
+             "n_zero_crossings"]]
+    return df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+
+
 def _q_pack_tokens(sf_dir):
     """Concat-then-chunk sequence packing over the documents table
     (stages/packing.py): global token offsets via per-block exclusive
@@ -1575,7 +1596,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_view_click_purchase": _q_funnel,
         "orders_customers_join": _q_orders_customers_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
-        "box_join_pairs": _q_box_join,
         "events_pivot_by_user": _q_events_pivot,
         "sketch_quantiles_by_type": rel.sketch_quantiles_by_type,
         "ivf_ann_pruned": _q_ivf_ann_pruned,
@@ -1600,7 +1620,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_centroids": _q_kmeans,
         "near_dup_clusters": _q_near_dup_clusters,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "mode_event_type_per_user": _q_mode_per_user,
+        # track_segments was REWRITTEN this round (per-user map_groups →
+        # sort-exchange segment kernel) — promoted back into the window
+        # so the driver re-verifies the new plan
+        "track_segments": rel.track_segments,
         # round-4 training-data layout ops (never driver-verified — must
         # sit in the window; three untouched double-greens demoted)
         "pack_token_budget_docs": _q_pack_tokens,
@@ -1622,6 +1645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _q_media_frames,
         "media_resized": _q_media_resized,
         "media_features_jpeg": _q_media_jpeg,
+        "audio_features_wav": _q_audio_wav,
         "knn_join_sample": _q_knn,
         "knn_join_table": _q_knn_join_table,
         "knn_join_shuffle": _q_knn_join_shuffle,
@@ -1637,6 +1661,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # double-green r02+r03 entries, untouched in r4 — demoted to
         # make window slots for media_features_jpeg + the three
         # round-4 layout ops
+        "box_join_pairs": _q_box_join,
+        "mode_event_type_per_user": _q_mode_per_user,
         "embedding_near_dups": _q_embedding_dups,
         "simhash_dedup_pairs": _q_simhash,
         "minhash_dedup_pairs": _q_minhash,
@@ -1648,7 +1674,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_value": rel.top_users_by_value,
         "sessionize_events": rel.sessionize_events,
         "events_hourly_window": rel.events_hourly_window,
-        "track_segments": rel.track_segments,
         "orders_by_nation": rel.orders_by_nation,
         "q1_pricing_summary": rel.q1_pricing_summary,
         "langid_counts": _q_langid,
@@ -2906,6 +2931,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(1 AS INT) AS span_idx,
                    'media://' || CAST(doc_id AS VARCHAR) || '/1' AS media_ref,
                    'image' AS media_type, CAST(64 AS BIGINT) AS feat_dim
+            FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id
+        """,
+        # replays stages/media.synth_wav_params arithmetically: a correct
+        # RIFF parse + PCM16 decode must recover these exact integers
+        # (square wave: peak = amplitude; crossings every period/2
+        # samples; the synth lengths divide the 8 kHz rate evenly so
+        # duration_ms = n // 8 exactly)
+        "audio_features_wav": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(1 AS INT) AS span_idx,
+                   'media://' || CAST(doc_id AS VARCHAR) || '/1' AS media_ref,
+                   CAST(800 + (doc_id % 7) * 160 AS BIGINT) AS n_samples,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END
+                        AS BIGINT) AS n_channels,
+                   CAST((800 + (doc_id % 7) * 160) // 8 AS BIGINT)
+                       AS duration_ms,
+                   CAST(8000 + (doc_id % 9) * 1000 AS BIGINT) AS peak,
+                   CAST((800 + (doc_id % 7) * 160 - 1)
+                        // ((8 + (doc_id % 5) * 2) // 2) AS BIGINT)
+                       AS n_zero_crossings
             FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id
         """,
         "pack_token_budget_docs": r"""

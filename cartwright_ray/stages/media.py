@@ -40,6 +40,7 @@ import pyarrow as pa
 # init-before-import lineage)
 from ..media.jpeg import jpeg_decode, jpeg_encode
 from ..media.png import png_decode, png_encode
+from ..media.wav import wav_decode, wav_encode
 
 MEDIA_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
@@ -63,13 +64,19 @@ def media_rows_from_corpus(corpus_ds, payload_kind: str = "hash"):
     PNG whose pixels derive from the media_ref (pair with
     ``decoder="png"`` — the full decode path end to end).
     ``payload_kind="jpeg"``: a REAL baseline JFIF of the same seeded
-    pixels (pair with ``decoder="jpeg"``)."""
+    pixels (pair with ``decoder="jpeg"``). ``payload_kind="wav"``: a
+    REAL RIFF/WAVE square-wave whose period / length / amplitude /
+    channel count derive ARITHMETICALLY from the doc number in the
+    media_ref — so a SQL oracle can predict exactly what a correct
+    decode must recover (``synth_wav_params`` is the shared spec)."""
     import pyarrow.compute as pc
 
     def _payload(ref: str) -> bytes:
         seed = hashlib.blake2b(ref.encode(), digest_size=32).digest()
         if payload_kind == "hash":
             return seed * 8
+        if payload_kind == "wav":
+            return synth_wav_payload(ref)
         px = np.frombuffer((seed * 8)[:256], dtype=np.uint8).reshape(16, 16)
         if payload_kind == "jpeg":
             return jpeg_encode(px, quality=90,
@@ -100,9 +107,10 @@ def media_rows_from_corpus(corpus_ds, payload_kind: str = "hash"):
             rows["span_idx"].append(int(span_idx[i]))
             rows["media_ref"].append(ref)
             rows["payload"].append(payload)
-            rows["media_type"].append("image")
-            rows["width"].append(16)
-            rows["height"].append(16)
+            rows["media_type"].append(
+                "audio" if payload_kind == "wav" else "image")
+            rows["width"].append(0 if payload_kind == "wav" else 16)
+            rows["height"].append(0 if payload_kind == "wav" else 16)
         return pa.table({
             "doc_id": pa.array(rows["doc_id"], pa.string()),
             "span_idx": pa.array(rows["span_idx"], pa.int32()),
@@ -114,6 +122,79 @@ def media_rows_from_corpus(corpus_ds, payload_kind: str = "hash"):
         })
 
     return corpus_ds.map_batches(expand, batch_format="pyarrow")
+
+
+def synth_wav_params(doc: int) -> dict:
+    """Deterministic square-wave spec for a doc number — the SINGLE
+    source of truth shared by the payload synthesizer, the pytest
+    oracle, and the SQL oracle (which replays the same arithmetic):
+
+    period ``P = 8 + (doc % 5) * 2`` samples, length ``n = 800 +
+    (doc % 7) * 160``, amplitude ``A = 8000 + (doc % 9) * 1000``,
+    8 kHz, stereo when ``doc % 3 == 0`` (second channel inverted).
+    """
+    return {
+        "period": 8 + (doc % 5) * 2,
+        "n_samples": 800 + (doc % 7) * 160,
+        "amplitude": 8000 + (doc % 9) * 1000,
+        "sample_rate": 8000,
+        "n_channels": 2 if doc % 3 == 0 else 1,
+    }
+
+
+def synth_wav_payload(ref: str) -> bytes:
+    """media_ref (``media://<doc>/<idx>``) → real 16-bit RIFF/WAVE bytes
+    of the :func:`synth_wav_params` square wave."""
+    doc = int(ref.rsplit("/", 2)[-2].split("//")[-1])
+    p = synth_wav_params(doc)
+    i = np.arange(p["n_samples"])
+    s = np.where(i % p["period"] < p["period"] // 2,
+                 p["amplitude"], -p["amplitude"]).astype(np.int16)
+    if p["n_channels"] == 2:
+        s = np.stack([s, -s], axis=1)
+    return wav_encode(s, sample_rate=p["sample_rate"], bits=16)
+
+
+class AudioFeatureExtractor:
+    """Actor-pool stage: REAL WAV decode + exact integer audio features.
+
+    Same shape as :class:`MediaFeatureExtractor` (small batches, wide
+    binary rows), but every emitted feature is an exact integer a SQL
+    oracle can recompute from the synth spec — so the driver's hash gate
+    verifies the decode itself, not just row structure: ``n_samples``
+    (frames), ``sample_rate``, ``n_channels``, ``duration_ms`` (exact —
+    the synth lengths divide 8 kHz evenly), ``peak`` (max |sample| on
+    channel 0), ``n_zero_crossings`` (adjacent sign flips on channel 0).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {k: [] for k in ("n_samples", "sample_rate", "n_channels",
+                                "duration_ms", "peak", "n_zero_crossings")}
+        for payload in batch.column("payload").to_pylist():
+            samples, rate = wav_decode(payload)
+            ch0 = samples if samples.ndim == 1 else samples[:, 0]
+            n = len(ch0)
+            s = ch0.astype(np.int64)
+            cols["n_samples"].append(n)
+            cols["sample_rate"].append(rate)
+            cols["n_channels"].append(
+                1 if samples.ndim == 1 else samples.shape[1])
+            cols["duration_ms"].append(n * 1000 // rate)
+            cols["peak"].append(int(np.abs(s).max()) if n else 0)
+            cols["n_zero_crossings"].append(
+                int(np.count_nonzero(s[:-1] * s[1:] < 0)))
+        out = batch.drop_columns(["payload"])   # wide bytes stop here
+        for k, v in cols.items():
+            out = out.append_column(k, pa.array(v, pa.int64()))
+        return out
+
+
+def extract_audio_features(media_ds, concurrency: int = 2,
+                           batch_size: int = 64):
+    """Dataset stage mirroring :func:`extract_media_features`."""
+    return media_ds.map_batches(
+        AudioFeatureExtractor, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=_pool(concurrency))
 
 
 class MediaFeatureExtractor:

@@ -190,6 +190,33 @@ def test_media_resize_and_frames(ray_session):
         assert set(frames["frame_idx"]) == {0, 4, 8, 12}
 
 
+def test_audio_pipeline_real_wav(ray_session):
+    """End-to-end audio path: real RIFF/WAVE payloads decoded by the
+    actor stage, features matching the synth-spec arithmetic exactly."""
+    import ray.data
+    from cartwright_ray.sources.synth import interleave_documents
+    from cartwright_ray.stages.media import (extract_audio_features,
+                                             media_rows_from_corpus,
+                                             synth_wav_params)
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"]).limit(100)
+    media = media_rows_from_corpus(interleave_documents(docs),
+                                   payload_kind="wav")
+    out = extract_audio_features(media, concurrency=1).to_pandas()
+    assert len(out) > 0
+    assert "payload" not in out.columns
+    assert (out["media_type"] == "audio").all()
+    for _, row in out.iterrows():
+        p = synth_wav_params(int(row["doc_id"]))
+        assert row["n_samples"] == p["n_samples"]
+        assert row["sample_rate"] == p["sample_rate"]
+        assert row["n_channels"] == p["n_channels"]
+        assert row["peak"] == p["amplitude"]
+        assert row["duration_ms"] == p["n_samples"] * 1000 // 8000
+        assert row["n_zero_crossings"] \
+            == (p["n_samples"] - 1) // (p["period"] // 2)
+
+
 def test_register_detector():
     from cartwright_ray.detectors.registry import (Detector, REGISTRY,
                                                    register_detector,
