@@ -809,6 +809,30 @@ def _q_audio_wav(sf_dir):
     return df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
 
 
+def _q_video_mjpeg(sf_dir):
+    """REAL video frame-sampling: payloads are MJPEG-style streams (16
+    concatenated baseline JFIF frames — motion-JPEG AVI's video stream
+    minus the RIFF index), split on EOI markers and every 4th frame
+    REALLY decoded by the T.81 codec. The oracle pins the explode layout
+    (frames {0,4,8,12} per media span) AND the decoded dimensions — a
+    split or SOF-parse bug changes rows/values and fails the hash."""
+    from cartwright_ray.pipelines.derived import derived_corpus
+    from cartwright_ray.stages.media import (FrameSampler,
+                                             media_rows_from_corpus)
+    media = media_rows_from_corpus(derived_corpus(sf_dir),
+                                   payload_kind="mjpeg")
+    frames = media.map_batches(FrameSampler,
+                               fn_constructor_kwargs={"decoder": "mjpeg"},
+                               batch_format="pyarrow", batch_size=64,
+                               concurrency=(1, 4))
+    df = frames.to_pandas()
+    for c in ("frame_idx", "width", "height"):
+        df[c] = df[c].astype("int64")
+    df = df[["doc_id", "span_idx", "media_ref", "frame_idx", "width",
+             "height"]]
+    return df.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
 def _q_pack_tokens(sf_dir):
     """Concat-then-chunk sequence packing over the documents table
     (stages/packing.py): global token offsets via per-block exclusive
@@ -1616,7 +1640,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann,
         "compact_cells": _q_compact_cells,
         "uncompact_cells": _q_uncompact_cells,
-        "cover_join_points": _q_cover_join,
         "kmeans_centroids": _q_kmeans,
         "near_dup_clusters": _q_near_dup_clusters,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1646,6 +1669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resized": _q_media_resized,
         "media_features_jpeg": _q_media_jpeg,
         "audio_features_wav": _q_audio_wav,
+        "video_frames_mjpeg": _q_video_mjpeg,
         "knn_join_sample": _q_knn,
         "knn_join_table": _q_knn_join_table,
         "knn_join_shuffle": _q_knn_join_shuffle,
@@ -1662,6 +1686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # make window slots for media_features_jpeg + the three
         # round-4 layout ops
         "box_join_pairs": _q_box_join,
+        "cover_join_points": _q_cover_join,
         "mode_event_type_per_user": _q_mode_per_user,
         "embedding_near_dups": _q_embedding_dups,
         "simhash_dedup_pairs": _q_simhash,
@@ -2932,6 +2957,19 @@ def oracle_sql() -> dict[str, str]:
                    'media://' || CAST(doc_id AS VARCHAR) || '/1' AS media_ref,
                    'image' AS media_type, CAST(64 AS BIGINT) AS feat_dim
             FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id
+        """,
+        # explode layout + decoded dims: 16 frames per media span,
+        # sampled every 4th; each sampled frame's SOF0 must parse to
+        # 16x16 for the hash to match
+        "video_frames_mjpeg": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(1 AS INT) AS span_idx,
+                   'media://' || CAST(doc_id AS VARCHAR) || '/1' AS media_ref,
+                   CAST(f AS BIGINT) AS frame_idx,
+                   CAST(16 AS BIGINT) AS width,
+                   CAST(16 AS BIGINT) AS height
+            FROM documents, unnest([0, 4, 8, 12]) AS t(f)
+            WHERE doc_id % 5 = 0 ORDER BY doc_id, f
         """,
         # replays stages/media.synth_wav_params arithmetically: a correct
         # RIFF parse + PCM16 decode must recover these exact integers

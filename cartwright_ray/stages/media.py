@@ -77,6 +77,8 @@ def media_rows_from_corpus(corpus_ds, payload_kind: str = "hash"):
             return seed * 8
         if payload_kind == "wav":
             return synth_wav_payload(ref)
+        if payload_kind == "mjpeg":
+            return synth_mjpeg_payload(ref)
         px = np.frombuffer((seed * 8)[:256], dtype=np.uint8).reshape(16, 16)
         if payload_kind == "jpeg":
             return jpeg_encode(px, quality=90,
@@ -107,10 +109,11 @@ def media_rows_from_corpus(corpus_ds, payload_kind: str = "hash"):
             rows["span_idx"].append(int(span_idx[i]))
             rows["media_ref"].append(ref)
             rows["payload"].append(payload)
-            rows["media_type"].append(
-                "audio" if payload_kind == "wav" else "image")
-            rows["width"].append(0 if payload_kind == "wav" else 16)
-            rows["height"].append(0 if payload_kind == "wav" else 16)
+            kind = {"wav": "audio", "mjpeg": "video"}.get(payload_kind,
+                                                          "image")
+            rows["media_type"].append(kind)
+            rows["width"].append(0 if kind == "audio" else 16)
+            rows["height"].append(0 if kind == "audio" else 16)
         return pa.table({
             "doc_id": pa.array(rows["doc_id"], pa.string()),
             "span_idx": pa.array(rows["span_idx"], pa.int32()),
@@ -122,6 +125,39 @@ def media_rows_from_corpus(corpus_ds, payload_kind: str = "hash"):
         })
 
     return corpus_ds.map_batches(expand, batch_format="pyarrow")
+
+
+MJPEG_FRAMES = 16
+
+
+def synth_mjpeg_payload(ref: str) -> bytes:
+    """media_ref → an MJPEG-style video payload: :data:`MJPEG_FRAMES`
+    concatenated baseline JFIF frames (16x16 grayscale, pixels seeded
+    per frame from the ref). Concatenated-JFIF is how motion-JPEG AVI
+    stores its video stream minus the RIFF index — the simplest real
+    container this codec set can both write and split."""
+    frames = []
+    for f in range(MJPEG_FRAMES):
+        seed = hashlib.blake2b(f"{ref}#{f}".encode(),
+                               digest_size=32).digest()
+        px = np.frombuffer((seed * 8)[:256], dtype=np.uint8).reshape(16, 16)
+        frames.append(jpeg_encode(px, quality=90))
+    return b"".join(frames)
+
+
+def mjpeg_split(payload: bytes) -> list:
+    """Split a concatenated-JFIF stream on EOI markers. Safe without
+    decoding: inside entropy-coded data every 0xFF is byte-stuffed
+    (FF 00) or a restart marker, so a literal FF D9 only ever terminates
+    a frame (T.81 B.1.1.5)."""
+    frames, start = [], 0
+    while True:
+        end = payload.find(b"\xff\xd9", start)
+        if end < 0:
+            break
+        frames.append(payload[start:end + 2])
+        start = end + 2
+    return frames
 
 
 def synth_wav_params(doc: int) -> dict:
@@ -302,9 +338,16 @@ class MediaResize(MediaFeatureExtractor):
 
 class FrameSampler(MediaFeatureExtractor):
     """Frame-sample stage for video-typed payloads: emit every k-th
-    "frame" as its own row (doc_id, span_idx, frame_idx, payload). With a
-    real codec the decode loop changes; the Ray-side explode layout is what
-    matters here."""
+    frame as its own row (doc_id, span_idx, frame_idx, payload).
+
+    ``decoder="mjpeg"`` is the REAL path: the payload is a
+    concatenated-JFIF stream (:func:`synth_mjpeg_payload` writes one;
+    motion-JPEG AVI minus the RIFF index), split on EOI markers and each
+    SAMPLED frame decoded by the baseline T.81 codec — rows additionally
+    carry the decoded ``width``/``height``. ``decoder="fake"`` keeps the
+    deterministic hash frames for payloads that are synthetic hashes; a
+    general codec (H.264 etc. needs ffmpeg) drops into ``_decode_real``.
+    """
 
     def __init__(self, decoder: str = "stub", every: int = 4,
                  n_frames: int = 16):
@@ -313,15 +356,28 @@ class FrameSampler(MediaFeatureExtractor):
         self.n_frames = n_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        real = self.decoder == "mjpeg"
         rows = {"doc_id": [], "span_idx": [], "media_ref": [],
                 "frame_idx": [], "payload": []}
+        dims = {"width": [], "height": []}
         for doc, si, ref, payload in zip(
                 batch.column("doc_id").to_pylist(),
                 batch.column("span_idx").to_pylist(),
                 batch.column("media_ref").to_pylist(),
                 batch.column("payload").to_pylist()):
-            for f in range(0, self.n_frames, self.every):
-                if self.decoder == "fake":
+            if real:
+                frames = mjpeg_split(payload)
+                sampled = [(f, frames[f])
+                           for f in range(0, len(frames), self.every)]
+            else:
+                sampled = [(f, None)
+                           for f in range(0, self.n_frames, self.every)]
+            for f, frame in sampled:
+                if real:
+                    px = jpeg_decode(frame)
+                    dims["height"].append(px.shape[0])
+                    dims["width"].append(px.shape[1])
+                elif self.decoder == "fake":
                     frame = hashlib.blake2b(payload + bytes([f]),
                                             digest_size=32).digest()
                 else:
@@ -331,10 +387,16 @@ class FrameSampler(MediaFeatureExtractor):
                 rows["media_ref"].append(ref)
                 rows["frame_idx"].append(f)
                 rows["payload"].append(frame)
-        return pa.table({
+        out = pa.table({
             "doc_id": pa.array(rows["doc_id"], pa.string()),
             "span_idx": pa.array(rows["span_idx"], pa.int32()),
             "media_ref": pa.array(rows["media_ref"], pa.string()),
             "frame_idx": pa.array(rows["frame_idx"], pa.int32()),
             "payload": pa.array(rows["payload"], pa.binary()),
         })
+        if real:
+            out = out.append_column("width",
+                                    pa.array(dims["width"], pa.int32()))
+            out = out.append_column("height",
+                                    pa.array(dims["height"], pa.int32()))
+        return out

@@ -147,3 +147,45 @@ def test_media_stage_jpeg_decoder(ray_session):
     # features come from REAL decoded pixels: nonconstant across refs
     assert not np.allclose(feats["feature"].iloc[0],
                            feats["feature"].iloc[1])
+
+
+def test_mjpeg_split_exact():
+    """EOI-marker splitting recovers the exact frame byte ranges —
+    including frames whose entropy data contains stuffed 0xFF bytes."""
+    from cartwright_ray.stages.media import mjpeg_split, synth_mjpeg_payload
+
+    rng = np.random.default_rng(3)
+    frames = [jpeg_encode(rng.integers(0, 256, (16, 16), dtype=np.uint8),
+                          quality=95) for _ in range(7)]
+    got = mjpeg_split(b"".join(frames))
+    assert got == frames
+    payload = synth_mjpeg_payload("media://15/1")
+    parts = mjpeg_split(payload)
+    assert len(parts) == 16 and b"".join(parts) == payload
+    for p in parts:
+        assert jpeg_decode(p).shape == (16, 16)
+
+
+def test_frame_sampler_mjpeg_real(ray_session):
+    """Video frame-sampling with the REAL split + decode path."""
+    import pyarrow as pa
+    import ray.data
+
+    from cartwright_ray.stages.media import (FrameSampler,
+                                             media_rows_from_corpus)
+
+    spans = pa.array([
+        [{"kind": "media", "text": "", "media_ref": "m://7", "offset": 0}],
+    ])
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["a"]), "spans": spans}))
+    media = media_rows_from_corpus(corpus, payload_kind="mjpeg")
+    out = media.map_batches(FrameSampler,
+                            fn_constructor_kwargs={"decoder": "mjpeg"},
+                            batch_format="pyarrow",
+                            concurrency=1).to_pandas()
+    assert sorted(out["frame_idx"]) == [0, 4, 8, 12]
+    assert (out["width"] == 16).all() and (out["height"] == 16).all()
+    # sampled payloads are the original frame bytes, individually decodable
+    for p in out["payload"]:
+        assert jpeg_decode(bytes(p)).shape == (16, 16)
