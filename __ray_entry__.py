@@ -833,6 +833,21 @@ def _q_video_mjpeg(sf_dir):
     return df.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
 
 
+def _q_url_dedup(sf_dir):
+    """URL-keyed dedup, the C4/CCNet front door: messy synthetic URLs
+    (mixed-case scheme/host, default ports, utm_*/ref tracking params,
+    fragments, trailing slashes) → vectorized Arrow normal form →
+    keep-first exact dedup on the normalized column (stages/urls.py;
+    both exact_dedup physical plans apply). The oracle states the
+    normal form ARITHMETICALLY (ground truth, not a regex replay), so
+    any normalization or dedup bug fails the hash."""
+    from cartwright_ray.stages.urls import synth_messy_urls, url_dedup
+    out = url_dedup(synth_messy_urls(_docs(sf_dir, columns=("doc_id",)))) \
+        .to_pandas()
+    out = out[["doc_id", "url_norm"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_pack_tokens(sf_dir):
     """Concat-then-chunk sequence packing over the documents table
     (stages/packing.py): global token offsets via per-block exclusive
@@ -1639,7 +1654,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _q_exact_dedup,
         "ann_topk": _q_ann,
         "compact_cells": _q_compact_cells,
-        "uncompact_cells": _q_uncompact_cells,
         "kmeans_centroids": _q_kmeans,
         "near_dup_clusters": _q_near_dup_clusters,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1670,6 +1684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_jpeg": _q_media_jpeg,
         "audio_features_wav": _q_audio_wav,
         "video_frames_mjpeg": _q_video_mjpeg,
+        "url_dedup_docs": _q_url_dedup,
         "knn_join_sample": _q_knn,
         "knn_join_table": _q_knn_join_table,
         "knn_join_shuffle": _q_knn_join_shuffle,
@@ -1686,6 +1701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # make window slots for media_features_jpeg + the three
         # round-4 layout ops
         "box_join_pairs": _q_box_join,
+        "uncompact_cells": _q_uncompact_cells,
         "cover_join_points": _q_cover_join,
         "mode_event_type_per_user": _q_mode_per_user,
         "embedding_near_dups": _q_embedding_dups,
@@ -2970,6 +2986,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 AS BIGINT) AS height
             FROM documents, unnest([0, 4, 8, 12]) AS t(f)
             WHERE doc_id % 5 = 0 ORDER BY doc_id, f
+        """,
+        # ground-truth normal form from the synth arithmetic
+        # (stages/urls.synth_messy_urls): NOT a regex replay — the
+        # engine's regex chain must land exactly on this string, and
+        # keep-first picks min doc_id per normal form
+        "url_dedup_docs": """
+            WITH n AS (SELECT doc_id,
+                       'https://site' || (doc_id % 5) || '.example/p'
+                           || (doc_id % 7) || '?id=' || (doc_id % 4)
+                           AS url_norm
+                       FROM documents)
+            SELECT doc_id, url_norm FROM n
+            QUALIFY row_number() OVER (PARTITION BY url_norm
+                                       ORDER BY doc_id) = 1
+            ORDER BY doc_id
         """,
         # replays stages/media.synth_wav_params arithmetically: a correct
         # RIFF parse + PCM16 decode must recover these exact integers

@@ -142,7 +142,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "media_features_jpeg", "track_segments",
              "pack_token_budget_docs", "shuffled_order_docs",
              "decontam_docs", "repetition_signals_docs",
-             "media_captions"]
+             "media_captions", "audio_features_wav", "video_frames_mjpeg"]
     out = {}
     for name in picks:
         t0 = time.time()

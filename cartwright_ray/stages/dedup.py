@@ -108,10 +108,20 @@ def _minhash_sig(shingles: np.ndarray, counts: np.ndarray,
 
 def _content_hash128(batch: pa.Table, col: str) -> tuple[np.ndarray, np.ndarray]:
     """Two independent 64-bit siphash passes over the text column
-    (``pd.util.hash_array`` — C loop, no per-row Python)."""
+    (``pd.util.hash_array`` — C loop, no per-row Python).
+
+    ``hash_array`` hashes object strings as C-strings, TRUNCATING at the
+    first NUL byte — so "x\\x00y" and "x\\x00z" would collide on BOTH
+    passes and merge falsely. Web-scraped text can carry NULs; an
+    injective escape (\\x01 → \\x01\\x02, then \\x00 → \\x01\\x03) removes
+    every NUL before hashing, as two vectorized Arrow kernel passes."""
+    c = batch.column(col)
+    if pa.types.is_string(c.type) or pa.types.is_large_string(c.type):
+        c = pc.replace_substring(c, "\x01", "\x01\x02")
+        c = pc.replace_substring(c, "\x00", "\x01\x03")
     texts = np.asarray(
         [v if isinstance(v, str) else str(v)
-         for v in batch.column(col).to_pylist()], dtype=object)
+         for v in c.to_pylist()], dtype=object)
     h1 = pd.util.hash_array(texts, hash_key="cartwright_dedp0")
     h2 = pd.util.hash_array(texts, hash_key="cartwright_dedp1")
     return h1, h2

@@ -1,0 +1,125 @@
+"""URL normalization + URL-keyed dedup — the C4/CCNet-style front door
+of a web-scale training-data pipeline (dedupe by normalized URL before
+any content pass).
+
+``normalize_urls`` is a fully vectorized Arrow stage: one
+``pc.extract_regex`` split (scheme / host / rest) and a fixed chain of
+RE2 ``replace_substring_regex`` kernels — no Python per row. The
+normal form applied (each step deterministic, replayed verbatim by the
+SQL oracle):
+
+1. lowercase scheme and host;
+2. strip default ports (``:443`` for https, ``:80`` for http);
+3. drop the fragment (``#...``);
+4. drop tracking params (``utm_*``, ``ref``) wherever they sit in the
+   query string, repairing the ``?``/``&`` structure;
+5. strip a trailing path slash (also when a query follows).
+
+``url_dedup`` then reuses :func:`..stages.dedup.exact_dedup` on the
+normalized column (keep-first by id): both physical plans — driver-merge
+broadcast under the row bound, single corpus groupby((h1,h2)) above it —
+apply unchanged, so the 100-TB story is the dedup module's.
+
+Rows whose URL does not parse (no ``scheme://host``) get a null
+``url_norm`` and are passed through by dedup (null keys never collide).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import exact_dedup
+
+_SPLIT = r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/?#]*)(?P<rest>.*)$"
+
+
+def normalize_url_array(url: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized normal form (see module docstring); null where the
+    value is not a ``scheme://host...`` URL."""
+    if isinstance(url, pa.ChunkedArray):
+        url = url.combine_chunks()
+    ex = pc.extract_regex(url, _SPLIT)
+    valid = pc.is_valid(ex)
+    scheme = pc.utf8_lower(pc.struct_field(ex, "scheme"))
+    host = pc.utf8_lower(pc.struct_field(ex, "host"))
+    host = pc.if_else(pc.equal(scheme, "https"),
+                      pc.replace_substring_regex(host, r":443$", ""), host)
+    host = pc.if_else(pc.equal(scheme, "http"),
+                      pc.replace_substring_regex(host, r":80$", ""), host)
+    rest = pc.struct_field(ex, "rest")
+    rest = pc.replace_substring_regex(rest, r"#.*$", "")
+    rest = pc.replace_substring_regex(
+        rest, r"[?&](?:utm_[a-z0-9]+|ref)=[^&#]*", "")
+    # a removed leading "?param" leaves the next param opening with "&":
+    # promote the FIRST separator back to "?" ([^?&]* keeps it first)
+    rest = pc.replace_substring_regex(rest, r"^([^?&]*)&", r"\1?")
+    rest = pc.replace_substring_regex(rest, r"\?$", "")
+    rest = pc.replace_substring_regex(rest, r"/\?", "?")
+    rest = pc.replace_substring_regex(rest, r"/$", "")
+    norm = pc.binary_join_element_wise(
+        pc.binary_join_element_wise(scheme, host, "://"), rest, "")
+    return pc.if_else(valid, norm, pa.scalar(None, pa.string()))
+
+
+def normalize_urls(ds, col: str = "url", out_col: str = "url_norm"):
+    """Dataset stage: append the normalized form of ``col``."""
+    def add(batch: pa.Table) -> pa.Table:
+        return batch.append_column(out_col,
+                                   normalize_url_array(batch.column(col)))
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def url_dedup(ds, col: str = "url", id_col: str = "doc_id",
+              out_col: str = "url_norm", plan: str = "auto"):
+    """Normalize ``col`` then keep the first row (min ``id_col``) per
+    normalized URL — exact_dedup's two scale plans apply unchanged.
+
+    Unparseable URLs must ALL survive (they are not duplicates of each
+    other), but the content hash treats equal nulls as equal — so the
+    dedup key substitutes a per-row-unique sentinel (\\x7f prefix + id —
+    \\x7f cannot start a scheme, so no real normal form collides) for
+    null ``out_col`` values; ``out_col`` itself stays null in the
+    output."""
+    normed = normalize_urls(ds, col, out_col)
+    key_col = "__url_dedup_key"
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        norm = batch.column(out_col)
+        sentinel = pc.binary_join_element_wise(
+            "\x7finvalid:", pc.cast(batch.column(id_col), pa.string()), "")
+        return batch.append_column(key_col, pc.coalesce(norm, sentinel))
+
+    keyed = normed.map_batches(add_key, batch_format="pyarrow")
+    kept = exact_dedup(keyed, col=key_col, id_col=id_col, plan=plan)
+    return kept.map_batches(lambda t: t.drop_columns([key_col]),
+                            batch_format="pyarrow")
+
+
+def synth_messy_urls(ds, id_col: str = "doc_id", out_col: str = "url"):
+    """Deterministic messy-URL column for tests/benchmarks: every
+    normalization rule is exercised, and the NORMAL form depends only on
+    ``(d%5, d%7, d%4)`` — so a SQL oracle can state the ground truth
+    arithmetically instead of replaying the regex chain:
+    ``https://site{d%5}.example/p{d%7}?id={d%4}``."""
+    def messy(d: int) -> str:
+        scheme = "HTTPS" if d % 2 else "https"
+        site = f"Site{d % 5}.EXAMPLE" if d % 3 == 0 else \
+            f"site{d % 5}.example"
+        port = ":443" if d % 5 == 0 else ""
+        path = f"/p{d % 7}" + ("/" if d % 4 == 0 else "")
+        if d % 6 == 0:
+            q = f"?utm_source=s{d % 3}&id={d % 4}"
+        elif d % 6 == 3:
+            q = f"?id={d % 4}&ref=rss"
+        else:
+            q = f"?id={d % 4}"
+        frag = f"#sec{d % 3}" if d % 7 == 0 else ""
+        return f"{scheme}://{site}{port}{path}{q}{frag}"
+
+    def add(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        return batch.append_column(
+            out_col, pa.array([messy(int(d)) for d in ids], pa.string()))
+
+    return ds.map_batches(add, batch_format="pyarrow")

@@ -654,3 +654,20 @@ def test_near_dup_clusters_transitive_chain(ray_session):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+@pytest.mark.parametrize("plan", ["broadcast", "shuffle"])
+def test_exact_dedup_nul_bytes_not_merged(ray_session, plan):
+    """pd.util.hash_array hashes C-strings (truncates at NUL): texts
+    differing only AFTER an embedded NUL must still be distinct — the
+    injective escape in _content_hash128 pins this."""
+    import pyarrow as pa
+    import ray.data
+    from cartwright_ray.stages.dedup import exact_dedup
+    tbl = pa.table({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["x\x00y", "x\x00z", "x\x00y", "x\x01\x03y", "plain"]})
+    out = exact_dedup(ray.data.from_arrow(tbl), plan=plan).to_pandas()
+    # doc 3 is the only true duplicate (of doc 1); the escape itself is
+    # injective, so a literal "x\x01\x03y" does not collide with "x\x00y"
+    assert sorted(out["doc_id"]) == [1, 2, 4, 5]
