@@ -223,6 +223,28 @@ def _q_ann(sf_dir):
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_hamming_ann(sf_dir):
+    """Binary-quantized ANN (sign-bit signatures + packed-Hamming top-k,
+    stages/ann.hamming_ann_search): the 1-bit/dim first-pass retrieval a
+    100-TB embedding store runs before float re-ranking. Distances are
+    exact integers; the oracle reproduces them SEMANTICALLY (per-dim sign
+    disagreement count via list lambdas) — the engine's bit packing and
+    LUT popcount must agree with that ground truth exactly."""
+    import pyarrow.parquet as pq
+
+    from cartwright_ray.stages.ann import hamming_ann_search
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]) \
+        .slice(0, 500).to_pandas()
+    qrows = head[head["vec_id"] < 3].sort_values("vec_id")
+    queries = {"query_id": qrows["vec_id"].tolist(),
+               "vec": np.asarray(qrows["embedding"].tolist(),
+                                 dtype=np.float64)}
+    df = hamming_ann_search(_embeddings(sf_dir), queries, k=10).to_pandas()
+    df = df[["query_id", "vec_id", "rank", "hamming"]]
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _q_temporal_resolution(sf_dir):
     import ray.data
     from cartwright_ray.analysis.time_resolution import detect_temporal_resolution_ds
@@ -1636,7 +1658,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customers_join": _q_orders_customers_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "events_pivot_by_user": _q_events_pivot,
-        "sketch_quantiles_by_type": rel.sketch_quantiles_by_type,
         "ivf_ann_pruned": _q_ivf_ann_pruned,
         "bloom_semi_join_lineitems": _q_bloom_semi_join,
         "edit_similarity_join": _q_edit_sim_join,
@@ -1653,6 +1674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_events": _q_zscore,
         "exact_dedup_docs": _q_exact_dedup,
         "ann_topk": _q_ann,
+        "hamming_ann_topk": _q_hamming_ann,
         "compact_cells": _q_compact_cells,
         "kmeans_centroids": _q_kmeans,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -1701,6 +1723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # make window slots for media_features_jpeg + the three
         # round-4 layout ops
         "box_join_pairs": _q_box_join,
+        "sketch_quantiles_by_type": rel.sketch_quantiles_by_type,
         "uncompact_cells": _q_uncompact_cells,
         "cover_join_points": _q_cover_join,
         "mode_event_type_per_user": _q_mode_per_user,
@@ -2253,6 +2276,25 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
             ORDER BY doc_id
+        """,
+        # semantic ground truth for the packed-bit engine path: hamming =
+        # per-dimension sign disagreement count (list_zip + lambda);
+        # rank by (hamming asc, vec_id asc) like the engine finalizer
+        "hamming_ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 3),
+            d AS (SELECT q.query_id, e.vec_id,
+                     CAST(len(list_filter(list_zip(q.qv, e.embedding),
+                          x -> (x[1] >= 0) <> (x[2] >= 0))) AS BIGINT)
+                         AS hamming
+                  FROM q CROSS JOIN embeddings e),
+            r AS (SELECT query_id, vec_id, hamming,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY hamming, vec_id) - 1
+                         AS rank
+                  FROM d)
+            SELECT query_id, vec_id, rank, hamming FROM r
+            WHERE rank < 10 ORDER BY query_id, rank
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

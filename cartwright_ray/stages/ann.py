@@ -20,6 +20,7 @@ from ..util import _pool
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
@@ -402,3 +403,80 @@ def ivf_ann_search(ds, queries: dict, k: int = 10, vec_col: str = "embedding",
                            zero_copy_batch=True)
 
     return _finalize_topk(cands, k, round_decimals)
+
+
+def sign_quantize(vecs: np.ndarray) -> np.ndarray:
+    """(n, d) floats → (n, ceil(d/64)) uint64 sign signatures (bit set
+    where the coordinate is >= 0). The 32×-compressed form binary-
+    quantized retrieval stores instead of the float vectors."""
+    bits = np.asarray(vecs) >= 0.0
+    n, d = bits.shape
+    w = (d + 63) // 64
+    padded = np.zeros((n, w * 64), dtype=bool)
+    padded[:, :d] = bits
+    return np.ascontiguousarray(np.packbits(padded, axis=1)).view(np.uint64)
+
+
+class _HammingScan:
+    """Per-batch packed-Hamming candidates against broadcast query
+    signatures: quantize the batch, one XOR + LUT popcount per query,
+    local top-(k) by (distance asc, id asc)."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
+        import ray
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) \
+            else queries_ref
+        self.qids = list(q["query_id"])
+        self.qsig = sign_quantize(np.asarray(q["vec"], dtype=np.float64))
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = sign_quantize(_vecs_from_arrow(batch.column(self.vec_col)))
+        ids = np.asarray(batch.column(self.id_col))
+        k = min(self.k, len(ids))
+        out_q, out_id, out_h = [], [], []
+        for qi, qid in enumerate(self.qids):
+            x = sigs ^ self.qsig[qi]                       # (n, w)
+            ham = _POP8[x.view(np.uint8)].reshape(len(ids), -1) \
+                .sum(axis=1).astype(np.int64)
+            cand = np.lexsort((ids, ham))[:k]
+            out_q.extend([qid] * len(cand))
+            out_id.extend(ids[cand].tolist())
+            out_h.extend(ham[cand].tolist())
+        return pa.table({"query_id": pa.array(out_q),
+                         "vec_id": pa.array(out_id),
+                         # negated so the shared desc-score finalizer
+                         # ranks ascending distance
+                         "score": pa.array([-h for h in out_h],
+                                           pa.float64())})
+
+
+def hamming_ann_search(ds, queries: dict, k: int = 10,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       concurrency: int | None = None,
+                       batch_size: int = 4096):
+    """Binary-quantized ANN: sign-bit signatures + packed Hamming top-k
+    (query-aware first-pass retrieval at 1 bit/dimension; re-rank the
+    shortlist with float scores downstream if needed). Same broadcast /
+    per-batch-candidates / one-sort-exchange-finalize plan as
+    :func:`ann_search`; distances are exact small integers, so the SQL
+    oracle reproduces them semantically (sign disagreement count per
+    dimension) without replaying the bit packing.
+    Returns (query_id, vec_id, hamming, rank)."""
+    import ray
+    queries_ref = ray.put(queries)
+    cands = ds.map_batches(
+        _HammingScan,
+        fn_constructor_args=(queries_ref, k, vec_col, id_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=_pool(concurrency), zero_copy_batch=True)
+    out = _finalize_topk(cands, k, round_decimals=None)
+
+    def to_hamming(t: pa.Table) -> pa.Table:
+        h = pc.cast(pc.negate(t.column("score")), pa.int64())
+        t = t.drop_columns(["score"])
+        return t.append_column("hamming", h)
+
+    return out.map_batches(to_hamming, batch_format="pyarrow")

@@ -671,3 +671,28 @@ def test_exact_dedup_nul_bytes_not_merged(ray_session, plan):
     # doc 3 is the only true duplicate (of doc 1); the escape itself is
     # injective, so a literal "x\x01\x03y" does not collide with "x\x00y"
     assert sorted(out["doc_id"]) == [1, 2, 4, 5]
+
+
+def test_hamming_ann_vs_numpy(ray_session):
+    """Packed-bit engine path vs a direct per-dimension sign-compare."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from cartwright_ray.stages.ann import hamming_ann_search, sign_quantize
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    V = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
+    queries = {"query_id": [0, 1], "vec": V[:2]}
+    out = hamming_ann_search(ray.data.from_pandas(emb).repartition(4),
+                             queries, k=5).to_pandas()
+    signs = V >= 0
+    ids = emb["vec_id"].values
+    for qi in (0, 1):
+        ham = (signs != signs[qi]).sum(axis=1)
+        order = np.lexsort((ids, ham))[:5]
+        got = out[out["query_id"] == qi].sort_values("rank")
+        assert got["vec_id"].tolist() == ids[order].tolist()
+        assert got["hamming"].tolist() == ham[order].tolist()
+    # packing is invertible on the sign pattern: d=64 -> one word
+    sig = sign_quantize(V[:8])
+    assert sig.shape == (8, 1)
+    assert len({s.tobytes() for s in sig}) == 8   # distinct patterns
