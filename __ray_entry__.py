@@ -870,6 +870,33 @@ def _q_url_dedup(sf_dir):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_mixture_sample(sf_dir):
+    """Weighted per-source downsampling to target mixture proportions
+    (stages/mixture.py — the DoReMi-style data-mixing primitive):
+    shuffle-free deterministic acceptance by integer hash threshold,
+    identical at any parallelism. Rates here: source srcN keeps
+    (N%4+1)/4 of its rows. The oracle replays the exact integer
+    arithmetic."""
+    from cartwright_ray.stages.mixture import mixture_sample
+    rates = {f"src{i}": ((i % 4) + 1, 4) for i in range(20)}
+    out = mixture_sample(_docs(sf_dir, columns=("doc_id", "source")),
+                         rates).to_pandas()
+    out = out[["doc_id", "source"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_source_quota(sf_dir):
+    """Per-source hard quota (cap dominant domains): keep the 10
+    deterministically-"random" first rows per source — ONE narrow sort
+    exchange on the source key + whole-block segment ranking. The
+    oracle is the identical window ranking."""
+    from cartwright_ray.stages.mixture import source_quota
+    out = source_quota(_docs(sf_dir, columns=("doc_id", "source")),
+                       cap=10).to_pandas()
+    out = out[["doc_id", "source", "src_rank"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_pack_tokens(sf_dir):
     """Concat-then-chunk sequence packing over the documents table
     (stages/packing.py): global token offsets via per-block exclusive
@@ -1657,14 +1684,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_view_click_purchase": _q_funnel,
         "orders_customers_join": _q_orders_customers_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
-        "events_pivot_by_user": _q_events_pivot,
         "ivf_ann_pruned": _q_ivf_ann_pruned,
         "bloom_semi_join_lineitems": _q_bloom_semi_join,
         "edit_similarity_join": _q_edit_sim_join,
         # geo kernels with SQL-reproducible math
         "events_rollup_counts": _q_events_rollup,
         # text / dedup / ANN
-        "props_sum_by_type": _q_props_sum,
+        "mixture_sample_docs": _q_mixture_sample,
+        "source_quota_docs": _q_source_quota,
         "top_tokens": _q_top_tokens,
         "tfidf_top_docs": _q_tfidf,
         "inverted_index_postings": _q_inverted_index,
@@ -1723,6 +1750,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # make window slots for media_features_jpeg + the three
         # round-4 layout ops
         "box_join_pairs": _q_box_join,
+        "events_pivot_by_user": _q_events_pivot,
+        "props_sum_by_type": _q_props_sum,
         "sketch_quantiles_by_type": rel.sketch_quantiles_by_type,
         "uncompact_cells": _q_uncompact_cells,
         "cover_join_points": _q_cover_join,
@@ -3082,6 +3111,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST((st + greatest(nt, 1) - 1) // 512 AS BIGINT)
                        AS bin_end
             FROM o ORDER BY doc_id
+        """,
+        # exact integer acceptance: keep iff h*4 < (idx%4+1)*2^32 with
+        # h = (doc_id * knuth) mod 2^32 — same hash as shuffled_order
+        "mixture_sample_docs": """
+            SELECT doc_id, source FROM documents
+            WHERE ((doc_id * 2654435761) % 4294967296) * 4
+                  < (CAST(substr(source, 4) AS BIGINT) % 4 + 1)
+                    * 4294967296
+            ORDER BY doc_id
+        """,
+        "source_quota_docs": """
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source ORDER BY
+                       (doc_id * 2654435761) % 4294967296, doc_id) - 1
+                       AS src_rank
+            FROM documents
+            QUALIFY src_rank < 10
+            ORDER BY doc_id
         """,
         "shuffled_order_docs": """
             SELECT doc_id,
