@@ -870,6 +870,48 @@ def _q_url_dedup(sf_dir):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_incremental_dedup(sf_dir):
+    """Ingestion-time dedup against a PERSISTED fingerprint store
+    (stages/dedup_store.py): the corpus is fingerprinted once into a
+    hash-partitioned (h1,h2,id) store; an incoming batch — every corpus
+    text re-keyed (+10000, exact dupes) unioned with every text suffixed
+    ' v2' (+20000, genuinely new) — is probed via a bucket-co-partitioned
+    exchange that never rescans the stored text. Exactly the v2 rows
+    survive; the oracle is that arithmetic."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa_l
+    import pyarrow.compute as pc_l
+
+    from cartwright_ray.stages.dedup_store import (dedup_against_store,
+                                                   write_fingerprint_store)
+
+    docs = _docs(sf_dir)
+
+    def bump_dup(t):
+        return t.set_column(t.column_names.index("doc_id"), "doc_id",
+                            pc_l.add(t["doc_id"], 10000))
+
+    def bump_new(t):
+        t = t.set_column(t.column_names.index("doc_id"), "doc_id",
+                         pc_l.add(t["doc_id"], 20000))
+        v2 = pc_l.binary_join_element_wise(t["text"].combine_chunks(),
+                                           pa_l.scalar(" v2"), "")
+        return t.set_column(t.column_names.index("text"), "text", v2)
+
+    path = tempfile.mkdtemp(prefix="fp_store_")
+    try:
+        write_fingerprint_store(docs, path)
+        incoming = docs.map_batches(bump_dup, batch_format="pyarrow") \
+            .union(docs.map_batches(bump_new, batch_format="pyarrow"))
+        out = dedup_against_store(incoming, path).to_pandas()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    out = out[["doc_id"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_mixture_sample(sf_dir):
     """Weighted per-source downsampling to target mixture proportions
     (stages/mixture.py — the DoReMi-style data-mixing primitive):
@@ -1687,9 +1729,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_pruned": _q_ivf_ann_pruned,
         "bloom_semi_join_lineitems": _q_bloom_semi_join,
         "edit_similarity_join": _q_edit_sim_join,
-        # geo kernels with SQL-reproducible math
-        "events_rollup_counts": _q_events_rollup,
         # text / dedup / ANN
+        "incremental_dedup_docs": _q_incremental_dedup,
         "mixture_sample_docs": _q_mixture_sample,
         "source_quota_docs": _q_source_quota,
         "top_tokens": _q_top_tokens,
@@ -1750,6 +1791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # make window slots for media_features_jpeg + the three
         # round-4 layout ops
         "box_join_pairs": _q_box_join,
+        "events_rollup_counts": _q_events_rollup,
         "events_pivot_by_user": _q_events_pivot,
         "props_sum_by_type": _q_props_sum,
         "sketch_quantiles_by_type": rel.sketch_quantiles_by_type,
@@ -3111,6 +3153,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST((st + greatest(nt, 1) - 1) // 512 AS BIGINT)
                        AS bin_end
             FROM o ORDER BY doc_id
+        """,
+        # exactly the genuinely-new (+20000, ' v2') rows survive the
+        # store probe; the exact re-keyed dupes (+10000) are dropped
+        "incremental_dedup_docs": """
+            SELECT doc_id + 20000 AS doc_id FROM documents ORDER BY 1
         """,
         # exact integer acceptance: keep iff h*4 < (idx%4+1)*2^32 with
         # h = (doc_id * knuth) mod 2^32 — same hash as shuffled_order

@@ -1,0 +1,77 @@
+"""Persisted fingerprint store: write, pruned probe, append workflow."""
+
+import shutil
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture()
+def store_dir():
+    d = tempfile.mkdtemp(prefix="fp_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _docs(texts, start=0):
+    return pd.DataFrame({"doc_id": np.arange(start, start + len(texts)),
+                         "text": texts})
+
+
+def test_probe_drops_exact_store_matches_only(ray_session, store_dir):
+    import ray.data
+
+    from cartwright_ray.stages.dedup_store import (dedup_against_store,
+                                                   write_fingerprint_store)
+
+    base = [f"document number {i} body" for i in range(200)]
+    write_fingerprint_store(
+        ray.data.from_pandas(_docs(base)).repartition(4), store_dir)
+
+    incoming = _docs(base[:50] + [f"fresh {i}" for i in range(30)],
+                     start=1000)
+    out = dedup_against_store(
+        ray.data.from_pandas(incoming).repartition(3),
+        store_dir).to_pandas()
+    # the 50 exact matches drop; the 30 fresh docs survive with columns
+    assert sorted(out["doc_id"]) == list(range(1050, 1080))
+    assert out["text"].str.startswith("fresh").all()
+
+
+def test_store_append_workflow(ray_session, store_dir):
+    """Survivors' fingerprints append into the same layout; a re-probe
+    of the same batch then drops everything."""
+    import shutil as sh
+
+    import ray.data
+
+    from cartwright_ray.stages.dedup_store import (dedup_against_store,
+                                                   write_fingerprint_store)
+
+    write_fingerprint_store(
+        ray.data.from_pandas(_docs(["a", "b", "c"])), store_dir)
+    batch = ray.data.from_pandas(_docs(["b", "x", "y"], start=10))
+    survivors = dedup_against_store(batch, store_dir).materialize()
+    assert sorted(survivors.to_pandas()["doc_id"]) == [11, 12]
+    # append survivors' fingerprints into the layout, then probe the
+    # NEXT GENERATION path (worker bucket caches key on path, so an
+    # ingestion loop versions the store rather than mutating in place)
+    write_fingerprint_store(survivors, store_dir)
+    gen2 = store_dir + "_g2"
+    sh.copytree(store_dir, gen2)
+    try:
+        again = dedup_against_store(batch, gen2).to_pandas()
+        assert len(again) == 0
+    finally:
+        sh.rmtree(gen2, ignore_errors=True)
+
+
+def test_bucket_cache_is_bounded(store_dir):
+    from cartwright_ray.stages import dedup_store as m
+
+    m._BUCKET_CACHE.clear()
+    for b in range(m._BUCKET_CACHE_CAP + 5):
+        m._load_bucket_pairs(store_dir, b)   # all empty buckets
+    assert len(m._BUCKET_CACHE) <= m._BUCKET_CACHE_CAP
