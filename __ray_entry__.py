@@ -622,6 +622,17 @@ def _q_top_tokens(sf_dir):
     return df.reset_index(drop=True)
 
 
+def _q_heavy_hitters(sf_dir):
+    """Misra-Gries heavy hitters + exact recount (stages/sketch.py):
+    the SHUFFLE-FREE bounded-memory scale path for corpus top-k tokens —
+    two streaming passes, O(capacity) summaries, self-checking exactness
+    (kth count must beat the summed MG thresholds). Same ground truth as
+    top_tokens' groupby plan, so the oracle is the exact SQL count."""
+    from cartwright_ray.stages.sketch import heavy_hitter_tokens
+    t = heavy_hitter_tokens(_docs(sf_dir), k=10, capacity=256)
+    return t.to_pandas()
+
+
 def _q_kmeans(sf_dir):
     """Distributed Lloyd's k-means (k=10, 2 iterations, init = the 10
     lowest vec_ids) over the embeddings table; output is the flattened
@@ -1734,7 +1745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample_docs": _q_mixture_sample,
         "source_quota_docs": _q_source_quota,
         "top_tokens": _q_top_tokens,
-        "tfidf_top_docs": _q_tfidf,
+        "heavy_hitter_tokens": _q_heavy_hitters,
         "inverted_index_postings": _q_inverted_index,
         "training_prep_docs": _q_training_prep,
         "hash_sample_events": _q_hash_sample,
@@ -1792,6 +1803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 layout ops
         "box_join_pairs": _q_box_join,
         "events_rollup_counts": _q_events_rollup,
+        "tfidf_top_docs": _q_tfidf,
         "events_pivot_by_user": _q_events_pivot,
         "props_sum_by_type": _q_props_sum,
         "sketch_quantiles_by_type": rel.sketch_quantiles_by_type,
@@ -2929,6 +2941,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM events)
             WHERE rn <= 20
             ORDER BY event_type, h, event_id
+        """,
+        "heavy_hitter_tokens": r"""
+            SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+            GROUP BY tok
+            ORDER BY n DESC, tok
+            LIMIT 10
         """,
         "top_tokens": r"""
             SELECT tok AS token, CAST(count(*) AS BIGINT) AS n

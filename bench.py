@@ -142,7 +142,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "media_features_jpeg", "track_segments",
              "pack_token_budget_docs", "shuffled_order_docs",
              "decontam_docs", "repetition_signals_docs",
-             "media_captions", "audio_features_wav", "video_frames_mjpeg"]
+             "media_captions", "audio_features_wav", "video_frames_mjpeg",
+             "url_dedup_docs", "hamming_ann_topk", "mixture_sample_docs",
+             "source_quota_docs", "incremental_dedup_docs"]
     out = {}
     for name in picks:
         t0 = time.time()

@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _registers(values: np.ndarray, p: int) -> np.ndarray:
@@ -70,3 +71,84 @@ def hll_distinct(ds, col: str, p: int = 12) -> float:
     for r in rows:
         merged = np.maximum(merged, np.asarray(r["regs"], dtype=np.int8))
     return _estimate(merged)
+
+
+def heavy_hitter_tokens(ds, col: str = "text", k: int = 10,
+                        capacity: int = 256,
+                        split_pattern: str = r"\s+") -> pa.Table:
+    """Exact top-k tokens via a Misra-Gries sketch + exact recount — the
+    bounded-memory, SHUFFLE-FREE scale path for corpus heavy hitters
+    (``sampling.top_tokens`` pays a (token, partial) groupby exchange;
+    this pays none and holds O(capacity) per block summary).
+
+    Pass 1 (streaming): per block, exact ``value_counts`` compressed to
+    a Misra-Gries summary of ``capacity`` counters (subtract the
+    (capacity+1)-th largest count, drop non-positive) plus one sentinel
+    row (token = null) carrying the block's total decrement. The driver
+    sums the tiny summaries; any token whose true global count exceeds
+    the summed decrement ``err`` is guaranteed to be a candidate
+    (Misra & Gries 1982, "Finding repeated elements"; err here is the
+    sum of per-block subtracted thresholds — the exact bound on any
+    token's global undercount).
+
+    Pass 2 (streaming): exact recount of the broadcast candidate set —
+    per-block ``is_in`` + ``value_counts`` partials, summed on the
+    driver. No shuffle in either pass.
+
+    The result is EXACT and self-checking: if the k-th recounted count
+    does not exceed ``err`` the guarantee fails loudly (raise
+    ``capacity``) instead of returning a silently-approximate answer.
+    Returns (token, n) by (n desc, token asc)."""
+    import ray
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.cast(t[col], pa.string()),
+                                      split_pattern)
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        tok = np.asarray(vc.field("values"), dtype=object)
+        cnt = np.asarray(vc.field("counts"), dtype=np.int64)
+        kth = 0
+        if len(tok) > capacity:
+            kth = int(np.partition(cnt, len(cnt) - capacity - 1)[
+                len(cnt) - capacity - 1])
+            keep = cnt > kth
+            tok, cnt = tok[keep], cnt[keep] - kth
+        # sentinel row carries the block's subtracted threshold: for any
+        # token, true_block - est_block <= kth, so summed thresholds
+        # bound the global undercount of EVERY token
+        return pa.table({
+            "token": pa.concat_arrays([pa.array(tok, pa.string()),
+                                       pa.array([None], pa.string())]),
+            "est": pa.concat_arrays([pa.array(cnt, pa.int64()),
+                                     pa.array([kth], pa.int64())])})
+
+    summary = ds.map_batches(mg_partial, batch_format="pyarrow") \
+        .to_pandas()
+    err = int(summary[summary["token"].isna()]["est"].sum())
+    cand = summary.dropna(subset=["token"]).groupby("token")["est"].sum()
+    cand_tokens = np.sort(cand.index.to_numpy(dtype=object))
+    cand_ref = ray.put(pa.array(cand_tokens, pa.string()))
+
+    def recount(t: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        toks = pc.split_pattern_regex(pc.cast(t[col], pa.string()),
+                                      split_pattern)
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.is_in(flat, value_set=cands))
+        vc = pc.value_counts(flat)
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    parts = ds.map_batches(recount, batch_format="pyarrow").to_pandas()
+    exact = parts.groupby("token")["n"].sum().reset_index()
+    exact = exact.sort_values(["n", "token"],
+                              ascending=[False, True]).head(k)
+    if len(exact) >= k and err > 0 and int(exact["n"].iloc[-1]) <= err:
+        raise AssertionError(
+            f"heavy_hitter_tokens not provably exact: kth count "
+            f"{int(exact['n'].iloc[-1])} <= MG error bound {err}; "
+            f"raise capacity (currently {capacity})")
+    return pa.table({"token": pa.array(exact["token"], pa.string()),
+                     "n": pa.array(exact["n"].to_numpy(np.int64))})

@@ -191,3 +191,41 @@ def test_hll_distinct_error_and_merge_invariance(ray_session):
     est_small = hll_distinct(ray.data.from_pandas(small).repartition(2),
                              "user_id")
     assert abs(est_small - 50) / 50 < 0.05
+
+
+def test_heavy_hitters_exact_under_compression(ray_session):
+    """capacity << block vocab forces real Misra-Gries compression; the
+    recount still returns the exact top-k (planted skew dominates the
+    summed thresholds, so the self-check passes)."""
+    import pandas as pd
+    import ray.data
+    from cartwright_ray.stages.sketch import heavy_hitter_tokens
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    for i in range(200):
+        body = list(rng.choice(vocab, size=30))
+        rows.append(" ".join(["hot"] * 5 + ["warm"] * 3 + body))
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(200), "text": rows})).repartition(8)
+    out = heavy_hitter_tokens(ds, k=2, capacity=16).to_pandas()
+    assert out["token"].tolist() == ["hot", "warm"]
+    assert out["n"].tolist() == [1000, 600]
+
+
+def test_heavy_hitters_self_check_trips_when_unprovable(ray_session):
+    """Uniform data with a tiny capacity cannot certify exactness — the
+    stage must refuse loudly rather than return an approximate top-k."""
+    import pandas as pd
+    import pytest as pt
+    import ray.data
+    from cartwright_ray.stages.sketch import heavy_hitter_tokens
+
+    rng = np.random.default_rng(5)
+    vocab = [f"u{i}" for i in range(500)]
+    rows = [" ".join(rng.choice(vocab, size=40)) for _ in range(300)]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(300), "text": rows})).repartition(8)
+    with pt.raises(AssertionError, match="not provably exact"):
+        heavy_hitter_tokens(ds, k=5, capacity=4)
