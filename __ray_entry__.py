@@ -866,6 +866,30 @@ def _q_video_mjpeg(sf_dir):
     return df.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
 
 
+def _q_video_gif(sf_dir):
+    """Animated-GIF frame sampling through the pure-stdlib LZW codec
+    (media/gif.py): 16 constant-valued frames per media span, every 4th
+    decoded. GIF grayscale decode is LOSSLESS, so the oracle pins the
+    DECODED PIXEL VALUE arithmetically ((doc*7 + f*13) % 256) — the
+    video analogue of the WAV decode-verifying oracle; a container or
+    LZW bug fails the value hash."""
+    from cartwright_ray.pipelines.derived import derived_corpus
+    from cartwright_ray.stages.media import (FrameSampler,
+                                             media_rows_from_corpus)
+    media = media_rows_from_corpus(derived_corpus(sf_dir),
+                                   payload_kind="gif")
+    frames = media.map_batches(FrameSampler,
+                               fn_constructor_kwargs={"decoder": "gif"},
+                               batch_format="pyarrow", batch_size=64,
+                               concurrency=(1, 4))
+    df = frames.to_pandas()
+    for c in ("frame_idx", "width", "height"):
+        df[c] = df[c].astype("int64")
+    df = df[["doc_id", "span_idx", "media_ref", "frame_idx", "width",
+             "height", "pixel_value"]]
+    return df.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
 def _q_url_dedup(sf_dir):
     """URL-keyed dedup, the C4/CCNet front door: messy synthetic URLs
     (mixed-case scheme/host, default ports, utm_*/ref tracking params,
@@ -1746,7 +1770,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quota_docs": _q_source_quota,
         "top_tokens": _q_top_tokens,
         "heavy_hitter_tokens": _q_heavy_hitters,
-        "inverted_index_postings": _q_inverted_index,
         "training_prep_docs": _q_training_prep,
         "hash_sample_events": _q_hash_sample,
         "stratified_sample_events": _q_stratified_sample,
@@ -1785,6 +1808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_jpeg": _q_media_jpeg,
         "audio_features_wav": _q_audio_wav,
         "video_frames_mjpeg": _q_video_mjpeg,
+        "video_frames_gif": _q_video_gif,
         "url_dedup_docs": _q_url_dedup,
         "knn_join_sample": _q_knn,
         "knn_join_table": _q_knn_join_table,
@@ -1803,6 +1827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 layout ops
         "box_join_pairs": _q_box_join,
         "events_rollup_counts": _q_events_rollup,
+        "inverted_index_postings": _q_inverted_index,
         "tfidf_top_docs": _q_tfidf,
         "events_pivot_by_user": _q_events_pivot,
         "props_sum_by_type": _q_props_sum,
@@ -3135,6 +3160,20 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY url_norm
                                        ORDER BY doc_id) = 1
             ORDER BY doc_id
+        """,
+        # LOSSLESS gif decode: the oracle pins the decoded pixel value
+        # arithmetically (constant frame f of doc d = (d*7 + f*13) % 256)
+        "video_frames_gif": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(1 AS INT) AS span_idx,
+                   'media://' || CAST(doc_id AS VARCHAR) || '/1' AS media_ref,
+                   CAST(f AS BIGINT) AS frame_idx,
+                   CAST(16 AS BIGINT) AS width,
+                   CAST(16 AS BIGINT) AS height,
+                   CAST((doc_id * 7 + f * 13) % 256 AS BIGINT)
+                       AS pixel_value
+            FROM documents, unnest([0, 4, 8, 12]) AS t(f)
+            WHERE doc_id % 5 = 0 ORDER BY doc_id, f
         """,
         # replays stages/media.synth_wav_params arithmetically: a correct
         # RIFF parse + PCM16 decode must recover these exact integers

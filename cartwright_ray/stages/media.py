@@ -38,6 +38,7 @@ import pyarrow as pa
 # sys.path — by-value cloudpickle only covers symbols captured at
 # serialization time (observed as ModuleNotFoundError under the driver's
 # init-before-import lineage)
+from ..media.gif import gif_decode, gif_encode
 from ..media.jpeg import jpeg_decode, jpeg_encode
 from ..media.png import png_decode, png_encode
 from ..media.wav import wav_decode, wav_encode
@@ -79,6 +80,8 @@ def media_rows_from_corpus(corpus_ds, payload_kind: str = "hash"):
             return synth_wav_payload(ref)
         if payload_kind == "mjpeg":
             return synth_mjpeg_payload(ref)
+        if payload_kind == "gif":
+            return synth_gif_payload(ref)
         px = np.frombuffer((seed * 8)[:256], dtype=np.uint8).reshape(16, 16)
         if payload_kind == "jpeg":
             return jpeg_encode(px, quality=90,
@@ -109,8 +112,8 @@ def media_rows_from_corpus(corpus_ds, payload_kind: str = "hash"):
             rows["span_idx"].append(int(span_idx[i]))
             rows["media_ref"].append(ref)
             rows["payload"].append(payload)
-            kind = {"wav": "audio", "mjpeg": "video"}.get(payload_kind,
-                                                          "image")
+            kind = {"wav": "audio", "mjpeg": "video",
+                    "gif": "video"}.get(payload_kind, "image")
             rows["media_type"].append(kind)
             rows["width"].append(0 if kind == "audio" else 16)
             rows["height"].append(0 if kind == "audio" else 16)
@@ -143,6 +146,18 @@ def synth_mjpeg_payload(ref: str) -> bytes:
         px = np.frombuffer((seed * 8)[:256], dtype=np.uint8).reshape(16, 16)
         frames.append(jpeg_encode(px, quality=90))
     return b"".join(frames)
+
+
+def synth_gif_payload(ref: str) -> bytes:
+    """media_ref → an animated GIF of :data:`MJPEG_FRAMES` 16x16
+    CONSTANT-VALUED frames, frame f filled with ``(doc*7 + f*13) % 256``.
+    Grayscale GIF decode is LOSSLESS, so a SQL oracle can pin the decoded
+    pixel value itself arithmetically — the video analogue of the WAV
+    decode-verifying oracle."""
+    doc = int(ref.rsplit("/", 2)[-2].split("//")[-1])
+    frames = [np.full((16, 16), (doc * 7 + f * 13) % 256, dtype=np.uint8)
+              for f in range(MJPEG_FRAMES)]
+    return gif_encode(frames)
 
 
 def mjpeg_split(payload: bytes) -> list:
@@ -340,13 +355,17 @@ class FrameSampler(MediaFeatureExtractor):
     """Frame-sample stage for video-typed payloads: emit every k-th
     frame as its own row (doc_id, span_idx, frame_idx, payload).
 
-    ``decoder="mjpeg"`` is the REAL path: the payload is a
+    ``decoder="mjpeg"`` is a REAL path: the payload is a
     concatenated-JFIF stream (:func:`synth_mjpeg_payload` writes one;
     motion-JPEG AVI minus the RIFF index), split on EOI markers and each
     SAMPLED frame decoded by the baseline T.81 codec — rows additionally
-    carry the decoded ``width``/``height``. ``decoder="fake"`` keeps the
-    deterministic hash frames for payloads that are synthetic hashes; a
-    general codec (H.264 etc. needs ffmpeg) drops into ``_decode_real``.
+    carry the decoded ``width``/``height``. ``decoder="gif"`` is the
+    second real path: animated GIF through the pure-stdlib LZW codec
+    (lossless, so rows also carry the decoded ``pixel_value`` a SQL
+    oracle can predict; sampled frames re-emit as standalone PNGs).
+    ``decoder="fake"`` keeps the deterministic hash frames for payloads
+    that are synthetic hashes; a general codec (H.264 etc. needs ffmpeg)
+    drops into ``_decode_real``.
     """
 
     def __init__(self, decoder: str = "stub", every: int = 4,
@@ -356,16 +375,21 @@ class FrameSampler(MediaFeatureExtractor):
         self.n_frames = n_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        real = self.decoder == "mjpeg"
+        real = self.decoder in ("mjpeg", "gif")
         rows = {"doc_id": [], "span_idx": [], "media_ref": [],
                 "frame_idx": [], "payload": []}
         dims = {"width": [], "height": []}
+        pixel_vals = []
         for doc, si, ref, payload in zip(
                 batch.column("doc_id").to_pylist(),
                 batch.column("span_idx").to_pylist(),
                 batch.column("media_ref").to_pylist(),
                 batch.column("payload").to_pylist()):
-            if real:
+            if self.decoder == "gif":
+                decoded = gif_decode(payload)
+                sampled = [(f, decoded[f])
+                           for f in range(0, len(decoded), self.every)]
+            elif real:
                 frames = mjpeg_split(payload)
                 sampled = [(f, frames[f])
                            for f in range(0, len(frames), self.every)]
@@ -373,7 +397,16 @@ class FrameSampler(MediaFeatureExtractor):
                 sampled = [(f, None)
                            for f in range(0, self.n_frames, self.every)]
             for f, frame in sampled:
-                if real:
+                if self.decoder == "gif":
+                    px = frame
+                    dims["height"].append(px.shape[0])
+                    dims["width"].append(px.shape[1])
+                    # uniform-frame check folded into the emitted value:
+                    # -1 exposes any non-constant decode to the oracle
+                    v = int(px[0, 0])
+                    pixel_vals.append(v if (px == v).all() else -1)
+                    frame = png_encode(px)      # standalone re-encode
+                elif real:
                     px = jpeg_decode(frame)
                     dims["height"].append(px.shape[0])
                     dims["width"].append(px.shape[1])
@@ -399,4 +432,7 @@ class FrameSampler(MediaFeatureExtractor):
                                     pa.array(dims["width"], pa.int32()))
             out = out.append_column("height",
                                     pa.array(dims["height"], pa.int32()))
+        if self.decoder == "gif":
+            out = out.append_column("pixel_value",
+                                    pa.array(pixel_vals, pa.int64()))
         return out
