@@ -490,7 +490,7 @@ def _q_media_frames(sf_dir):
     frames = media.map_batches(FrameSampler,
                                fn_constructor_kwargs={"decoder": "fake"},
                                batch_format="pyarrow", batch_size=64,
-                               concurrency=(1, 4))
+                               concurrency=(1, 8))
     df = frames.to_pandas()
     df["frame_idx"] = df["frame_idx"].astype("int64")
     df = df[["doc_id", "span_idx", "media_ref", "frame_idx"]]
@@ -512,7 +512,7 @@ def _q_media_resized(sf_dir):
     resized = media.map_batches(
         MediaResize,
         fn_constructor_kwargs={"decoder": "png", "out_size": 8},
-        batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 8))
     df = resized.to_pandas()
     df["width"] = df["width"].astype("int64")
     df["height"] = df["height"].astype("int64")
@@ -857,7 +857,7 @@ def _q_video_mjpeg(sf_dir):
     frames = media.map_batches(FrameSampler,
                                fn_constructor_kwargs={"decoder": "mjpeg"},
                                batch_format="pyarrow", batch_size=64,
-                               concurrency=(1, 4))
+                               concurrency=(1, 8))
     df = frames.to_pandas()
     for c in ("frame_idx", "width", "height"):
         df[c] = df[c].astype("int64")
@@ -881,7 +881,7 @@ def _q_video_gif(sf_dir):
     frames = media.map_batches(FrameSampler,
                                fn_constructor_kwargs={"decoder": "gif"},
                                batch_format="pyarrow", batch_size=64,
-                               concurrency=(1, 4))
+                               concurrency=(1, 8))
     df = frames.to_pandas()
     for c in ("frame_idx", "width", "height"):
         df[c] = df[c].astype("int64")
@@ -903,6 +903,42 @@ def _q_url_dedup(sf_dir):
         .to_pandas()
     out = out[["doc_id", "url_norm"]]
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_quality_filter(sf_dir):
+    """Composite Gopher-style quality gate (stages/textstats.
+    gopher_quality_filter): four integer-exact rules (word-count bounds,
+    mean-word-length bounds in multiplied form, stopword floor,
+    punctuation-per-word cap) + keep, all replayed verbatim by the SQL
+    oracle. Thresholds chosen so the corpus splits on both keep and the
+    individual rules."""
+    from cartwright_ray.stages.textstats import gopher_quality_filter
+    df = gopher_quality_filter(_docs(sf_dir), min_words=40, max_words=70,
+                               min_stop_hits=3).to_pandas()
+    df = df[["doc_id", "n_words", "word_chars", "stop_hits",
+             "punct_chars", "rule_len", "rule_mwl", "rule_stop",
+             "rule_punct", "keep"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_jsonl_roundtrip(sf_dir):
+    """JSONL corpus IO seam: the documents table written as JSON-lines
+    (the dominant LLM corpus interchange format) and read back through
+    ray.data — the oracle is the ORIGINAL parquet table, so the value
+    hash pins a lossless write→read cycle including unicode text."""
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    path = tempfile.mkdtemp(prefix="jsonl_docs_")
+    try:
+        _docs(sf_dir, columns=None).write_json(path)
+        back = ray.data.read_json(path).to_pandas()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    back = back[["doc_id", "text", "lang", "source", "n_chars"]]
+    return back.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_incremental_dedup(sf_dir):
@@ -1762,9 +1798,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customers_join": _q_orders_customers_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "ivf_ann_pruned": _q_ivf_ann_pruned,
-        "bloom_semi_join_lineitems": _q_bloom_semi_join,
-        "edit_similarity_join": _q_edit_sim_join,
         # text / dedup / ANN
+        "quality_filter_docs": _q_quality_filter,
+        "jsonl_roundtrip_docs": _q_jsonl_roundtrip,
         "incremental_dedup_docs": _q_incremental_dedup,
         "mixture_sample_docs": _q_mixture_sample,
         "source_quota_docs": _q_source_quota,
@@ -1826,6 +1862,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # make window slots for media_features_jpeg + the three
         # round-4 layout ops
         "box_join_pairs": _q_box_join,
+        "bloom_semi_join_lineitems": _q_bloom_semi_join,
+        "edit_similarity_join": _q_edit_sim_join,
         "events_rollup_counts": _q_events_rollup,
         "inverted_index_postings": _q_inverted_index,
         "tfidf_top_docs": _q_tfidf,
@@ -3213,6 +3251,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST((st + greatest(nt, 1) - 1) // 512 AS BIGINT)
                        AS bin_end
             FROM o ORDER BY doc_id
+        """,
+        # integer-exact replay of all four gate rules over the same
+        # whitespace-token semantics (word_chars = chars sans whitespace)
+        "quality_filter_docs": r"""
+            WITH s AS (SELECT doc_id,
+                CAST(len(list_filter(
+                    regexp_split_to_array(lower(text), '\s+'),
+                    x -> x <> '')) AS BIGINT) AS n_words,
+                CAST(length(regexp_replace(lower(text), '\s', '', 'g'))
+                    AS BIGINT) AS word_chars,
+                CAST(len(list_filter(
+                    regexp_split_to_array(lower(text), '\s+'),
+                    x -> x IN ('the','and','of','to','a','in','is','it',
+                               'that','was','for','on','with','as','at',
+                               'by','this','have','are'))) AS BIGINT)
+                    AS stop_hits,
+                CAST(length(text) - length(regexp_replace(text,
+                    '[^A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS punct_chars
+                FROM documents)
+            SELECT doc_id, n_words, word_chars, stop_hits, punct_chars,
+                CAST(n_words BETWEEN 40 AND 70 AS BIGINT) AS rule_len,
+                CAST(3 * n_words <= word_chars
+                     AND word_chars <= 10 * n_words AS BIGINT) AS rule_mwl,
+                CAST(stop_hits >= 3 AS BIGINT) AS rule_stop,
+                CAST(punct_chars <= n_words AS BIGINT) AS rule_punct,
+                CAST((n_words BETWEEN 40 AND 70)
+                     AND 3 * n_words <= word_chars
+                     AND word_chars <= 10 * n_words
+                     AND stop_hits >= 3
+                     AND punct_chars <= n_words AS BIGINT) AS keep
+            FROM s ORDER BY doc_id
+        """,
+        # the oracle is the ORIGINAL table: hash equality pins a
+        # lossless JSONL write -> read cycle
+        "jsonl_roundtrip_docs": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            ORDER BY doc_id
         """,
         # exactly the genuinely-new (+20000, ' v2') rows survive the
         # store probe; the exact re-keyed dupes (+10000) are dropped

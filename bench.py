@@ -144,7 +144,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "decontam_docs", "repetition_signals_docs",
              "media_captions", "audio_features_wav", "video_frames_mjpeg",
              "url_dedup_docs", "hamming_ann_topk", "mixture_sample_docs",
-             "source_quota_docs", "incremental_dedup_docs"]
+             "source_quota_docs", "incremental_dedup_docs",
+             "heavy_hitter_tokens", "video_frames_gif",
+             "quality_filter_docs", "jsonl_roundtrip_docs"]
     out = {}
     for name in picks:
         t0 = time.time()

@@ -262,3 +262,43 @@ _EN_STOPWORD_SET = pa.array(sorted(_STOPWORDS["en"]))
 def quality_score(ds, col: str = "text"):
     return ds.map_batches(quality_score_batch, batch_format="pyarrow",
                           fn_kwargs={"col": col}, zero_copy_batch=True)
+
+
+def gopher_quality_filter(ds, col: str = "text", min_words: int = 50,
+                          max_words: int = 100_000, min_mwl: int = 3,
+                          max_mwl: int = 10, min_stop_hits: int = 2,
+                          max_punct_per_word: int = 1):
+    """Composite Gopher-style quality gate (Rae et al. 2021 §A.1.1
+    repetition/quality rules, thresholds parameterized) over the integer
+    signals of :func:`quality_score_batch` — every rule is exact integer
+    arithmetic a SQL oracle replays verbatim:
+
+    - ``rule_len``:   min_words ≤ n_words ≤ max_words
+    - ``rule_mwl``:   min_mwl·n ≤ word_chars ≤ max_mwl·n (mean word
+      length bounds without division)
+    - ``rule_stop``:  stop_hits ≥ min_stop_hits
+    - ``rule_punct``: punct_chars ≤ max_punct_per_word·n_words
+    - ``keep`` = all four.
+
+    Emits signals + per-rule flags + keep (all int64); downstream
+    training prep filters on ``keep`` while the flags make drop-reason
+    statistics a plain aggregate."""
+    def gate(batch: pa.Table) -> pa.Table:
+        t = quality_score_batch(batch, col)
+        n = np.asarray(t["n_words"])
+        wc = np.asarray(t["word_chars"])
+        sh = np.asarray(t["stop_hits"])
+        pch = np.asarray(t["punct_chars"])
+        r_len = (n >= min_words) & (n <= max_words)
+        r_mwl = (min_mwl * n <= wc) & (wc <= max_mwl * n)
+        r_stop = sh >= min_stop_hits
+        r_punct = pch <= max_punct_per_word * n
+        for name, v in (("rule_len", r_len), ("rule_mwl", r_mwl),
+                        ("rule_stop", r_stop), ("rule_punct", r_punct),
+                        ("keep", r_len & r_mwl & r_stop & r_punct)):
+            t = t.append_column(name,
+                                pa.array(v.astype(np.int64), pa.int64()))
+        return t
+
+    return ds.map_batches(gate, batch_format="pyarrow",
+                          zero_copy_batch=True)

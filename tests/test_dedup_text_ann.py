@@ -696,3 +696,24 @@ def test_hamming_ann_vs_numpy(ray_session):
     sig = sign_quantize(V[:8])
     assert sig.shape == (8, 1)
     assert len({s.tobytes() for s in sig}) == 8   # distinct patterns
+
+
+def test_gopher_quality_filter_rules(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from cartwright_ray.stages.textstats import gopher_quality_filter
+
+    docs = pa.table({"doc_id": [1, 2, 3, 4], "text": [
+        "the brown cat jumped over the garden wall and it was quite good",  # keep
+        "short text",                                    # fails len + stop
+        "the " + "supercalifragilistic " * 20 + "and a", # fails mwl
+        "the quick brown fox !!! ??? *** $$$ and a is",  # fails punct
+    ]})
+    out = gopher_quality_filter(ray.data.from_arrow(docs), min_words=5,
+                                max_words=60, min_stop_hits=3,
+                                max_punct_per_word=0).to_pandas() \
+        .sort_values("doc_id")
+    assert out["keep"].tolist() == [1, 0, 0, 0]
+    assert out["rule_len"].tolist() == [1, 0, 1, 1]
+    assert out["rule_mwl"].tolist() == [1, 1, 0, 1]
+    assert out["rule_punct"].tolist() == [1, 1, 1, 0]
