@@ -905,6 +905,34 @@ def _q_url_dedup(sf_dir):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_llm_prep(sf_dir):
+    """The engine's second flagship: the FULL training-corpus prep chain
+    (pipelines/llm_prep.py) — quality gate → benchmark decontamination →
+    URL keep-first dedup → exact text dedup → mixture downsampling →
+    token-budget packing + seeded shuffle rank — as ONE streaming
+    composition of the already-oracled stages. The oracle is the same
+    rule chain in CTE form, so any composition drift (filter scoping,
+    column plumbing, order sensitivity) fails the value hash."""
+    import pyarrow as pa_l
+    import pyarrow.parquet as pq
+
+    from cartwright_ray.pipelines.llm_prep import llm_corpus_prep
+    from cartwright_ray.stages.decontam import benchmark_gram_set
+
+    bench_tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    mask = np.asarray(bench_tbl["doc_id"]) % 37 == 0
+    bench = benchmark_gram_set(
+        bench_tbl["text"].combine_chunks().filter(pa_l.array(mask)), n=8)
+    rates = {f"src{i}": ((i % 4) + 1, 4) for i in range(20)}
+    df = llm_corpus_prep(_docs(sf_dir, columns=("doc_id", "text",
+                                                "source")),
+                         bench, rates).to_pandas()
+    df = df[["doc_id", "n_tokens", "start_tok", "bin_start", "bin_end",
+             "shuffle_key", "shuffle_rank"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_quality_filter(sf_dir):
     """Composite Gopher-style quality gate (stages/textstats.
     gopher_quality_filter): four integer-exact rules (word-count bounds,
@@ -1794,7 +1822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational surface (groupby / broadcast join / window / top-k /
         # global aggregate)
-        "funnel_view_click_purchase": _q_funnel,
+        "llm_corpus_prep": _q_llm_prep,
         "orders_customers_join": _q_orders_customers_join,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "ivf_ann_pruned": _q_ivf_ann_pruned,
@@ -1862,6 +1890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # make window slots for media_features_jpeg + the three
         # round-4 layout ops
         "box_join_pairs": _q_box_join,
+        "funnel_view_click_purchase": _q_funnel,
         "bloom_semi_join_lineitems": _q_bloom_semi_join,
         "edit_similarity_join": _q_edit_sim_join,
         "events_rollup_counts": _q_events_rollup,
@@ -3251,6 +3280,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST((st + greatest(nt, 1) - 1) // 512 AS BIGINT)
                        AS bin_end
             FROM o ORDER BY doc_id
+        """,
+        # the full prep chain in CTE form: each stage scoped to the
+        # prior stage's survivors, every rule reused verbatim from the
+        # individual oracles (gate / decontam / url / exact-dedup /
+        # mixture / pack / shuffle)
+        "llm_corpus_prep": r"""
+            WITH s AS (SELECT doc_id, source,
+                CAST(len(list_filter(
+                    regexp_split_to_array(lower(text), '\s+'),
+                    x -> x <> '')) AS BIGINT) AS n_words,
+                CAST(length(regexp_replace(lower(text), '\s', '', 'g'))
+                    AS BIGINT) AS word_chars,
+                CAST(len(list_filter(
+                    regexp_split_to_array(lower(text), '\s+'),
+                    x -> x IN ('the','and','of','to','a','in','is','it',
+                               'that','was','for','on','with','as','at',
+                               'by','this','have','are'))) AS BIGINT)
+                    AS stop_hits,
+                CAST(length(text) - length(regexp_replace(text,
+                    '[^A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS punct_chars
+                FROM documents),
+            q AS (SELECT doc_id FROM s
+                  WHERE n_words BETWEEN 40 AND 70
+                    AND 3 * n_words <= word_chars
+                    AND word_chars <= 10 * n_words
+                    AND stop_hits >= 3 AND punct_chars <= n_words),
+            words AS (SELECT doc_id,
+                          list_filter(regexp_split_to_array(
+                              lower(text), '\s+'), x -> x <> '') w
+                      FROM documents),
+            grams AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') g
+                      FROM (SELECT doc_id, w,
+                                   unnest(generate_series(1, len(w)-7)) i
+                            FROM words WHERE len(w) >= 8)),
+            bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0),
+            dirty AS (SELECT DISTINCT grams.doc_id FROM grams
+                      JOIN bg USING (g)),
+            c AS (SELECT doc_id FROM q
+                  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+            u AS (SELECT doc_id FROM c
+                  QUALIFY row_number() OVER (PARTITION BY
+                      doc_id % 5, doc_id % 7, doc_id % 4
+                      ORDER BY doc_id) = 1),
+            e AS (SELECT min(d.doc_id) AS doc_id FROM documents d
+                  JOIN u USING (doc_id) GROUP BY d.text),
+            m AS (SELECT e.doc_id FROM e JOIN documents d USING (doc_id)
+                  WHERE ((e.doc_id * 2654435761) % 4294967296) * 4
+                        < (CAST(substr(d.source, 4) AS BIGINT) % 4 + 1)
+                          * 4294967296),
+            t AS (SELECT m.doc_id,
+                      CAST(len(list_filter(regexp_split_to_array(
+                          lower(d.text), '\s+'), x -> x <> ''))
+                          AS BIGINT) AS nt
+                  FROM m JOIN documents d USING (doc_id)),
+            o AS (SELECT doc_id, nt,
+                      coalesce(sum(nt) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS st
+                  FROM t),
+            r AS (SELECT doc_id,
+                      (doc_id * 2654435761) % 4294967296 AS shuffle_key,
+                      row_number() OVER (ORDER BY
+                          (doc_id * 2654435761) % 4294967296) - 1
+                          AS shuffle_rank
+                  FROM m)
+            SELECT o.doc_id, o.nt AS n_tokens,
+                   CAST(o.st AS BIGINT) AS start_tok,
+                   CAST(o.st // 512 AS BIGINT) AS bin_start,
+                   CAST((o.st + greatest(o.nt, 1) - 1) // 512 AS BIGINT)
+                       AS bin_end,
+                   r.shuffle_key, r.shuffle_rank
+            FROM o JOIN r USING (doc_id) ORDER BY o.doc_id
         """,
         # integer-exact replay of all four gate rules over the same
         # whitespace-token semantics (word_chars = chars sans whitespace)

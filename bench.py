@@ -146,7 +146,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "url_dedup_docs", "hamming_ann_topk", "mixture_sample_docs",
              "source_quota_docs", "incremental_dedup_docs",
              "heavy_hitter_tokens", "video_frames_gif",
-             "quality_filter_docs", "jsonl_roundtrip_docs"]
+             "quality_filter_docs", "jsonl_roundtrip_docs",
+             "llm_corpus_prep"]
     out = {}
     for name in picks:
         t0 = time.time()

@@ -1,0 +1,85 @@
+"""End-to-end LLM training-corpus preparation — the engine's second
+flagship: one streaming chain composing the cleaning stack the
+individual `queries()` entries verify in isolation.
+
+    quality gate → benchmark decontamination → URL keep-first dedup →
+    exact text dedup → mixture downsampling → token-budget packing +
+    seeded shuffle rank
+
+Every stage is the already-oracled module (textstats / decontam / urls /
+dedup / mixture / packing), so the composite's DuckDB oracle is the same
+rule chain in CTE form — any drift in stage composition (column
+plumbing, filter scoping, order sensitivity) fails the value hash.
+
+Scale notes: stages 1–5 are map_batches filters plus the dedup modules'
+documented broadcast/shuffle plans; packing and shuffle-rank are the
+narrow-sort + block-prefix machinery (O(num_blocks) driver). The final
+rank attach uses the broadcast equi-join under the same row bound as the
+dedup broadcast plan — swap in ``joins.equi_join_shuffle`` for corpora
+past it (the rank table is narrow (id, key, rank) either way).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..joins.equi_join import equi_join
+from ..stages.decontam import doc_ngrams
+from ..stages.dedup import exact_dedup
+from ..stages.mixture import mixture_sample
+from ..stages.packing import pack_token_budget, shuffled_order
+from ..stages.textstats import gopher_quality_filter
+from ..stages.urls import synth_messy_urls, url_dedup
+
+
+def decontam_filter(ds, bench_grams: np.ndarray, n: int = 8,
+                    text_col: str = "text"):
+    """Column-preserving benchmark-decontamination filter: drop every
+    document sharing a word n-gram with the broadcast benchmark set
+    (the flag variant lives in ``stages.decontam.contamination_flags``).
+    """
+    import ray
+
+    bench_ref = ray.put(np.asarray(bench_grams, dtype=str))
+
+    def clean(t: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        grams, win_doc, _ = doc_ngrams(t[text_col], n)
+        hits = np.zeros(t.num_rows, dtype=bool)
+        if grams.shape[0] and bench.shape[0]:
+            g = grams.astype(str)
+            pos = np.minimum(np.searchsorted(bench, g),
+                             bench.shape[0] - 1)
+            hits[win_doc[bench[pos] == g]] = True
+        return t.filter(pa.array(~hits))
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def llm_corpus_prep(docs, bench_grams: np.ndarray, rates: dict,
+                    budget: int = 512, min_words: int = 40,
+                    max_words: int = 70, min_stop_hits: int = 3):
+    """``docs`` needs (doc_id, text, source). Returns the final training
+    layout: (doc_id, n_tokens, start_tok, bin_start, bin_end,
+    shuffle_key, shuffle_rank) over the cleaned + mixed survivor set."""
+    gated = gopher_quality_filter(docs, min_words=min_words,
+                                  max_words=max_words,
+                                  min_stop_hits=min_stop_hits)
+    kept = gated.map_batches(
+        lambda t: t.filter(pc.equal(t["keep"], 1))
+                   .select(["doc_id", "text", "source"]),
+        batch_format="pyarrow")
+    clean = decontam_filter(kept, bench_grams)
+    by_url = url_dedup(synth_messy_urls(clean))
+    by_url = by_url.map_batches(
+        lambda t: t.drop_columns(["url", "url_norm"]),
+        batch_format="pyarrow")
+    deduped = exact_dedup(by_url, col="text")
+    mixed = mixture_sample(deduped, rates)
+    packed = pack_token_budget(mixed, budget=budget)
+    order = shuffled_order(mixed)
+    small = pa.Table.from_pandas(order.to_pandas(),
+                                 preserve_index=False)
+    return equi_join(packed, small, on="doc_id")
