@@ -933,6 +933,17 @@ def _q_llm_prep(sf_dir):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_chunk_docs(sf_dir):
+    """RAG-style overlapping token chunking (stages/chunking.py): docs
+    explode into ≤32-token windows at stride 24 via one vectorized
+    ragged-range gather + a single binary_join — no per-doc Python. The
+    oracle rebuilds every chunk TEXT with list slicing, so window
+    arithmetic and join order are both value-hashed."""
+    from cartwright_ray.stages.chunking import chunk_tokens
+    df = chunk_tokens(_docs(sf_dir), size=32, stride=24).to_pandas()
+    return df.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
 def _q_quality_filter(sf_dir):
     """Composite Gopher-style quality gate (stages/textstats.
     gopher_quality_filter): four integer-exact rules (word-count bounds,
@@ -1823,7 +1834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational surface (groupby / broadcast join / window / top-k /
         # global aggregate)
         "llm_corpus_prep": _q_llm_prep,
-        "orders_customers_join": _q_orders_customers_join,
+        "chunk_docs_overlap": _q_chunk_docs,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "ivf_ann_pruned": _q_ivf_ann_pruned,
         # text / dedup / ANN
@@ -1890,6 +1901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # make window slots for media_features_jpeg + the three
         # round-4 layout ops
         "box_join_pairs": _q_box_join,
+        "orders_customers_join": _q_orders_customers_join,
         "funnel_view_click_purchase": _q_funnel,
         "bloom_semi_join_lineitems": _q_bloom_semi_join,
         "edit_similarity_join": _q_edit_sim_join,
@@ -3280,6 +3292,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST((st + greatest(nt, 1) - 1) // 512 AS BIGINT)
                        AS bin_end
             FROM o ORDER BY doc_id
+        """,
+        # chunk windows AND their exact text via 1-based list slices:
+        # chunk i of doc covers tokens [i*24+1, min(i*24+32, n)]
+        "chunk_docs_overlap": r"""
+            WITH w AS (SELECT doc_id,
+                           list_filter(regexp_split_to_array(
+                               text, '\s+'), x -> x <> '') AS w
+                       FROM documents),
+            d AS (SELECT doc_id, w, len(w) AS n,
+                      1 + (greatest(len(w) - 32, 0) + 23) // 24 AS k
+                  FROM w WHERE len(w) > 0),
+            c AS (SELECT doc_id, w, n,
+                      unnest(generate_series(0, k - 1)) AS i
+                  FROM d)
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(i * 24 AS BIGINT) AS tok_start,
+                   CAST(least(32, n - i * 24) AS BIGINT)
+                       AS n_chunk_tokens,
+                   array_to_string(w[i * 24 + 1 : least(i * 24 + 32, n)],
+                                   ' ') AS chunk_text
+            FROM c ORDER BY doc_id, chunk_idx
         """,
         # the full prep chain in CTE form: each stage scoped to the
         # prior stage's survivors, every rule reused verbatim from the

@@ -1,0 +1,80 @@
+"""Overlapping token-window chunking — the RAG/embedding-ingestion
+explode: each document becomes ceil(max(n-size,0)/stride)+1 chunks of at
+most ``size`` whitespace tokens, consecutive chunks overlapping by
+``size - stride`` tokens.
+
+Fully vectorized per batch: one Arrow split + non-empty filter, then the
+ragged-range trick (``np.repeat`` on chunk starts + a rebased ``arange``)
+gathers every chunk's token indices in one ``take``, and a rebuilt
+ListArray + ``pc.binary_join`` materializes all chunk texts in a single
+kernel call — no per-document Python. Shuffle-free and embarrassingly
+parallel; at 100 TB this is a pure map stage whose output feeds the
+embedding actor pool directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def chunk_tokens(ds, size: int = 64, stride: int = 48,
+                 text_col: str = "text", id_col: str = "doc_id"):
+    """→ (id, chunk_idx, tok_start, n_chunk_tokens, chunk_text); the
+    last chunk of a document may be shorter than ``size``. Documents
+    with zero tokens emit nothing."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()       # parent indices must be global
+        toks = pc.split_pattern_regex(pc.cast(col, pa.string()), r"\s+")
+        flat = pc.list_flatten(toks)
+        parents = np.asarray(pc.list_parent_indices(toks))
+        keep = np.asarray(pc.not_equal(flat, ""))
+        flat = flat.filter(pa.array(keep))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parents = parents[keep]
+        n_docs = len(t)
+        n = np.bincount(parents, minlength=n_docs)          # tokens/doc
+        doc_off = np.concatenate([[0], np.cumsum(n)])       # flat offsets
+
+        k = 1 + (np.maximum(n - size, 0) + stride - 1) // stride
+        k[n == 0] = 0                                       # no empty chunks
+        total_chunks = int(k.sum())
+        if total_chunks == 0:
+            return pa.table({
+                id_col: t[id_col].slice(0, 0),
+                "chunk_idx": pa.array([], pa.int64()),
+                "tok_start": pa.array([], pa.int64()),
+                "n_chunk_tokens": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string())})
+
+        chunk_doc = np.repeat(np.arange(n_docs), k)
+        chunk_idx = np.arange(total_chunks) \
+            - np.repeat(np.concatenate([[0], np.cumsum(k)])[:-1], k)
+        tok_start = chunk_idx * stride
+        lens = np.minimum(size, n[chunk_doc] - tok_start)
+        # ragged-range gather: indices of every chunk's tokens at once
+        starts_flat = doc_off[chunk_doc] + tok_start
+        pos = np.arange(int(lens.sum())) \
+            - np.repeat(np.concatenate([[0], np.cumsum(lens)])[:-1], lens)
+        idx = np.repeat(starts_flat, lens) + pos
+        taken = flat.take(pa.array(idx, pa.int64()))
+        offsets = pa.array(np.concatenate([[0], np.cumsum(lens)]),
+                           pa.int32())
+        chunks = pa.ListArray.from_arrays(offsets, taken)
+        text = pc.binary_join(chunks, " ")
+        return pa.table({
+            id_col: t[id_col].take(pa.array(chunk_doc, pa.int64())),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "tok_start": pa.array(tok_start, pa.int64()),
+            "n_chunk_tokens": pa.array(lens, pa.int64()),
+            "chunk_text": text})
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)

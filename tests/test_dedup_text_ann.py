@@ -717,3 +717,31 @@ def test_gopher_quality_filter_rules(ray_session):
     assert out["rule_len"].tolist() == [1, 0, 1, 1]
     assert out["rule_mwl"].tolist() == [1, 1, 0, 1]
     assert out["rule_punct"].tolist() == [1, 1, 1, 0]
+
+
+def test_chunk_tokens_windows_and_text(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from cartwright_ray.stages.chunking import chunk_tokens
+
+    docs = pa.table({"doc_id": [1, 2, 3, 4], "text": [
+        "a b c d e f g h i j",      # 10 tokens → chunks at 0,4,8
+        "one two",                   # shorter than size → 1 chunk
+        "  x   y  z ",               # ragged whitespace
+        "p q r s t u v w",           # exactly size+stride boundary
+    ]})
+    out = chunk_tokens(ray.data.from_arrow(docs), size=6, stride=4) \
+        .to_pandas().sort_values(["doc_id", "chunk_idx"])
+    # 10 tokens, size 6, stride 4: k = 1 + ceil((10-6)/4) = 2 — the
+    # second window (tokens 4..9) completes coverage, no window at 8
+    d1 = out[out["doc_id"] == 1]
+    assert d1["tok_start"].tolist() == [0, 4]
+    assert d1["chunk_text"].tolist() == ["a b c d e f", "e f g h i j"]
+    assert d1["n_chunk_tokens"].tolist() == [6, 6]
+    d2 = out[out["doc_id"] == 2]
+    assert d2["chunk_text"].tolist() == ["one two"]
+    d3 = out[out["doc_id"] == 3]
+    assert d3["chunk_text"].tolist() == ["x y z"]
+    d4 = out[out["doc_id"] == 4]    # 8 tokens: windows at 0 and 4
+    assert d4["chunk_text"].tolist() == ["p q r s t u", "t u v w"]
+    assert d4["n_chunk_tokens"].tolist() == [6, 4]
