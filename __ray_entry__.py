@@ -933,6 +933,23 @@ def _q_llm_prep(sf_dir):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_winsorize(sf_dir):
+    """Per-type percentile clipping (stages/normalize.winsorize_by_key):
+    order-statistic p10/p90 bounds at the integer rank k = (n*q+99)//100
+    — exact existing doubles, no interpolation — then a broadcast
+    vectorized clip. The oracle reproduces the rank with row_number()
+    and the clip with least/greatest, all bit-exact."""
+    import ray.data
+
+    from cartwright_ray.stages.normalize import winsorize_by_key
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type",
+                                        "value"])
+    df = winsorize_by_key(ds, "event_type", "value").to_pandas()
+    df = df[["event_id", "event_type", "value", "value_clipped"]]
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_chunk_docs(sf_dir):
     """RAG-style overlapping token chunking (stages/chunking.py): docs
     explode into ≤32-token windows at stride 24 via one vectorized
@@ -1835,6 +1852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # global aggregate)
         "llm_corpus_prep": _q_llm_prep,
         "chunk_docs_overlap": _q_chunk_docs,
+        "winsorize_events": _q_winsorize,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "ivf_ann_pruned": _q_ivf_ann_pruned,
         # text / dedup / ANN
@@ -1877,7 +1895,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join_boxes": _q_pip_join_boxes,
         "admin_polygon_areas": _q_polygon_areas,
         "redacted_spans": _q_redacted_spans,
-        "raster_pyramid": _q_raster_pyramid,
         "media_frames": _q_media_frames,
         "media_resized": _q_media_resized,
         "media_features_jpeg": _q_media_jpeg,
@@ -1902,6 +1919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 layout ops
         "box_join_pairs": _q_box_join,
         "orders_customers_join": _q_orders_customers_join,
+        "raster_pyramid": _q_raster_pyramid,
         "funnel_view_click_purchase": _q_funnel,
         "bloom_semi_join_lineitems": _q_bloom_semi_join,
         "edit_similarity_join": _q_edit_sim_join,
@@ -3292,6 +3310,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST((st + greatest(nt, 1) - 1) // 512 AS BIGINT)
                        AS bin_end
             FROM o ORDER BY doc_id
+        """,
+        # order-statistic bounds at rank (n*q+99)//100 (1-based), clip
+        # with least/greatest — every value an exact existing double
+        "winsorize_events": """
+            WITH sel AS (SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+                 FROM events),
+            b AS (SELECT event_type,
+                     max(CASE WHEN rn = greatest((n * 10 + 99) // 100, 1)
+                         THEN value END) AS lo,
+                     max(CASE WHEN rn = greatest((n * 90 + 99) // 100, 1)
+                         THEN value END) AS hi
+                  FROM sel GROUP BY event_type)
+            SELECT e.event_id, e.event_type, e.value,
+                   least(greatest(e.value, b.lo), b.hi) AS value_clipped
+            FROM events e JOIN b USING (event_type)
+            ORDER BY e.event_id
         """,
         # chunk windows AND their exact text via 1-based list slices:
         # chunk i of doc covers tokens [i*24+1, min(i*24+32, n)]

@@ -14,6 +14,7 @@ that, split keys or widen to float at a documented precision cost.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -70,3 +71,51 @@ def zscore_by_key(ds, key_col: str, val_col: str, scale: float = 1e6):
         return t.append_column("z", pa.array(z, pa.float64()))
 
     return ds.map_batches(apply_z, batch_format="pyarrow")
+
+
+def winsorize_by_key(ds, key_col: str, val_col: str,
+                     q_lo: tuple[int, int] = (10, 100),
+                     q_hi: tuple[int, int] = (90, 100)):
+    """Per-key percentile clipping (winsorization) with ORDER-STATISTIC
+    quantiles: the lo/hi bounds are the k-th smallest EXISTING values at
+    integer rank ``k = (n*qn + qd - 1) // qd`` (1-based) — no
+    interpolation, so bounds and clipped outputs are bit-exact doubles a
+    SQL oracle reproduces with a row_number() rank.
+
+    Two passes: (1) a narrow (key, value) exchange computes per-key
+    bounds — O(keys) to the driver; (2) a broadcast vectorized clip map.
+    For very-high-cardinality keys swap pass 1 for the mergeable sketch
+    (``relational.sketch_quantiles_by_type``) and accept approximate
+    bounds."""
+    import ray
+    import ray.data as _rd  # noqa: F401
+
+    def per_key_bounds(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[val_col].to_numpy(dtype=np.float64))
+        n = len(v)
+        k_lo = (n * q_lo[0] + q_lo[1] - 1) // q_lo[1]
+        k_hi = (n * q_hi[0] + q_hi[1] - 1) // q_hi[1]
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]],
+                             "lo": [v[max(k_lo - 1, 0)]],
+                             "hi": [v[max(k_hi - 1, 0)]]})
+
+    narrow = ds.select_columns([key_col, val_col])
+    bounds = narrow.groupby(key_col) \
+        .map_groups(per_key_bounds, batch_format="pandas").to_pandas()
+    lut = {r[key_col]: (r["lo"], r["hi"]) for _, r in bounds.iterrows()}
+    lut_ref = ray.put(lut)
+
+    def clip(t: pa.Table) -> pa.Table:
+        m = ray.get(lut_ref)
+        ks = sorted(m)
+        los = np.array([m[k][0] for k in ks])
+        his = np.array([m[k][1] for k in ks])
+        idx = np.asarray(pc.index_in(t[key_col],
+                                     value_set=pa.array(ks)).fill_null(0),
+                         dtype=np.int64)
+        v = np.asarray(t[val_col], dtype=np.float64)
+        return t.append_column("value_clipped",
+                               pa.array(np.minimum(np.maximum(v, los[idx]),
+                                                   his[idx]), pa.float64()))
+
+    return ds.map_batches(clip, batch_format="pyarrow")

@@ -229,3 +229,24 @@ def test_heavy_hitters_self_check_trips_when_unprovable(ray_session):
         {"doc_id": np.arange(300), "text": rows})).repartition(8)
     with pt.raises(AssertionError, match="not provably exact"):
         heavy_hitter_tokens(ds, k=5, capacity=4)
+
+
+def test_winsorize_by_key_exact_bounds(ray_session):
+    import pandas as pd
+    import ray.data
+    from cartwright_ray.stages.normalize import winsorize_by_key
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"event_id": np.arange(400),
+                       "event_type": [f"t{i % 3}" for i in range(400)],
+                       "value": rng.normal(0, 100, 400)})
+    out = winsorize_by_key(ray.data.from_pandas(df).repartition(5),
+                           "event_type", "value").to_pandas()
+    for t, g in df.groupby("event_type"):
+        v = np.sort(g["value"].to_numpy())
+        n = len(v)
+        lo, hi = v[(n * 10 + 99) // 100 - 1], v[(n * 90 + 99) // 100 - 1]
+        got = out[out["event_type"] == t].sort_values("event_id")
+        want = np.clip(g.sort_values("event_id")["value"].to_numpy(),
+                       lo, hi)
+        assert np.array_equal(got["value_clipped"].to_numpy(), want)
