@@ -73,8 +73,12 @@ def _key_hash(t: pa.Table, keys: list) -> np.ndarray:
     h = np.zeros(t.num_rows, dtype=np.uint64)
     for kcol in keys:
         vals = np.asarray(t.column(kcol).to_numpy(zero_copy_only=False))
+        # hash_key MUST be exactly 16 bytes: object/string columns raise
+        # on any other length (numeric columns ignore it, which is how a
+        # 17-byte key survived integer-only tests)
         h = (h * np.uint64(1099511628211)
-             ^ pd.util.hash_array(vals, hash_key="cartwright_ejsalt").astype(np.uint64))
+             ^ pd.util.hash_array(vals, hash_key="cartwright_ejslt")
+                 .astype(np.uint64))
     return h
 
 
@@ -127,9 +131,12 @@ def _salt_hot_keys(a_ds, b_ds, keys: list, cap: int, max_salts: int):
 
     def b_assign(t: pa.Table) -> pa.Table:
         mask, pos = _probe(_key_hash(t, keys))
+        if not mask.any():
+            # no hot keys in this batch: skip the identity take() copy
+            return t.append_column(
+                _SALT_COL, pa.array(np.zeros(t.num_rows, np.int64)))
         reps = np.ones(t.num_rows, dtype=np.int64)
-        if mask.any():
-            reps[mask] = hot_k[pos[mask]]
+        reps[mask] = hot_k[pos[mask]]
         idx = np.repeat(np.arange(t.num_rows), reps)
         starts = np.cumsum(reps) - reps
         salts = np.arange(idx.shape[0]) - starts[idx]

@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..joins.equi_join import equi_join
-from ..stages.decontam import doc_ngrams
+from ..stages.decontam import gram_hit_counts
 from ..stages.dedup import exact_dedup
 from ..stages.mixture import mixture_sample
 from ..stages.packing import pack_token_budget, shuffled_order
@@ -45,15 +45,9 @@ def decontam_filter(ds, bench_grams: np.ndarray, n: int = 8,
     bench_ref = ray.put(np.asarray(bench_grams, dtype=str))
 
     def clean(t: pa.Table) -> pa.Table:
-        bench = ray.get(bench_ref)
-        grams, win_doc, _ = doc_ngrams(t[text_col], n)
-        hits = np.zeros(t.num_rows, dtype=bool)
-        if grams.shape[0] and bench.shape[0]:
-            g = grams.astype(str)
-            pos = np.minimum(np.searchsorted(bench, g),
-                             bench.shape[0] - 1)
-            hits[win_doc[bench[pos] == g]] = True
-        return t.filter(pa.array(~hits))
+        _, hits = gram_hit_counts(t[text_col], ray.get(bench_ref), n,
+                                  t.num_rows)
+        return t.filter(pa.array(hits == 0))
 
     return ds.map_batches(clean, batch_format="pyarrow")
 

@@ -26,6 +26,12 @@ def chunk_tokens(ds, size: int = 64, stride: int = 48,
     with zero tokens emit nothing."""
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
+    if stride > size:
+        # the window-count formula assumes overlap/tiling; a gapped
+        # stride would place the last start past the document and
+        # produce negative window lengths
+        raise ValueError("stride must be <= size (overlapping or "
+                         "back-to-back windows)")
 
     def explode(t: pa.Table) -> pa.Table:
         col = t[text_col]

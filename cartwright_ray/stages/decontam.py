@@ -65,6 +65,20 @@ def benchmark_gram_set(texts, n: int = 8) -> np.ndarray:
     return np.unique(grams.astype(str))
 
 
+def gram_hit_counts(texts, bench: np.ndarray, n: int,
+                    n_docs: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc (n_windows, n_hits) of word n-grams against a SORTED
+    benchmark gram array — the single probe kernel shared by the flag
+    stage below and the filter variant in ``pipelines.llm_prep``."""
+    grams, win_doc, n_win = doc_ngrams(texts, n)
+    hits = np.zeros(n_docs, dtype=np.int64)
+    if grams.shape[0] and bench.shape[0]:
+        g = grams.astype(str)
+        pos = np.minimum(np.searchsorted(bench, g), bench.shape[0] - 1)
+        np.add.at(hits, win_doc[bench[pos] == g], 1)
+    return n_win, hits
+
+
 def contamination_flags(ds, bench_grams: np.ndarray, n: int = 8,
                         text_col: str = "text", id_col: str = "doc_id"):
     """Per corpus doc: total n-gram windows, windows hitting the
@@ -75,15 +89,8 @@ def contamination_flags(ds, bench_grams: np.ndarray, n: int = 8,
     bench_ref = ray.put(np.asarray(bench_grams, dtype=str))
 
     def probe(t: pa.Table) -> pa.Table:
-        bench = ray.get(bench_ref)
-        grams, win_doc, n_win = doc_ngrams(t[text_col], n)
-        hits = np.zeros(t.num_rows, dtype=np.int64)
-        if grams.shape[0] and bench.shape[0]:
-            g = grams.astype(str)
-            pos = np.searchsorted(bench, g)
-            pos = np.minimum(pos, bench.shape[0] - 1)
-            is_hit = bench[pos] == g
-            np.add.at(hits, win_doc[is_hit], 1)
+        n_win, hits = gram_hit_counts(t[text_col], ray.get(bench_ref),
+                                      n, t.num_rows)
         return pa.table({
             id_col: t[id_col],
             "n_grams": pa.array(n_win, pa.int64()),

@@ -17,7 +17,10 @@ At 100 TB: ``n_buckets`` scales with the store (fingerprints are ~16 B ×
 corpus; 4096 buckets keep single files re-readable), the probe exchange
 moves only (h1, h2, bucket, id) — never text — and appending to the
 store is just writing the new survivors' fingerprints into the same
-layout.
+layout. Because long-lived workers cache bucket contents, every append
+must be accompanied by a bumped ``generation`` on the NEXT probe (the
+cache key includes it) — probing a mutated store at the old generation
+would serve stale buckets and let just-ingested duplicates through.
 """
 
 from __future__ import annotations
@@ -61,8 +64,9 @@ def write_fingerprint_store(ds, path: str, col: str = "text",
       .write_parquet(path, partition_cols=["bucket"])
 
 
-def _load_bucket_pairs(path: str, bucket: int) -> np.ndarray:
-    key = (path, int(bucket))
+def _load_bucket_pairs(path: str, bucket: int,
+                       generation: int = 0) -> np.ndarray:
+    key = (path, int(bucket), int(generation))
     if key in _BUCKET_CACHE:
         return _BUCKET_CACHE[key]
     import glob
@@ -83,11 +87,16 @@ def _load_bucket_pairs(path: str, bucket: int) -> np.ndarray:
 
 
 def dedup_against_store(ds, path: str, col: str = "text",
-                        id_col: str = "doc_id", n_buckets: int = 64):
+                        id_col: str = "doc_id", n_buckets: int = 64,
+                        generation: int = 0):
     """Drop incoming rows whose content fingerprint already exists in the
     store; survivors stream through with their original columns. The
     sort key is EXACTLY the bucket column (segment-exchange rule), so a
-    task sees whole buckets except at block boundaries."""
+    task sees whole buckets except at block boundaries.
+
+    ``generation`` versions the worker bucket cache: bump it after every
+    append to ``path`` (or use a fresh path per generation) — otherwise a
+    warm worker serves the pre-append bucket contents."""
     def attach(batch: pa.Table) -> pa.Table:
         h1, h2 = _content_hash128(batch, col)
         batch = batch.append_column(
@@ -102,7 +111,7 @@ def dedup_against_store(ds, path: str, col: str = "text",
         h2 = np.asarray(batch[_H2]).view(np.uint64)
         dup = np.zeros(len(bks), dtype=bool)
         for b in np.unique(bks):
-            store = _load_bucket_pairs(path, b)
+            store = _load_bucket_pairs(path, b, generation)
             if not len(store):
                 continue
             sel = bks == b

@@ -88,7 +88,6 @@ def winsorize_by_key(ds, key_col: str, val_col: str,
     (``relational.sketch_quantiles_by_type``) and accept approximate
     bounds."""
     import ray
-    import ray.data as _rd  # noqa: F401
 
     def per_key_bounds(g: pd.DataFrame) -> pd.DataFrame:
         v = np.sort(g[val_col].to_numpy(dtype=np.float64))

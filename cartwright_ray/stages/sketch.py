@@ -145,10 +145,13 @@ def heavy_hitter_tokens(ds, col: str = "text", k: int = 10,
     exact = parts.groupby("token")["n"].sum().reset_index()
     exact = exact.sort_values(["n", "token"],
                               ascending=[False, True]).head(k)
-    if len(exact) >= k and err > 0 and int(exact["n"].iloc[-1]) <= err:
+    # with err > 0, a SHORT candidate list is just as uncertifiable as a
+    # weak k-th count: non-candidates may hold true counts up to err
+    if err > 0 and (len(exact) < k or int(exact["n"].iloc[-1]) <= err):
+        kth = int(exact["n"].iloc[-1]) if len(exact) else 0
         raise AssertionError(
-            f"heavy_hitter_tokens not provably exact: kth count "
-            f"{int(exact['n'].iloc[-1])} <= MG error bound {err}; "
+            f"heavy_hitter_tokens not provably exact: kth count {kth} "
+            f"(of {len(exact)} candidates) <= MG error bound {err}; "
             f"raise capacity (currently {capacity})")
     return pa.table({"token": pa.array(exact["token"], pa.string()),
                      "n": pa.array(exact["n"].to_numpy(np.int64))})

@@ -49,12 +49,20 @@ def normalize_url_array(url: pa.ChunkedArray | pa.Array) -> pa.Array:
                       pc.replace_substring_regex(host, r":80$", ""), host)
     rest = pc.struct_field(ex, "rest")
     rest = pc.replace_substring_regex(rest, r"#.*$", "")
+    # tracking-param removal in three structure-preserving steps (a
+    # literal '&' in the PATH is legal and must never be touched):
+    # 1. drop '&'-separated tracking params (never first in the query);
+    # 2. a LEADING tracking param followed by another param hands its
+    #    '?' to that param;
+    # 3. a leading tracking param that was the whole query drops with
+    #    its '?'.
     rest = pc.replace_substring_regex(
-        rest, r"[?&](?:utm_[a-z0-9]+|ref)=[^&#]*", "")
-    # a removed leading "?param" leaves the next param opening with "&":
-    # promote the FIRST separator back to "?" ([^?&]* keeps it first)
-    rest = pc.replace_substring_regex(rest, r"^([^?&]*)&", r"\1?")
-    rest = pc.replace_substring_regex(rest, r"\?$", "")
+        rest, r"&(?:utm_[a-z0-9]+|ref)=[^&#]*", "")
+    rest = pc.replace_substring_regex(
+        rest, r"\?(?:utm_[a-z0-9]+|ref)=[^&#]*&", "?")
+    rest = pc.replace_substring_regex(
+        rest, r"\?(?:utm_[a-z0-9]+|ref)=[^&#]*$", "")
+    rest = pc.replace_substring_regex(rest, r"\?$", "")   # empty query
     rest = pc.replace_substring_regex(rest, r"/\?", "?")
     rest = pc.replace_substring_regex(rest, r"/$", "")
     norm = pc.binary_join_element_wise(

@@ -43,8 +43,6 @@ def test_probe_drops_exact_store_matches_only(ray_session, store_dir):
 def test_store_append_workflow(ray_session, store_dir):
     """Survivors' fingerprints append into the same layout; a re-probe
     of the same batch then drops everything."""
-    import shutil as sh
-
     import ray.data
 
     from cartwright_ray.stages.dedup_store import (dedup_against_store,
@@ -55,17 +53,13 @@ def test_store_append_workflow(ray_session, store_dir):
     batch = ray.data.from_pandas(_docs(["b", "x", "y"], start=10))
     survivors = dedup_against_store(batch, store_dir).materialize()
     assert sorted(survivors.to_pandas()["doc_id"]) == [11, 12]
-    # append survivors' fingerprints into the layout, then probe the
-    # NEXT GENERATION path (worker bucket caches key on path, so an
-    # ingestion loop versions the store rather than mutating in place)
+    # append survivors' fingerprints into the layout, then probe at the
+    # NEXT generation: the bumped cache key makes warm workers reload
+    # the mutated buckets instead of serving the pre-append contents
     write_fingerprint_store(survivors, store_dir)
-    gen2 = store_dir + "_g2"
-    sh.copytree(store_dir, gen2)
-    try:
-        again = dedup_against_store(batch, gen2).to_pandas()
-        assert len(again) == 0
-    finally:
-        sh.rmtree(gen2, ignore_errors=True)
+    again = dedup_against_store(batch, store_dir,
+                                generation=1).to_pandas()
+    assert len(again) == 0
 
 
 def test_bucket_cache_is_bounded(store_dir):

@@ -176,3 +176,31 @@ def test_broadcast_multi_column_keys(ray_session):
     want = a.merge(b, on=["k1", "k2"])
     cols = ["k1", "k2", "av", "bv"]
     pd.testing.assert_frame_equal(_sorted(got, cols), _sorted(want, cols))
+
+
+def test_shuffle_salted_string_keys(ray_session):
+    """STRING join keys through the salted plan: the hot-key hash uses
+    pd.util.hash_array, whose hash_key must be exactly 16 bytes for
+    object arrays — a 17-byte key crashed here (caught in review) while
+    integer-key tests sailed through (numeric hashing ignores the key)."""
+    import duckdb
+
+    rng = np.random.default_rng(3)
+    a = pd.DataFrame({
+        "k": np.where(rng.random(2000) < 0.5, "hot",
+                      rng.integers(0, 20, 2000).astype(str)),
+        "av": rng.integers(0, 1000, 2000)})
+    b = pd.DataFrame({"k": [str(i) for i in range(20)] + ["hot"],
+                      "bv": np.arange(21)})
+    salted = equi_join_shuffle(_ds(ray_session, a, 6),
+                               _ds(ray_session, b, 3),
+                               on="k", salt_cap=100,
+                               max_salts=8).to_pandas()
+    con = duckdb.connect()
+    con.register("a", a)
+    con.register("b", b)
+    want = con.execute(
+        "SELECT a.k, a.av, b.bv FROM a JOIN b USING (k)").df()
+    cols = ["k", "av", "bv"]
+    pd.testing.assert_frame_equal(_sorted(salted, cols),
+                                  _sorted(want, cols))

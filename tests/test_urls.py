@@ -77,3 +77,31 @@ def test_url_dedup_null_keys_survive(ray_session):
     # equivalent URLs survives (the min id)
     assert list(out["doc_id"]) == [1, 2, 3]
     assert out["url_norm"].isna().sum() == 2   # sentinel never leaks
+
+
+def test_path_ampersand_untouched():
+    """'&' is legal in URL paths: it must never be rewritten to '?', and
+    two URLs differing only path-'&' vs query-'?' stay distinct."""
+    got = normalize_url_array(pa.array([
+        "https://h.example/a&b",
+        "https://h.example/a?b=1",
+        "https://h.example/a&b?utm_source=x&id=1",
+        "https://h.example/a&b?utm_source=x",
+        "https://h.example/p?",
+    ])).to_pylist()
+    assert got == ["https://h.example/a&b",
+                   "https://h.example/a?b=1",
+                   "https://h.example/a&b?id=1",
+                   "https://h.example/a&b",
+                   "https://h.example/p"]
+
+
+def test_multiple_leading_tracking_params():
+    got = normalize_url_array(pa.array([
+        "https://h.example/p?utm_a=1&utm_b=2&id=3",
+        "https://h.example/p?utm_a=1&ref=x",
+        "https://h.example/p?ref=x&utm_a=1&q=2&utm_b=3",
+    ])).to_pylist()
+    assert got == ["https://h.example/p?id=3",
+                   "https://h.example/p",
+                   "https://h.example/p?q=2"]
