@@ -65,13 +65,17 @@ def llm_corpus_prep(docs, bench_grams: np.ndarray, rates: dict,
         lambda t: t.filter(pc.equal(t["keep"], 1))
                    .select(["doc_id", "text", "source"]),
         batch_format="pyarrow")
-    clean = decontam_filter(kept, bench_grams)
+    # PIN the cleaned set: both dedup stages scan their input twice
+    # (winner partials + survivor filter), and pack/shuffle each scan
+    # the mixed set — without materialize() the gate+decontam chain
+    # recomputes per scan (round-3 perf pattern: pin rescanned sets)
+    clean = decontam_filter(kept, bench_grams).materialize()
     by_url = url_dedup(synth_messy_urls(clean))
     by_url = by_url.map_batches(
         lambda t: t.drop_columns(["url", "url_norm"]),
         batch_format="pyarrow")
     deduped = exact_dedup(by_url, col="text")
-    mixed = mixture_sample(deduped, rates)
+    mixed = mixture_sample(deduped, rates).materialize()
     packed = pack_token_budget(mixed, budget=budget)
     order = shuffled_order(mixed)
     small = pa.Table.from_pandas(order.to_pandas(),
