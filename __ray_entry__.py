@@ -961,6 +961,61 @@ def _q_chunk_docs(sf_dir):
     return df.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
 
 
+def _q_text_norm(sf_dir):
+    """C4-style text normalization (stages/textstats.normalize_text):
+    whitespace-collapse + trim + lowercase as pure Arrow kernels; the
+    oracle replays the identical regexp/trim/lower chain so the cleaned
+    STRINGS are value-hashed, not just counted."""
+    from cartwright_ray.stages.textstats import normalize_text
+    df = normalize_text(_docs(sf_dir)).to_pandas()
+    df = df[["doc_id", "text_norm", "n_chars_norm"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_vocab_coverage(sf_dir):
+    """Tokenizer-fit / OOV measurement: per-doc token + out-of-vocab
+    counts against a broadcast vocabulary (the distinct tokens of every
+    10th document — deterministic, SQL-reproducible). One is_in + one
+    scatter-add per batch (stages/textstats.vocab_coverage)."""
+    import pyarrow as pa_l
+    import pyarrow.parquet as pq
+
+    from cartwright_ray.stages.textstats import vocab_coverage
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    mask = np.asarray(t["doc_id"]) % 10 == 0
+    vocab = set()
+    for x in t["text"].combine_chunks().filter(pa_l.array(mask)) \
+            .to_pylist():
+        vocab.update(w for w in x.lower().split() if w)
+    df = vocab_coverage(_docs(sf_dir), vocab).to_pandas()
+    df = df[["doc_id", "n_tokens", "n_oov"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_matryoshka_ann(sf_dir):
+    """Truncated-dimension (matryoshka) retrieval: exact cosine top-k
+    over the FIRST 16 of 64 embedding dims, renormalized — the cheap
+    first pass for nested-objective embeddings (stages/ann.
+    matryoshka_ann_search). Same rounding/tie contract as ann_topk; the
+    oracle slices embedding[1:16] and replays it."""
+    import pyarrow.parquet as pq
+
+    from cartwright_ray.stages.ann import matryoshka_ann_search
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]) \
+        .slice(0, 500).to_pandas()
+    qrows = head[head["vec_id"] < 3].sort_values("vec_id")
+    queries = {"query_id": qrows["vec_id"].tolist(),
+               "vec": np.asarray(qrows["embedding"].tolist(),
+                                 dtype=np.float64)}
+    df = matryoshka_ann_search(_embeddings(sf_dir), queries, k=10,
+                               dims=16).to_pandas()
+    df["score"] = df["score"].round(6)
+    df = df[["query_id", "vec_id", "rank", "score"]]
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _q_quality_filter(sf_dir):
     """Composite Gopher-style quality gate (stages/textstats.
     gopher_quality_filter): four integer-exact rules (word-count bounds,
@@ -1853,6 +1908,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_corpus_prep": _q_llm_prep,
         "chunk_docs_overlap": _q_chunk_docs,
         "winsorize_events": _q_winsorize,
+        "normalize_text_docs": _q_text_norm,
+        "vocab_coverage_docs": _q_vocab_coverage,
+        "matryoshka_ann_topk": _q_matryoshka_ann,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "ivf_ann_pruned": _q_ivf_ann_pruned,
         # text / dedup / ANN
@@ -1861,12 +1919,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_docs": _q_incremental_dedup,
         "mixture_sample_docs": _q_mixture_sample,
         "source_quota_docs": _q_source_quota,
-        "top_tokens": _q_top_tokens,
         "heavy_hitter_tokens": _q_heavy_hitters,
         "training_prep_docs": _q_training_prep,
-        "hash_sample_events": _q_hash_sample,
-        "stratified_sample_events": _q_stratified_sample,
-        "zscore_events": _q_zscore,
         "exact_dedup_docs": _q_exact_dedup,
         "ann_topk": _q_ann,
         "hamming_ann_topk": _q_hamming_ann,
@@ -1918,6 +1972,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # make window slots for media_features_jpeg + the three
         # round-4 layout ops
         "box_join_pairs": _q_box_join,
+        "top_tokens": _q_top_tokens,
+        "hash_sample_events": _q_hash_sample,
+        "stratified_sample_events": _q_stratified_sample,
+        "zscore_events": _q_zscore,
         "orders_customers_join": _q_orders_customers_join,
         "raster_pyramid": _q_raster_pyramid,
         "funnel_view_click_purchase": _q_funnel,
@@ -3310,6 +3368,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST((st + greatest(nt, 1) - 1) // 512 AS BIGINT)
                        AS bin_end
             FROM o ORDER BY doc_id
+        """,
+        "normalize_text_docs": r"""
+            SELECT doc_id,
+                   lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+                       AS text_norm,
+                   CAST(length(lower(trim(regexp_replace(
+                       text, '\s+', ' ', 'g')))) AS BIGINT)
+                       AS n_chars_norm
+            FROM documents ORDER BY doc_id
+        """,
+        # vocabulary = distinct tokens of every 10th doc; n_oov counts
+        # tokens (lowercased, whitespace) absent from it
+        "vocab_coverage_docs": r"""
+            WITH toks AS (SELECT doc_id,
+                              unnest(list_filter(regexp_split_to_array(
+                                  lower(text), '\s+'), x -> x <> ''))
+                                  AS tok
+                          FROM documents),
+            v AS (SELECT DISTINCT tok FROM toks WHERE doc_id % 10 = 0)
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(*) FILTER (v.tok IS NULL) AS BIGINT)
+                       AS n_oov
+            FROM toks t LEFT JOIN v ON t.tok = v.tok
+            GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+        # ann_topk's contract over the first-16-dim prefix (1-based
+        # inclusive list slice [1:16])
+        "matryoshka_ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding[1:16] AS qv
+                       FROM embeddings WHERE vec_id < 3),
+            sims AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(
+                           CAST(e.embedding[1:16] AS DOUBLE[]),
+                           CAST(q.qv AS DOUBLE[])), 6) AS score
+                FROM embeddings e CROSS JOIN q)
+            SELECT query_id, vec_id, rank, score FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY score DESC, vec_id) - 1 AS rank
+                FROM sims)
+            WHERE rank < 10
+            ORDER BY query_id, rank
         """,
         # order-statistic bounds at rank (n*q+99)//100 (1-based), clip
         # with least/greatest — every value an exact existing double

@@ -147,7 +147,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "source_quota_docs", "incremental_dedup_docs",
              "heavy_hitter_tokens", "video_frames_gif",
              "quality_filter_docs", "jsonl_roundtrip_docs",
-             "llm_corpus_prep", "chunk_docs_overlap", "winsorize_events"]
+             "llm_corpus_prep", "chunk_docs_overlap", "winsorize_events",
+             "normalize_text_docs", "vocab_coverage_docs",
+             "matryoshka_ann_topk"]
     out = {}
     for name in picks:
         t0 = time.time()

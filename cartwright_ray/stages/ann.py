@@ -480,3 +480,27 @@ def hamming_ann_search(ds, queries: dict, k: int = 10,
         return t.append_column("hamming", h)
 
     return out.map_batches(to_hamming, batch_format="pyarrow")
+
+
+def matryoshka_ann_search(ds, queries: dict, k: int = 10, dims: int = 16,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id", **kw):
+    """Truncated-dimension retrieval (matryoshka-style): keep only the
+    first ``dims`` coordinates of corpus and query vectors — renormalized
+    cosine over the nested prefix, the cheap first pass for embeddings
+    trained with nested (MRL) objectives; re-rank the shortlist at full
+    dimension downstream. The truncation is a zero-copy reshape +
+    FixedSizeList rebuild per batch; ranking then reuses the exact
+    :func:`ann_search` plan, so its rounding/tie contract (and the SQL
+    oracle pattern, with ``embedding[1:dims]`` slices) carries over."""
+    def trunc(t: pa.Table) -> pa.Table:
+        v = _vecs_from_arrow(t.column(vec_col))[:, :dims]
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.ascontiguousarray(v, dtype=np.float64).ravel(),
+                     pa.float64()), dims)
+        return pa.table({id_col: t.column(id_col), vec_col: arr})
+
+    q = {"query_id": list(queries["query_id"]),
+         "vec": np.asarray(queries["vec"], dtype=np.float64)[:, :dims]}
+    return ann_search(ds.map_batches(trunc, batch_format="pyarrow"),
+                      q, k=k, vec_col=vec_col, id_col=id_col, **kw)

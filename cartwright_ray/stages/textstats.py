@@ -302,3 +302,56 @@ def gopher_quality_filter(ds, col: str = "text", min_words: int = 50,
 
     return ds.map_batches(gate, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def normalize_text(ds, col: str = "text", out_col: str = "text_norm",
+                   lowercase: bool = True):
+    """C4-style text normalization as pure Arrow kernels: collapse all
+    whitespace runs to single spaces, trim the ends, optionally
+    lowercase. Shuffle-free map stage; the SQL oracle replays the same
+    regexp_replace/trim/lower chain, so the cleaned STRINGS are
+    hash-pinned."""
+    def norm(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column(col), pa.string())
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        s = pc.utf8_trim_whitespace(s)
+        if lowercase:
+            s = pc.utf8_lower(s)
+        out = batch.append_column(out_col, s)
+        return out.append_column(
+            "n_chars_norm", pc.cast(pc.utf8_length(s), pa.int64()))
+
+    return ds.map_batches(norm, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def vocab_coverage(ds, vocab, col: str = "text", id_col: str = "doc_id"):
+    """Per-doc out-of-vocabulary counts against a broadcast vocabulary —
+    the tokenizer-fit check run before committing to a vocab: ``n_tokens``
+    (whitespace, lowercased) and ``n_oov`` (tokens absent from
+    ``vocab``). One ``is_in`` + one ``np.add.at`` per batch."""
+    import ray
+
+    vocab_ref = ray.put(pa.array(sorted(set(vocab))))
+
+    def cover(batch: pa.Table) -> pa.Table:
+        vset = ray.get(vocab_ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.cast(batch.column(col), pa.string())),
+            r"\s+")
+        flat = pc.list_flatten(toks)
+        parents = np.asarray(pc.list_parent_indices(toks))
+        nonempty = np.asarray(pc.not_equal(flat, ""))
+        in_vocab = np.asarray(pc.is_in(flat, value_set=vset))
+        n = len(batch)
+        n_tokens = np.zeros(n, dtype=np.int64)
+        np.add.at(n_tokens, parents, nonempty.astype(np.int64))
+        n_oov = np.zeros(n, dtype=np.int64)
+        np.add.at(n_oov, parents,
+                  (nonempty & ~in_vocab).astype(np.int64))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(n_tokens),
+            "n_oov": pa.array(n_oov)})
+
+    return ds.map_batches(cover, batch_format="pyarrow")

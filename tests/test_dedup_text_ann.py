@@ -745,3 +745,51 @@ def test_chunk_tokens_windows_and_text(ray_session):
     d4 = out[out["doc_id"] == 4]    # 8 tokens: windows at 0 and 4
     assert d4["chunk_text"].tolist() == ["p q r s t u", "t u v w"]
     assert d4["n_chunk_tokens"].tolist() == [6, 4]
+
+
+def test_normalize_text_rules(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from cartwright_ray.stages.textstats import normalize_text
+
+    docs = pa.table({"doc_id": [1, 2],
+                     "text": ["  Hello\t\tWORLD \n again ", "a  b"]})
+    out = normalize_text(ray.data.from_arrow(docs)).to_pandas() \
+        .sort_values("doc_id")
+    assert out["text_norm"].tolist() == ["hello world again", "a b"]
+    assert out["n_chars_norm"].tolist() == [17, 3]
+
+
+def test_vocab_coverage_counts(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from cartwright_ray.stages.textstats import vocab_coverage
+
+    docs = pa.table({"doc_id": [1, 2],
+                     "text": ["the cat SAT", "dog the zebra unknown"]})
+    out = vocab_coverage(ray.data.from_arrow(docs),
+                         {"the", "cat", "sat", "dog"}).to_pandas() \
+        .sort_values("doc_id")
+    assert out["n_tokens"].tolist() == [3, 4]
+    assert out["n_oov"].tolist() == [0, 2]      # zebra, unknown
+
+
+def test_matryoshka_ann_matches_prefix_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data
+    from cartwright_ray.stages.ann import matryoshka_ann_search
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    V = np.asarray(emb["embedding"].tolist(), dtype=np.float64)[:, :16]
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    queries = {"query_id": [0, 1],
+               "vec": np.asarray(emb["embedding"].tolist(),
+                                 dtype=np.float64)[:2]}
+    out = matryoshka_ann_search(ray.data.from_pandas(emb).repartition(4),
+                                queries, k=5, dims=16).to_pandas()
+    sims = np.round(Vn[:2] @ Vn.T, 6)
+    ids = emb["vec_id"].values
+    for qi in (0, 1):
+        order = np.lexsort((ids, -sims[qi]))[:5]
+        got = out[out["query_id"] == qi].sort_values("rank")
+        assert got["vec_id"].tolist() == ids[order].tolist()
