@@ -1921,6 +1921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quota_docs": _q_source_quota,
         "heavy_hitter_tokens": _q_heavy_hitters,
         "training_prep_docs": _q_training_prep,
+        "zscore_events": _q_zscore,
         "exact_dedup_docs": _q_exact_dedup,
         "ann_topk": _q_ann,
         "hamming_ann_topk": _q_hamming_ann,
@@ -1975,7 +1976,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _q_top_tokens,
         "hash_sample_events": _q_hash_sample,
         "stratified_sample_events": _q_stratified_sample,
-        "zscore_events": _q_zscore,
         "orders_customers_join": _q_orders_customers_join,
         "raster_pyramid": _q_raster_pyramid,
         "funnel_view_click_purchase": _q_funnel,
