@@ -1016,6 +1016,42 @@ def _q_matryoshka_ann(sf_dir):
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_rerank_ann(sf_dir):
+    """TWO-STAGE retrieval (stages/ann.rerank_ann_search): matryoshka
+    16-dim shortlist of 50 per query, then exact full-dimension re-rank
+    of EACH QUERY'S OWN shortlist — the production pattern the cheap
+    first passes exist for. The oracle replays both stages (truncated
+    rank ≤ 50, then full-dim rank among those)."""
+    import pyarrow.parquet as pq
+
+    from cartwright_ray.stages.ann import rerank_ann_search
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]) \
+        .slice(0, 500).to_pandas()
+    qrows = head[head["vec_id"] < 3].sort_values("vec_id")
+    queries = {"query_id": qrows["vec_id"].tolist(),
+               "vec": np.asarray(qrows["embedding"].tolist(),
+                                 dtype=np.float64)}
+    df = rerank_ann_search(_embeddings(sf_dir), queries, k=10,
+                           shortlist=50, dims=16).to_pandas()
+    df["score"] = df["score"].round(6)
+    df = df[["query_id", "vec_id", "rank", "score"]]
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _q_label_centroids(sf_dir):
+    """Per-label mean embeddings (class prototypes) via fused per-block
+    partial sums — the shuffle carries O(labels × dim) rows; same
+    floored-coordinate comparable form and float-exactness argument as
+    kmeans_centroids."""
+    import ray.data
+
+    from cartwright_ray.stages.kmeans import label_centroids
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+    return label_centroids(ds).to_pandas()
+
+
 def _q_quality_filter(sf_dir):
     """Composite Gopher-style quality gate (stages/textstats.
     gopher_quality_filter): four integer-exact rules (word-count bounds,
@@ -1911,6 +1947,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text_docs": _q_text_norm,
         "vocab_coverage_docs": _q_vocab_coverage,
         "matryoshka_ann_topk": _q_matryoshka_ann,
+        "rerank_ann_topk": _q_rerank_ann,
+        "label_centroids": _q_label_centroids,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "ivf_ann_pruned": _q_ivf_ann_pruned,
         # text / dedup / ANN
@@ -1925,7 +1963,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _q_exact_dedup,
         "ann_topk": _q_ann,
         "hamming_ann_topk": _q_hamming_ann,
-        "compact_cells": _q_compact_cells,
         "kmeans_centroids": _q_kmeans,
         "near_dup_clusters": _q_near_dup_clusters,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1940,10 +1977,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_docs": _q_decontam,
         "repetition_signals_docs": _q_repetition,
         "media_captions": _q_media_captions,
-        # spatial pipeline + the full spatial-join family (MUST stay in
-        # the first 50 — two of these were red in r01 and unverified in
-        # r02 because they sat past the window)
-        "extract_points": _q_extract_points,
+        # spatial pipeline + the full spatial-join family (verified in
+        # r03; the family representatives stay in-window)
         "encoded_points": _q_encoded_points,
         "pip_join_counts": _q_pip_join_counts,
         "pip_join_counts_shuffle": _q_pip_join_counts_shuffle,
@@ -1973,6 +2008,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # make window slots for media_features_jpeg + the three
         # round-4 layout ops
         "box_join_pairs": _q_box_join,
+        "compact_cells": _q_compact_cells,
+        "extract_points": _q_extract_points,
         "top_tokens": _q_top_tokens,
         "hash_sample_events": _q_hash_sample,
         "stratified_sample_events": _q_stratified_sample,
@@ -3411,6 +3448,53 @@ def oracle_sql() -> dict[str, str]:
                 FROM sims)
             WHERE rank < 10
             ORDER BY query_id, rank
+        """,
+        # both stages replayed: truncated rank <= 50 shortlist, then
+        # full-dim rank among each query's own shortlist
+        "rerank_ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 3),
+            s1 AS (SELECT q.query_id, e.vec_id,
+                      round(list_cosine_similarity(
+                          CAST(e.embedding[1:16] AS DOUBLE[]),
+                          CAST(q.qv[1:16] AS DOUBLE[])), 6) AS ts
+                   FROM embeddings e CROSS JOIN q),
+            short AS (SELECT query_id, vec_id FROM (
+                        SELECT *, row_number() OVER (
+                            PARTITION BY query_id
+                            ORDER BY ts DESC, vec_id) AS r1
+                        FROM s1)
+                      WHERE r1 <= 50),
+            s2 AS (SELECT sh.query_id, sh.vec_id,
+                      round(list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]),
+                          CAST(q.qv AS DOUBLE[])), 6) AS score
+                   FROM short sh
+                   JOIN embeddings e ON e.vec_id = sh.vec_id
+                   JOIN q ON q.query_id = sh.query_id)
+            SELECT query_id, vec_id, rank, score FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY score DESC, vec_id) - 1 AS rank
+                FROM s2)
+            WHERE rank < 10
+            ORDER BY query_id, rank
+        """,
+        # same float-exactness + floor convention as kmeans_centroids
+        "label_centroids": """
+            WITH n AS (SELECT label, count(*) AS n FROM embeddings
+                       GROUP BY label),
+            u AS (SELECT label, unnest(embedding) AS v,
+                         unnest(generate_series(1, len(embedding))) AS d
+                  FROM embeddings),
+            a AS (SELECT label, d,
+                         floor(avg(CAST(v AS DOUBLE)) * 10000) / 10000
+                             AS coord
+                  FROM u GROUP BY label, d)
+            SELECT CAST(a.label AS BIGINT) AS label,
+                   CAST(a.d AS BIGINT) AS dim, a.coord,
+                   CAST(n.n AS BIGINT) AS n
+            FROM a JOIN n USING (label) ORDER BY label, dim
         """,
         # order-statistic bounds at rank (n*q+99)//100 (1-based), clip
         # with least/greatest — every value an exact existing double

@@ -149,7 +149,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "quality_filter_docs", "jsonl_roundtrip_docs",
              "llm_corpus_prep", "chunk_docs_overlap", "winsorize_events",
              "normalize_text_docs", "vocab_coverage_docs",
-             "matryoshka_ann_topk"]
+             "matryoshka_ann_topk", "rerank_ann_topk", "label_centroids"]
     out = {}
     for name in picks:
         t0 = time.time()

@@ -504,3 +504,50 @@ def matryoshka_ann_search(ds, queries: dict, k: int = 10, dims: int = 16,
          "vec": np.asarray(queries["vec"], dtype=np.float64)[:, :dims]}
     return ann_search(ds.map_batches(trunc, batch_format="pyarrow"),
                       q, k=k, vec_col=vec_col, id_col=id_col, **kw)
+
+
+def rerank_ann_search(ds, queries: dict, k: int = 10, shortlist: int = 50,
+                      dims: int = 16, vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      round_decimals: int | None = 6):
+    """TWO-STAGE retrieval — the production shape the truncated/binary
+    first passes exist for: stage 1 shortlists ``shortlist`` candidates
+    per query with :func:`matryoshka_ann_search` over the first ``dims``
+    coordinates; stage 2 re-ranks EACH QUERY'S OWN shortlist with exact
+    full-dimension cosine and returns the top ``k``.
+
+    The stage-2 scan streams over the corpus once, restricted to the
+    broadcast union of shortlists (a per-query ``np.isin`` mask keeps a
+    vector that shortlisted for query A from competing for query B), so
+    the expensive full-dimension math touches ``n_q × shortlist``
+    vectors, not the corpus."""
+    import ray
+
+    cand = matryoshka_ann_search(ds, queries, k=shortlist, dims=dims,
+                                 vec_col=vec_col, id_col=id_col,
+                                 round_decimals=round_decimals).to_pandas()
+    per_q = {qid: np.sort(g[id_col].to_numpy())
+             for qid, g in cand.groupby("query_id")}
+    qmat = _normalize(np.asarray(queries["vec"], dtype=np.float64))
+    state_ref = ray.put((list(queries["query_id"]), qmat, per_q))
+
+    def stage2(t: pa.Table) -> pa.Table:
+        qids, qm, short = ray.get(state_ref)
+        vecs = _normalize(_vecs_from_arrow(t.column(vec_col)))
+        ids = np.asarray(t[id_col])
+        out_q, out_id, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            mask = np.isin(ids, short.get(qid, ()))
+            if not mask.any():
+                continue
+            sims = qm[qi] @ vecs[mask].T
+            out_q.extend([qid] * int(mask.sum()))
+            out_id.extend(ids[mask].tolist())
+            out_s.extend(sims.tolist())
+        return pa.table({"query_id": pa.array(out_q),
+                         "vec_id": pa.array(out_id),
+                         "score": pa.array(out_s, pa.float64())})
+
+    cands2 = ds.map_batches(stage2, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return _finalize_topk(cands2, k, round_decimals)

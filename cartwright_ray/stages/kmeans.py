@@ -144,3 +144,51 @@ def kmeans_summary(ds, k: int = 10, iters: int = 2,
         "val": pa.array(val, pa.float64()),
         "n": pa.array(counts[cl], pa.int64()),
     })
+
+
+def label_centroids(ds, label_col: str = "label",
+                    vec_col: str = "embedding", scale: float = 1e4):
+    """Per-label mean embedding — the supervised sibling of the k-means
+    summary (class prototypes / nearest-class-mean retrieval): one fused
+    per-block partial pass emitting (labels, counts, sum-matrix) — the
+    shuffle carries O(labels × dim) per block, never vectors — merged on
+    the driver. Output matches :func:`kmeans_summary`'s comparable flat
+    form: one row per (label, dim) with the coordinate FLOORED at
+    ``scale`` (same float-exactness argument: float32 inputs sum exactly
+    in float64) plus the label's row count."""
+    def partial(t: pa.Table) -> pa.Table:
+        X = _vecs_from_arrow(t.column(vec_col)).astype(np.float64)
+        labels = np.asarray(t[label_col], dtype=np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), X.shape[1] if X.size else 0))
+        np.add.at(sums, inv, X)
+        counts = np.bincount(inv, minlength=len(uniq))
+        return pa.table({
+            "label": pa.array(uniq, pa.int64()),
+            "n": pa.array(counts.astype(np.int64)),
+            "sum": pa.array([r.tolist() for r in sums],
+                            pa.list_(pa.float64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg: dict = {}
+    for _, r in parts.iterrows():
+        lab = int(r["label"])
+        vec = np.asarray(r["sum"], dtype=np.float64)
+        if lab in agg:
+            agg[lab][0] += int(r["n"])
+            agg[lab][1] += vec
+        else:
+            agg[lab] = [int(r["n"]), vec.copy()]
+    rows = {"label": [], "dim": [], "coord": [], "n": []}
+    for lab in sorted(agg):
+        n, s = agg[lab]
+        cent = np.floor(s / n * scale) / scale
+        for d, c in enumerate(cent):
+            rows["label"].append(lab)
+            rows["dim"].append(d + 1)      # 1-based, matches unnest order
+            rows["coord"].append(float(c))
+            rows["n"].append(n)
+    return pa.table({"label": pa.array(rows["label"], pa.int64()),
+                     "dim": pa.array(rows["dim"], pa.int64()),
+                     "coord": pa.array(rows["coord"], pa.float64()),
+                     "n": pa.array(rows["n"], pa.int64())})

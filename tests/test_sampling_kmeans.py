@@ -250,3 +250,47 @@ def test_winsorize_by_key_exact_bounds(ray_session):
         want = np.clip(g.sort_values("event_id")["value"].to_numpy(),
                        lo, hi)
         assert np.array_equal(got["value_clipped"].to_numpy(), want)
+
+
+def test_label_centroids_vs_pandas(ray_session):
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+    from cartwright_ray.stages.kmeans import label_centroids
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    out = label_centroids(
+        ray.data.from_arrow(t).repartition(4)).to_pandas()
+    df = t.to_pandas()
+    for lab, g in df.groupby("label"):
+        V = np.asarray(g["embedding"].tolist(), dtype=np.float64)
+        want = np.floor(V.mean(axis=0) * 1e4) / 1e4
+        got = out[out["label"] == lab].sort_values("dim")
+        assert np.array_equal(got["coord"].to_numpy(), want)
+        assert (got["n"] == len(g)).all()
+
+
+def test_rerank_differs_from_pure_truncated(ray_session):
+    """Two-stage = full-dim order restricted to the truncated shortlist:
+    verify against a direct numpy replay of both stages."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from cartwright_ray.stages.ann import rerank_ann_search
+
+    emb = pq.read_table("/root/testdata/sf0.001/embeddings.parquet") \
+        .to_pandas()
+    V = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
+    ids = emb["vec_id"].values
+    queries = {"query_id": [0], "vec": V[:1]}
+    out = rerank_ann_search(ray.data.from_pandas(emb).repartition(3),
+                            queries, k=5, shortlist=20,
+                            dims=16).to_pandas()
+    T = V[:, :16] / np.linalg.norm(V[:, :16], axis=1, keepdims=True)
+    ts = np.round(T[0] @ T.T, 6)
+    short = ids[np.lexsort((ids, -ts))[:20]]
+    F = V / np.linalg.norm(V, axis=1, keepdims=True)
+    fs = np.round(F[0] @ F.T, 6)
+    mask = np.isin(ids, short)
+    order = np.lexsort((ids[mask], -fs[mask]))[:5]
+    assert out.sort_values("rank")["vec_id"].tolist() \
+        == ids[mask][order].tolist()
