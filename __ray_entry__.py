@@ -118,8 +118,9 @@ def _docs(sf_dir, columns=("doc_id", "text")):
 
 
 def _embeddings(sf_dir, columns=("vec_id", "embedding")):
-    """Embeddings projection pruned to (vec_id, embedding) — the table
-    also carries ``label``, which no ANN/kmeans/dedup caller uses."""
+    """Embeddings projection pruned at the read; the default drops
+    ``label``, which only ``label_centroids`` uses (it passes its own
+    ``columns=``)."""
     import ray.data
     cols = None if columns is None else list(columns)
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -977,6 +978,8 @@ def _q_vocab_coverage(sf_dir):
     counts against a broadcast vocabulary (the distinct tokens of every
     10th document — deterministic, SQL-reproducible). One is_in + one
     scatter-add per batch (stages/textstats.vocab_coverage)."""
+    import re as re_l
+
     import pyarrow as pa_l
     import pyarrow.parquet as pq
 
@@ -985,9 +988,12 @@ def _q_vocab_coverage(sf_dir):
                       columns=["doc_id", "text"])
     mask = np.asarray(t["doc_id"]) % 10 == 0
     vocab = set()
+    # ASCII \s+ split — Python str.split() is Unicode-aware, which would
+    # diverge from the engine/oracle RE2 tokenizer on non-ASCII spaces
     for x in t["text"].combine_chunks().filter(pa_l.array(mask)) \
             .to_pylist():
-        vocab.update(w for w in x.lower().split() if w)
+        vocab.update(w for w in re_l.split(r"\s+", x.lower(),
+                                           flags=re_l.ASCII) if w)
     df = vocab_coverage(_docs(sf_dir), vocab).to_pandas()
     df = df[["doc_id", "n_tokens", "n_oov"]]
     return df.sort_values("doc_id").reset_index(drop=True)
@@ -1044,12 +1050,9 @@ def _q_label_centroids(sf_dir):
     partial sums — the shuffle carries O(labels × dim) rows; same
     floored-coordinate comparable form and float-exactness argument as
     kmeans_centroids."""
-    import ray.data
-
     from cartwright_ray.stages.kmeans import label_centroids
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["label", "embedding"])
-    return label_centroids(ds).to_pandas()
+    return label_centroids(
+        _embeddings(sf_dir, columns=("label", "embedding"))).to_pandas()
 
 
 def _q_quality_filter(sf_dir):
@@ -3423,12 +3426,19 @@ def oracle_sql() -> dict[str, str]:
                                   lower(text), '\s+'), x -> x <> ''))
                                   AS tok
                           FROM documents),
-            v AS (SELECT DISTINCT tok FROM toks WHERE doc_id % 10 = 0)
-            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-                   CAST(count(*) FILTER (v.tok IS NULL) AS BIGINT)
-                       AS n_oov
-            FROM toks t LEFT JOIN v ON t.tok = v.tok
-            GROUP BY t.doc_id ORDER BY t.doc_id
+            v AS (SELECT DISTINCT tok FROM toks WHERE doc_id % 10 = 0),
+            agg AS (SELECT t.doc_id,
+                        CAST(count(*) AS BIGINT) AS n_tokens,
+                        CAST(count(*) FILTER (v.tok IS NULL) AS BIGINT)
+                            AS n_oov
+                    FROM toks t LEFT JOIN v ON t.tok = v.tok
+                    GROUP BY t.doc_id)
+            -- zero-token docs vanish from the unnest; the engine emits
+            -- (0, 0) for them, so rejoin the full doc list
+            SELECT d.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens,
+                   coalesce(agg.n_oov, 0) AS n_oov
+            FROM documents d LEFT JOIN agg USING (doc_id)
+            ORDER BY d.doc_id
         """,
         # ann_topk's contract over the first-16-dim prefix (1-based
         # inclusive list slice [1:16])

@@ -523,12 +523,17 @@ def rerank_ann_search(ds, queries: dict, k: int = 10, shortlist: int = 50,
     vectors, not the corpus."""
     import ray
 
+    ds = ds.materialize()        # both stages scan it; pin once
     cand = matryoshka_ann_search(ds, queries, k=shortlist, dims=dims,
                                  vec_col=vec_col, id_col=id_col,
                                  round_decimals=round_decimals).to_pandas()
     per_q = {qid: np.sort(g[id_col].to_numpy())
              for qid, g in cand.groupby("query_id")}
     qmat = _normalize(np.asarray(queries["vec"], dtype=np.float64))
+    # fixed output types: most batches at scale shortlist NOTHING, and an
+    # untyped empty pa.array([]) would give null-typed columns that
+    # mismatch the non-empty blocks' schema
+    qid_type = pa.array(list(queries["query_id"])).type
     state_ref = ray.put((list(queries["query_id"]), qmat, per_q))
 
     def stage2(t: pa.Table) -> pa.Table:
@@ -544,8 +549,9 @@ def rerank_ann_search(ds, queries: dict, k: int = 10, shortlist: int = 50,
             out_q.extend([qid] * int(mask.sum()))
             out_id.extend(ids[mask].tolist())
             out_s.extend(sims.tolist())
-        return pa.table({"query_id": pa.array(out_q),
-                         "vec_id": pa.array(out_id),
+        return pa.table({"query_id": pa.array(out_q, qid_type),
+                         "vec_id": pa.array(out_id,
+                                            t.column(id_col).type),
                          "score": pa.array(out_s, pa.float64())})
 
     cands2 = ds.map_batches(stage2, batch_format="pyarrow",

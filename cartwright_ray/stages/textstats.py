@@ -314,7 +314,11 @@ def normalize_text(ds, col: str = "text", out_col: str = "text_norm",
     def norm(batch: pa.Table) -> pa.Table:
         s = pc.cast(batch.column(col), pa.string())
         s = pc.replace_substring_regex(s, r"\s+", " ")
-        s = pc.utf8_trim_whitespace(s)
+        # trim SPACE chars only: RE2 \s is ASCII, so after the collapse
+        # the ends hold at most one ' ' — and DuckDB trim() (the oracle)
+        # strips only spaces, while utf8_trim_whitespace would also eat
+        # non-ASCII whitespace the collapse deliberately left alone
+        s = pc.utf8_trim(s, " ")
         if lowercase:
             s = pc.utf8_lower(s)
         out = batch.append_column(out_col, s)
