@@ -9,7 +9,7 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
      "flagship_docs_per_sec": ...}
 
 ``--scaling``: run the flagship pipeline in fresh processes at
-``num_cpus=N`` and ``num_cpus=4N`` ($BENCH_SCALING_N, default 6 → 6 vs 24)
+``num_cpus=N`` and ``num_cpus=4N`` ($BENCH_SCALING_N, default 4 → 4 vs 16)
 on the same materialized corpus, best-of-3 timed runs after an untimed
 warmup, and report both throughputs plus scaling efficiency =
 (docs/s@4N ÷ docs/s@N) / 4 (sandbox stand-in for N- vs 4N-node clusters —
