@@ -82,6 +82,24 @@ def _key_hash(t: pa.Table, keys: list) -> np.ndarray:
     return h
 
 
+def _per_key_round_robin(pos_masked: np.ndarray,
+                         hot_k: np.ndarray) -> np.ndarray:
+    """Salt assignment for the hot A-side rows of one batch: each hot
+    key's rows (identified by their slot ``pos_masked`` into ``hot_k``)
+    get 0,1,...,K-1,0,... IN THEIR OWN sequence, regardless of how the
+    keys interleave in the batch. Pure numpy: stable-sort by slot, rank
+    within each run, mod that key's K, scatter back."""
+    order = np.argsort(pos_masked, kind="stable")
+    ps = pos_masked[order]
+    starts = np.flatnonzero(np.concatenate([[True], ps[1:] != ps[:-1]]))
+    seg_len = np.diff(np.concatenate([starts, [ps.size]]))
+    rank = np.arange(ps.size, dtype=np.int64) - np.repeat(
+        starts, seg_len)
+    out = np.empty(ps.size, dtype=np.int64)
+    out[order] = rank % hot_k[ps]
+    return out
+
+
 def _salt_hot_keys(a_ds, b_ds, keys: list, cap: int, max_salts: int):
     """Append ``__ej_salt`` to both sides: keys whose A-side count
     exceeds ``cap`` split their A rows over ``ceil(n/cap)`` salts
@@ -124,9 +142,12 @@ def _salt_hot_keys(a_ds, b_ds, keys: list, cap: int, max_salts: int):
         salts = np.zeros(t.num_rows, dtype=np.int64)
         mask, pos = _probe(_key_hash(t, keys))
         if mask.any():
-            # round-robin within the batch spreads a hot key's rows
-            # evenly over its K salts
-            salts[mask] = np.arange(int(mask.sum())) % hot_k[pos[mask]]
+            # round-robin PER KEY (ADVICE r04): a single batch counter
+            # shared across co-resident hot keys gives each key a
+            # strided subsequence — when its K divides the interleave
+            # stride the key hits only a subset of its salts, weakening
+            # the straggler bound. Rebase the counter per key segment.
+            salts[mask] = _per_key_round_robin(pos[mask], hot_k)
         return t.append_column(_SALT_COL, pa.array(salts, pa.int64()))
 
     def b_assign(t: pa.Table) -> pa.Table:

@@ -71,9 +71,13 @@ def chunk_tokens(ds, size: int = 64, stride: int = 48,
             - np.repeat(np.concatenate([[0], np.cumsum(lens)])[:-1], lens)
         idx = np.repeat(starts_flat, lens) + pos
         taken = flat.take(pa.array(idx, pa.int64()))
+        # int64 offsets (LargeListArray): a block whose gathered chunk
+        # tokens exceed 2^31 would silently overflow int32 offsets
+        # (ADVICE r04); binary_join on large_list<string> still returns
+        # plain `string`, so the output schema is unchanged.
         offsets = pa.array(np.concatenate([[0], np.cumsum(lens)]),
-                           pa.int32())
-        chunks = pa.ListArray.from_arrays(offsets, taken)
+                           pa.int64())
+        chunks = pa.LargeListArray.from_arrays(offsets, taken)
         text = pc.binary_join(chunks, " ")
         return pa.table({
             id_col: t[id_col].take(pa.array(chunk_doc, pa.int64())),

@@ -160,18 +160,60 @@ def synth_gif_payload(ref: str) -> bytes:
     return gif_encode(frames)
 
 
+def _jfif_frame_end(buf: bytes, i: int) -> int:
+    """Index one past the EOI of the JFIF frame starting at ``i``
+    (which must point at SOI), found by WALKING marker segments — not
+    by scanning for a literal FF D9. Header segments (DQT/DHT/SOF/COM/
+    APPn) may legally contain the byte pair FF D9 in their payload
+    (e.g. a DQT value 255 followed by 217, or SOF dims 0xFFD9); only
+    ENTROPY-CODED data guarantees byte-stuffing (T.81 B.1.1.5), so the
+    EOI scan is restricted to the post-SOS entropy stream and every
+    length-prefixed header is skipped structurally (ADVICE r04)."""
+    n = len(buf)
+    if buf[i:i + 2] != b"\xff\xd8":
+        raise ValueError("invalid JFIF frame: expected SOI")
+    i += 2
+    while i + 1 < n:
+        if buf[i] != 0xFF:
+            raise ValueError("invalid JFIF frame: expected marker")
+        m = buf[i + 1]
+        if m == 0xFF:                       # fill byte before a marker
+            i += 1
+            continue
+        if m == 0xD9:                       # EOI
+            return i + 2
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / stray RSTn: bare
+            i += 2
+            continue
+        ln = int.from_bytes(buf[i + 2:i + 4], "big")
+        if ln < 2 or i + 2 + ln > n:
+            raise ValueError("invalid JFIF frame: truncated segment")
+        i += 2 + ln
+        if m == 0xDA:                       # SOS: entropy data follows
+            while True:
+                j = buf.find(b"\xff", i)
+                if j < 0 or j + 1 >= n:
+                    raise ValueError("invalid JFIF frame: unterminated "
+                                     "entropy stream")
+                m2 = buf[j + 1]
+                if m2 == 0x00 or 0xD0 <= m2 <= 0xD7:  # stuffed / RSTn
+                    i = j + 2
+                    continue
+                i = j                       # next real marker (EOI, SOS,
+                break                       # DNL, ...) — outer loop
+    raise ValueError("invalid JFIF frame: no EOI")
+
+
 def mjpeg_split(payload: bytes) -> list:
-    """Split a concatenated-JFIF stream on EOI markers. Safe without
-    decoding: inside entropy-coded data every 0xFF is byte-stuffed
-    (FF 00) or a restart marker, so a literal FF D9 only ever terminates
-    a frame (T.81 B.1.1.5)."""
-    frames, start = [], 0
-    while True:
-        end = payload.find(b"\xff\xd9", start)
-        if end < 0:
-            break
-        frames.append(payload[start:end + 2])
-        start = end + 2
+    """Split a concatenated-JFIF stream into frames by walking each
+    frame's marker segments (see :func:`_jfif_frame_end`). Stops at the
+    first position that does not start with SOI (trailing garbage, or
+    the end of the stream)."""
+    frames, i, n = [], 0, len(payload)
+    while i + 1 < n and payload[i:i + 2] == b"\xff\xd8":
+        end = _jfif_frame_end(payload, i)
+        frames.append(payload[i:end])
+        i = end
     return frames
 
 

@@ -56,6 +56,15 @@ def _block_exclusive_prefix(mat_ds, key_col: str, weight_col: str | None):
     ``{(min_key, max_key): prefix}``."""
 
     def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"__min": pa.array([], pa.int64()),
+                          "__max": pa.array([], pa.int64()),
+                          "__sum": pa.array([], pa.int64())})
+        # Ray's sort can emit EMPTY blocks (rows < partitions); pc.min
+        # on them is null, and a null __min crashes the sort_values
+        # below (ADVICE r04). An empty block contributes 0 to the
+        # prefix, so it simply drops out here.
+        if t.num_rows == 0:
+            return empty
         k = t[key_col]
         w = (t.num_rows if weight_col is None
              else pc.sum(t[weight_col]).as_py() or 0)
@@ -66,6 +75,9 @@ def _block_exclusive_prefix(mat_ds, key_col: str, weight_col: str | None):
     parts = (mat_ds.map_batches(partial, batch_format="pyarrow",
                                 batch_size=None)
              .to_pandas().sort_values("__min"))
+    # belt-and-braces for runtimes that skip the UDF on empty blocks
+    # and emit null rows instead
+    parts = parts[parts["__min"].notna()]
     prefix: dict = {}
     run = 0
     for mn, mx, s in zip(parts["__min"], parts["__max"], parts["__sum"]):
@@ -94,6 +106,12 @@ def pack_token_budget(ds, budget: int = 512, text_col: str = "text",
 
     def attach(t: pa.Table) -> pa.Table:
         ids = t[id_col]
+        if t.num_rows == 0:     # empty sort block: no prefix entry
+            return pa.table({
+                id_col: ids, "n_tokens": t["n_tokens"],
+                "start_tok": pa.array([], pa.int64()),
+                "bin_start": pa.array([], pa.int64()),
+                "bin_end": pa.array([], pa.int64())})
         base = ray.get(pref_ref)[(pc.min(ids).as_py(),
                                   pc.max(ids).as_py())]
         nt = np.asarray(t["n_tokens"], dtype=np.int64)
@@ -137,6 +155,9 @@ def shuffled_order(ds, id_col: str = "doc_id"):
 
     def attach(t: pa.Table) -> pa.Table:
         k = t["shuffle_key"]
+        if t.num_rows == 0:     # empty sort block: no prefix entry
+            return t.append_column("shuffle_rank",
+                                   pa.array([], pa.int64()))
         base = ray.get(pref_ref)[(pc.min(k).as_py(), pc.max(k).as_py())]
         rank = base + np.arange(t.num_rows, dtype=np.int64)
         return t.append_column("shuffle_rank", pa.array(rank, pa.int64()))

@@ -3,16 +3,21 @@ of a web-scale training-data pipeline (dedupe by normalized URL before
 any content pass).
 
 ``normalize_urls`` is a fully vectorized Arrow stage: one
-``pc.extract_regex`` split (scheme / host / rest) and a fixed chain of
-RE2 ``replace_substring_regex`` kernels — no Python per row. The
-normal form applied (each step deterministic, replayed verbatim by the
-SQL oracle):
+``pc.extract_regex`` split (scheme / host / PATH / QUERY — the split
+itself separates the path from the query at the first ``?`` and drops
+the fragment structurally, ADVICE r04) and a fixed chain of RE2
+``replace_substring_regex`` kernels — no Python per row. The normal
+form applied (each step deterministic, replayed verbatim by the SQL
+oracle):
 
 1. lowercase scheme and host;
 2. strip default ports (``:443`` for https, ``:80`` for http);
 3. drop the fragment (``#...``);
 4. drop tracking params (``utm_*``, ``ref``) wherever they sit in the
-   query string, repairing the ``?``/``&`` structure;
+   QUERY STRING ONLY — a ``&ref=`` inside a path segment and a
+   ``/foo/?bar`` or trailing-slash substring inside a query VALUE are
+   never touched, because the rewrites below each see only the
+   component they belong to;
 5. strip a trailing path slash (also when a query follows).
 
 ``url_dedup`` then reuses :func:`..stages.dedup.exact_dedup` on the
@@ -31,7 +36,15 @@ import pyarrow.compute as pc
 
 from .dedup import exact_dedup
 
-_SPLIT = r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/?#]*)(?P<rest>.*)$"
+# The split is the component boundary: ``path`` stops at the first
+# ``?`` or ``#``; ``query`` (optional — non-participating groups come
+# back as "" from Arrow's extract_regex) runs to the fragment, which is
+# dropped structurally. Tracking-param and trailing-slash rewrites then
+# each see ONLY their own component (ADVICE r04: the old single-`rest`
+# form let `&ref=` match inside a path segment and `/\?` / `/$` match
+# inside query values, canonicalizing distinct URLs identically).
+_SPLIT = (r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/?#]*)"
+          r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#.*)?$")
 
 
 def normalize_url_array(url: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -47,26 +60,27 @@ def normalize_url_array(url: pa.ChunkedArray | pa.Array) -> pa.Array:
                       pc.replace_substring_regex(host, r":443$", ""), host)
     host = pc.if_else(pc.equal(scheme, "http"),
                       pc.replace_substring_regex(host, r":80$", ""), host)
-    rest = pc.struct_field(ex, "rest")
-    rest = pc.replace_substring_regex(rest, r"#.*$", "")
-    # tracking-param removal in three structure-preserving steps (a
-    # literal '&' in the PATH is legal and must never be touched):
+    # tracking-param removal operates on the BARE query string (no '?'),
+    # in three structure-preserving steps:
     # 1. drop '&'-separated tracking params (never first in the query);
-    # 2. a LEADING tracking param followed by another param hands its
-    #    '?' to that param;
-    # 3. a leading tracking param that was the whole query drops with
-    #    its '?'.
-    rest = pc.replace_substring_regex(
-        rest, r"&(?:utm_[a-z0-9]+|ref)=[^&#]*", "")
-    rest = pc.replace_substring_regex(
-        rest, r"\?(?:utm_[a-z0-9]+|ref)=[^&#]*&", "?")
-    rest = pc.replace_substring_regex(
-        rest, r"\?(?:utm_[a-z0-9]+|ref)=[^&#]*$", "")
-    rest = pc.replace_substring_regex(rest, r"\?$", "")   # empty query
-    rest = pc.replace_substring_regex(rest, r"/\?", "?")
-    rest = pc.replace_substring_regex(rest, r"/$", "")
+    # 2. a LEADING tracking param followed by another param hands the
+    #    lead to that param;
+    # 3. a tracking param that was the whole query empties it.
+    query = pc.struct_field(ex, "query")
+    query = pc.replace_substring_regex(
+        query, r"&(?:utm_[a-z0-9]+|ref)=[^&]*", "")
+    query = pc.replace_substring_regex(
+        query, r"^(?:utm_[a-z0-9]+|ref)=[^&]*&", "")
+    query = pc.replace_substring_regex(
+        query, r"^(?:utm_[a-z0-9]+|ref)=[^&]*$", "")
+    # trailing-slash strip sees only the PATH (query values with '/'s
+    # or '?'s are untouched); an emptied query drops its '?' entirely.
+    path = pc.replace_substring_regex(pc.struct_field(ex, "path"),
+                                      r"/$", "")
+    qpart = pc.if_else(pc.equal(query, ""), pa.scalar("", pa.string()),
+                       pc.binary_join_element_wise("?", query, ""))
     norm = pc.binary_join_element_wise(
-        pc.binary_join_element_wise(scheme, host, "://"), rest, "")
+        pc.binary_join_element_wise(scheme, host, "://"), path, qpart, "")
     return pc.if_else(valid, norm, pa.scalar(None, pa.string()))
 
 

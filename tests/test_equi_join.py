@@ -146,6 +146,32 @@ def test_shuffle_salted_zipf_skew_matches_unsalted_and_sql(ray_session,
         _sorted(want, cols).astype({"bv": "float64"}))
 
 
+def test_per_key_round_robin_uniform_under_interleave():
+    """ADVICE r04: two hot keys interleaved stride-2 in one batch, each
+    with K=2 salts — a shared batch counter gives each key ONLY evens
+    (or only odds) of the counter, i.e. a single salt. The per-key
+    rebase must spread each key evenly over its own salts."""
+    import numpy as np
+
+    from cartwright_ray.joins.equi_join import _per_key_round_robin
+
+    # slots alternate 0,1,0,1,... (stride-2 interleave), 40 rows each
+    pos = np.tile(np.array([0, 1]), 40)
+    hot_k = np.array([2, 2], dtype=np.int64)
+    salts = _per_key_round_robin(pos, hot_k)
+    for slot in (0, 1):
+        counts = np.bincount(salts[pos == slot], minlength=2)
+        assert counts.tolist() == [20, 20]
+    # mixed K: key 0 has 3 salts, key 1 has 2; 30 rows each interleaved
+    pos = np.tile(np.array([0, 1]), 30)
+    hot_k = np.array([3, 2], dtype=np.int64)
+    salts = _per_key_round_robin(pos, hot_k)
+    assert np.bincount(salts[pos == 0], minlength=3).tolist() == [10] * 3
+    assert np.bincount(salts[pos == 1], minlength=2).tolist() == [15] * 2
+    # order within the batch is preserved per key (0,1,2,0,1,2,...)
+    assert salts[pos == 0][:4].tolist() == [0, 1, 2, 0]
+
+
 def test_salted_plan_actually_salts(ray_session):
     """The hot key's A rows really do spread over several salts (the
     mitigation is live, not a no-op)."""

@@ -166,6 +166,31 @@ def test_mjpeg_split_exact():
         assert jpeg_decode(p).shape == (16, 16)
 
 
+def test_mjpeg_split_header_ffd9_not_a_boundary():
+    """ADVICE r04: a header segment may legally contain the FF D9 byte
+    pair (here: a COM comment, and a DQT whose values include 255 then
+    217). A literal-EOI scanner splits mid-frame; the marker walk must
+    return whole frames that still decode."""
+    rng = np.random.default_rng(7)
+    px = [rng.integers(0, 256, (16, 16), dtype=np.uint8)
+          for _ in range(3)]
+    frames = []
+    for p in px:
+        f = jpeg_encode(p, quality=90)
+        assert f[:2] == b"\xff\xd8"
+        # inject a COM segment right after SOI whose body contains FF D9
+        com = b"\xff\xfe" + (6).to_bytes(2, "big") + b"ab\xff\xd9"
+        frames.append(f[:2] + com + f[2:])
+    from cartwright_ray.stages.media import mjpeg_split
+
+    payload = b"".join(frames)
+    parts = mjpeg_split(payload)
+    assert parts == frames
+    for p_in, part in zip(px, parts):
+        assert np.array_equal(jpeg_decode(part), jpeg_decode(
+            jpeg_encode(p_in, quality=90)))
+
+
 def test_frame_sampler_mjpeg_real(ray_session):
     """Video frame-sampling with the REAL split + decode path."""
     import pyarrow as pa

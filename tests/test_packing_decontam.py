@@ -146,6 +146,47 @@ def test_media_captions_nearest_preceding_text(ray_session):
     assert list(got["media_ref"]) == ["m://a/1", "m://a/2", "m://b/1"]
 
 
+def test_pack_and_shuffle_survive_empty_sort_blocks(ray_session):
+    """ADVICE r04: rows < partitions makes Ray's sort emit EMPTY blocks;
+    pc.min on them is null and the old prefix partial crashed
+    sort_values with a None/int comparison. 3 rows over 8 blocks must
+    still pack and rank correctly."""
+    from cartwright_ray.stages.packing import (pack_token_budget,
+                                               shuffled_order)
+
+    df = pd.DataFrame({"doc_id": np.array([5, 1, 9], dtype=np.int64),
+                       "text": ["alpha beta", "gamma", "delta eps zeta"]})
+    ds = _ds(ray_session, df, 8)
+    got = pack_token_budget(ds, budget=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # id order 1, 5, 9 -> token counts 1, 2, 3 -> starts 0, 1, 3
+    assert list(got["doc_id"]) == [1, 5, 9]
+    assert list(got["n_tokens"]) == [1, 2, 3]
+    assert list(got["start_tok"]) == [0, 1, 3]
+    rank = shuffled_order(ds).to_pandas().sort_values("doc_id")
+    assert sorted(rank["shuffle_rank"]) == [0, 1, 2]
+    key = (rank["doc_id"].to_numpy().astype(np.uint64)
+           * np.uint64(2654435761)) % np.uint64(1 << 32)
+    assert list(rank["shuffle_rank"]) == list(np.argsort(np.argsort(key)))
+
+
+def test_block_prefix_handles_explicit_empty_block(ray_session):
+    """Direct unit case: a zero-row block inside the materialized input
+    contributes 0 and no null __min row."""
+    import ray.data
+
+    from cartwright_ray.stages.packing import _block_exclusive_prefix
+
+    t1 = pa.table({"k": pa.array([1, 2], pa.int64()),
+                   "w": pa.array([10, 10], pa.int64())})
+    empty = t1.slice(0, 0)
+    t2 = pa.table({"k": pa.array([3], pa.int64()),
+                   "w": pa.array([7], pa.int64())})
+    mat = ray.data.from_arrow([t1, empty, t2]).materialize()
+    prefix = _block_exclusive_prefix(mat, "k", "w")
+    assert prefix == {(1, 2): 0, (3, 3): 20}
+
+
 def test_decontam_empty_benchmark(ray_session):
     from cartwright_ray.stages.decontam import contamination_flags
 

@@ -96,6 +96,29 @@ def test_path_ampersand_untouched():
                    "https://h.example/p"]
 
 
+def test_component_anchoring_advice_r04():
+    """ADVICE r04: the rewrites must be anchored to their component.
+    A '&ref='/'&utm_*=' substring inside a PATH segment, and '/?' or a
+    trailing '/' inside a query VALUE, are real URL content — the old
+    single-string rule chain rewrote all three, silently canonicalizing
+    distinct URLs identically (false dedup drops)."""
+    got = normalize_url_array(pa.array([
+        "https://h.example/a&ref=b/c",            # path '&ref=' kept
+        "https://h.example/a&utm_x=1/c",          # path '&utm_*=' kept
+        "https://h.example/x?next=/foo/?bar",     # '/?' in query value
+        "https://h.example/x?p=/tmp/",            # trailing '/' in value
+        "https://h.example/x?p=/tmp/&ref=r",      # ...even next to a real
+                                                  # tracking param
+        "https://h.example/a&ref=b/?utm_y=2&id=1",  # both at once
+    ])).to_pylist()
+    assert got == ["https://h.example/a&ref=b/c",
+                   "https://h.example/a&utm_x=1/c",
+                   "https://h.example/x?next=/foo/?bar",
+                   "https://h.example/x?p=/tmp/",
+                   "https://h.example/x?p=/tmp/",
+                   "https://h.example/a&ref=b?id=1"]
+
+
 def test_multiple_leading_tracking_params():
     got = normalize_url_array(pa.array([
         "https://h.example/p?utm_a=1&utm_b=2&id=3",
