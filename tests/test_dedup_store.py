@@ -62,10 +62,45 @@ def test_store_append_workflow(ray_session, store_dir):
     assert len(again) == 0
 
 
-def test_bucket_cache_is_bounded(store_dir):
+def test_bucket_cache_byte_bounded_lru(store_dir, monkeypatch):
+    """The cache is BYTE-bounded (VERDICT r04: the old 8-entry cap
+    thrashed against 64 buckets): many small buckets coexist; once the
+    byte budget is hit, the LEAST-recently-used entry goes first."""
     from cartwright_ray.stages import dedup_store as m
 
     m._BUCKET_CACHE.clear()
-    for b in range(m._BUCKET_CACHE_CAP + 5):
-        m._load_bucket_pairs(store_dir, b)   # all empty buckets
-    assert len(m._BUCKET_CACHE) <= m._BUCKET_CACHE_CAP
+    # many empty buckets -> zero bytes -> nothing evicted (no thrash)
+    for b in range(200):
+        m._load_bucket_pairs(store_dir, b)
+    assert len(m._BUCKET_CACHE) == 200
+    m._BUCKET_CACHE.clear()
+    # force evictions: 16-byte entries against a 64-byte budget
+    monkeypatch.setattr(m, "_BUCKET_CACHE_MAX_BYTES", 64)
+    monkeypatch.setattr(m, "_BUCKET_CACHE_MIN_ENTRIES", 2)
+    for b in range(10):
+        m._BUCKET_CACHE[(store_dir, b, 0)] = np.zeros(1, dtype="S16")
+    m._BUCKET_CACHE[(store_dir, 0, 0)]        # plain read ≠ LRU touch
+    pairs = m._load_bucket_pairs(store_dir, 3, 0)   # hit: touches 3
+    assert pairs.nbytes == 16
+    m._load_bucket_pairs(store_dir, 99, 0)    # miss: insert + evict
+    held = sum(v.nbytes for v in m._BUCKET_CACHE.values())
+    assert held <= 64
+    # bucket 3 was touched, so it survived the eviction sweep
+    assert (store_dir, 3, 0) in m._BUCKET_CACHE
+    assert (store_dir, 99, 0) in m._BUCKET_CACHE
+    m._BUCKET_CACHE.clear()
+
+
+def test_bucket_cache_drops_stale_generations(store_dir):
+    """Probing a bucket at generation g evicts the same bucket's entries
+    at every other generation — they can never be asked for again."""
+    from cartwright_ray.stages import dedup_store as m
+
+    m._BUCKET_CACHE.clear()
+    m._BUCKET_CACHE[(store_dir, 7, 0)] = np.zeros(4, dtype="S16")
+    m._BUCKET_CACHE[(store_dir, 8, 0)] = np.zeros(4, dtype="S16")
+    m._load_bucket_pairs(store_dir, 7, generation=1)
+    assert (store_dir, 7, 0) not in m._BUCKET_CACHE
+    assert (store_dir, 8, 0) in m._BUCKET_CACHE      # other buckets kept
+    assert (store_dir, 7, 1) in m._BUCKET_CACHE
+    m._BUCKET_CACHE.clear()
