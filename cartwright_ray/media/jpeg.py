@@ -2,13 +2,15 @@
 real for the dominant web-image format (VERDICT r03 Next #9; the PNG
 codec, ``media/png.py``, proved the pattern).
 
-Public spec: ITU-T T.81 / ISO 10918-1 (baseline sequential DCT, Annex F)
-with the JFIF container (ITU-T T.871). Scope — the baseline profile that
-covers the overwhelming majority of web JPEGs:
+Public spec: ITU-T T.81 / ISO 10918-1 (baseline sequential DCT Annex F +
+progressive DCT Annex G) with the JFIF container (ITU-T T.871). Scope —
+the two profiles that together cover essentially all web JPEGs:
 
-* 8-bit baseline sequential (SOF0); progressive (SOF2) and the other
-  SOFn variants raise ``NotImplementedError`` cleanly so callers can
-  route to a richer codec off-container;
+* 8-bit baseline sequential (SOF0/SOF1) AND progressive (SOF2) with
+  full spectral selection + successive approximation (DC/AC first and
+  refinement scans, EOBn runs, restarts); hierarchical/lossless/
+  arithmetic SOFn variants raise ``NotImplementedError`` cleanly so
+  callers can route to a richer codec off-container;
 * grayscale (1 component) and YCbCr (3 components) with sampling
   factors 1 or 2 per axis — 4:4:4, 4:2:2 and 4:2:0 all decode;
 * multiple DQT/DHT tables, restart markers (DRI/RSTn), APPn/COM skip;
@@ -323,15 +325,14 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
     return dc
 
 
-def jpeg_encode(arr: np.ndarray, quality: int = 90,
-                subsampling: str = "4:4:4",
-                restart_interval: int = 0) -> bytes:
-    """uint8 grayscale (h, w) or RGB (h, w, 3) -> baseline JFIF bytes.
-
-    RGB converts to YCbCr (T.871); ``subsampling`` is ``"4:4:4"``,
-    ``"4:2:2"`` (horizontal-only chroma downsample) or ``"4:2:0"``
-    (ignored for grayscale). ``restart_interval`` > 0 emits DRI + RSTn
-    markers every N MCUs (exercises the decoder's restart path)."""
+def _prepare_components(arr: np.ndarray, quality: int,
+                        subsampling: str) -> dict:
+    """Shared encoder front end (baseline AND progressive): color
+    convert, subsample, pad to the MCU grid, forward DCT, quantize to
+    zigzag-order int64 blocks. Both encoders emit the SAME quantized
+    coefficients — which is exactly why a progressive round-trip must
+    decode bit-identically to the baseline one (the conformance
+    oracle)."""
     arr = np.asarray(arr)
     if arr.dtype != np.uint8:
         raise ValueError("jpeg_encode expects uint8")
@@ -401,6 +402,29 @@ def jpeg_encode(arr: np.ndarray, quality: int = 90,
         comp_bxy.append((by, bx))
     mcus_x = (w + 8 * h_max - 1) // (8 * h_max)
     mcus_y = (h + 8 * v_max - 1) // (8 * v_max)
+    return {"gray": gray, "h": h, "w": w, "samp": samp, "qids": qids,
+            "qt_luma": qt_luma, "qt_chroma": qt_chroma,
+            "comp_blocks": comp_blocks, "comp_bxy": comp_bxy,
+            "h_max": h_max, "v_max": v_max,
+            "mcus_x": mcus_x, "mcus_y": mcus_y}
+
+
+def jpeg_encode(arr: np.ndarray, quality: int = 90,
+                subsampling: str = "4:4:4",
+                restart_interval: int = 0) -> bytes:
+    """uint8 grayscale (h, w) or RGB (h, w, 3) -> baseline JFIF bytes.
+
+    RGB converts to YCbCr (T.871); ``subsampling`` is ``"4:4:4"``,
+    ``"4:2:2"`` (horizontal-only chroma downsample) or ``"4:2:0"``
+    (ignored for grayscale). ``restart_interval`` > 0 emits DRI + RSTn
+    markers every N MCUs (exercises the decoder's restart path)."""
+    p = _prepare_components(arr, quality, subsampling)
+    gray, h, w = p["gray"], p["h"], p["w"]
+    samp, qids = p["samp"], p["qids"]
+    qt_luma, qt_chroma = p["qt_luma"], p["qt_chroma"]
+    comp_blocks, comp_bxy = p["comp_blocks"], p["comp_bxy"]
+    mcus_x, mcus_y = p["mcus_x"], p["mcus_y"]
+    planes = comp_blocks                      # per-component count only
 
     dc_luma_enc = _build_encode_table(*_HUFF_DC_LUMA)
     ac_luma_enc = _build_encode_table(*_HUFF_AC_LUMA)
@@ -479,13 +503,276 @@ _ZIGZAG_NAT2ZZ = np.argsort(_ZIGZAG)         # natural j -> zigzag position
 
 
 # ---------------------------------------------------------------------------
+# progressive encode (T.81 Annex G) — fabricates REAL SOF2 payloads so
+# the decoder's progressive paths are exercised end to end. The Annex K
+# AC tables lack the EOBn (n>=1) symbols progressive EOB runs need, so
+# progressive scans use a flat 8-bit AC table over all 176 symbols
+# ((run,size) x 160, EOB0..EOB14, ZRL): 176/256 < 1 satisfies Kraft and
+# the all-ones 8-bit code stays unused as T.81 requires.
+# ---------------------------------------------------------------------------
+
+_PROG_AC_SYMBOLS = sorted(
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(15)] + [0xF0])
+_HUFF_AC_PROG = ([0] * 7 + [176] + [0] * 8, _PROG_AC_SYMBOLS)
+
+# libjpeg's default scan scripts (jcparam.c): DC first at Al=1, spectral
+# AC bands at Al=2/1, then the successive-approximation refinements.
+_PROG_SCANS_GRAY = [
+    ([0], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0], 0, 0, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+_PROG_SCANS_COLOR = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2), ([2], 1, 63, 0, 1), ([1], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([2], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([0], 1, 63, 1, 0),
+]
+
+
+def _nb_dims(prep: dict, ci: int) -> tuple[int, int]:
+    """Non-interleaved block grid of component ``ci`` (must mirror the
+    decoder's ``_alloc_progressive`` exactly)."""
+    hi, vi = prep["samp"][ci]
+    nbx = (-(-prep["w"] * hi // prep["h_max"]) + 7) // 8
+    nby = (-(-prep["h"] * vi // prep["v_max"]) + 7) // 8
+    return nby, nbx
+
+
+def _emit_eobrun(bw: _BitWriter, ac_enc, st: dict) -> None:
+    if st["eobrun"] > 0:
+        nbits = st["eobrun"].bit_length() - 1
+        l, c = ac_enc[nbits << 4]
+        bw.write(c, l)
+        if nbits:
+            bw.write(st["eobrun"] - (1 << nbits), nbits)
+        st["eobrun"] = 0
+        for b in st["pending"]:
+            bw.write(b, 1)
+        st["pending"] = []
+
+
+def _emit_prog_restart(bw: _BitWriter, rst: int) -> None:
+    bw.pad_to_byte()
+    bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+
+
+def _encode_prog_dc(bw, prep, comp_idxs, ah, al, dc_encs,
+                    restart_interval) -> None:
+    blocks, bxy = prep["comp_blocks"], prep["comp_bxy"]
+    samp = prep["samp"]
+    preds = {ci: 0 for ci in comp_idxs}
+
+    def one(ci, idx):
+        dc = int(blocks[ci][idx][0])
+        if ah == 0:
+            v = dc >> al                      # DC point transform (G.1.2.1)
+            size, code = _magnitude(v - preds[ci])
+            preds[ci] = v
+            l, c_ = dc_encs[ci][size]
+            bw.write(c_, l)
+            if size:
+                bw.write(code, size)
+        else:                                 # refinement: raw bit
+            bw.write((dc >> al) & 1, 1)
+
+    n = rst = 0
+    if len(comp_idxs) > 1:                    # interleaved MCU order
+        for my in range(prep["mcus_y"]):
+            for mx in range(prep["mcus_x"]):
+                if restart_interval and n and n % restart_interval == 0:
+                    _emit_prog_restart(bw, rst)
+                    rst += 1
+                    for ci in comp_idxs:
+                        preds[ci] = 0
+                for ci in comp_idxs:
+                    hi, vi = samp[ci]
+                    bx = bxy[ci][1]
+                    for dy in range(vi):
+                        for dx in range(hi):
+                            one(ci, (my * vi + dy) * bx + mx * hi + dx)
+                n += 1
+    else:
+        ci = comp_idxs[0]
+        nby, nbx = _nb_dims(prep, ci)
+        bx = bxy[ci][1]
+        for row in range(nby):
+            for col in range(nbx):
+                if restart_interval and n and n % restart_interval == 0:
+                    _emit_prog_restart(bw, rst)
+                    rst += 1
+                    preds[ci] = 0
+                one(ci, row * bx + col)
+                n += 1
+
+
+def _encode_prog_ac(bw, prep, ci, ss, se, ah, al, ac_enc,
+                    restart_interval) -> None:
+    """One AC scan (first pass when ``ah == 0``, refinement otherwise) —
+    the encoder mirror of the decode algorithms in
+    ``_decode_progressive_scan`` (T.81 G.1.2.2 / G.1.2.3)."""
+    blocks = prep["comp_blocks"][ci]
+    bx = prep["comp_bxy"][ci][1]
+    nby, nbx = _nb_dims(prep, ci)
+    st = {"eobrun": 0, "pending": []}
+    n = rst = 0
+    for row in range(nby):
+        for col in range(nbx):
+            if restart_interval and n and n % restart_interval == 0:
+                _emit_eobrun(bw, ac_enc, st)
+                _emit_prog_restart(bw, rst)
+                rst += 1
+            n += 1
+            zz = blocks[row * bx + col]
+            if ah == 0:                       # first pass over the band
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    t = (v if v >= 0 else -v) >> al
+                    if t == 0:
+                        r += 1
+                        continue
+                    _emit_eobrun(bw, ac_enc, st)
+                    while r > 15:
+                        l, c_ = ac_enc[0xF0]
+                        bw.write(c_, l)
+                        r -= 16
+                    size, code = _magnitude(t if v >= 0 else -t)
+                    l, c_ = ac_enc[(r << 4) | size]
+                    bw.write(c_, l)
+                    bw.write(code, size)
+                    r = 0
+                if r > 0:
+                    st["eobrun"] += 1
+                    if st["eobrun"] == 0x7FFF:
+                        _emit_eobrun(bw, ac_enc, st)
+                continue
+            # refinement pass: absv 0 = zero history, 1 = newly
+            # visible at this precision, >=2 = history (gets a
+            # correction bit)
+            absv = [(int(zz[k]) if zz[k] >= 0 else -int(zz[k])) >> al
+                    for k in range(ss, se + 1)]
+            eob = -1                          # last newly-visible index
+            for k in range(ss, se + 1):
+                if absv[k - ss] == 1:
+                    eob = k
+            r = 0
+            br_bits: list = []
+            for k in range(ss, se + 1):
+                t = absv[k - ss]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    _emit_eobrun(bw, ac_enc, st)
+                    l, c_ = ac_enc[0xF0]
+                    bw.write(c_, l)
+                    r -= 16
+                    for b in br_bits:
+                        bw.write(b, 1)
+                    br_bits = []
+                if t > 1:                     # history: correction bit
+                    br_bits.append(t & 1)
+                    continue
+                _emit_eobrun(bw, ac_enc, st)
+                l, c_ = ac_enc[(r << 4) | 1]
+                bw.write(c_, l)
+                bw.write(1 if zz[k] >= 0 else 0, 1)
+                for b in br_bits:
+                    bw.write(b, 1)
+                br_bits = []
+                r = 0
+            if r > 0 or br_bits:
+                st["eobrun"] += 1
+                st["pending"] += br_bits
+                if st["eobrun"] == 0x7FFF:
+                    _emit_eobrun(bw, ac_enc, st)
+    _emit_eobrun(bw, ac_enc, st)
+
+
+def jpeg_encode_progressive(arr: np.ndarray, quality: int = 90,
+                            subsampling: str = "4:4:4",
+                            restart_interval: int = 0,
+                            scans: list | None = None) -> bytes:
+    """uint8 grayscale (h, w) or RGB (h, w, 3) -> PROGRESSIVE (SOF2)
+    JFIF bytes. Same color/subsample/DCT/quantize front end as
+    :func:`jpeg_encode`, so the decoded image is bit-identical to the
+    baseline encoding at the same settings — the conformance oracle.
+
+    ``scans`` is a list of ``(comp_idxs, Ss, Se, Ah, Al)`` tuples (the
+    libjpeg default script when None): DC scans (Ss=0) may interleave
+    components; AC scans are single-component per T.81 G.1.1.1.1."""
+    p = _prepare_components(arr, quality, subsampling)
+    gray, h, w = p["gray"], p["h"], p["w"]
+    if scans is None:
+        scans = _PROG_SCANS_GRAY if gray else _PROG_SCANS_COLOR
+
+    dc_luma_enc = _build_encode_table(*_HUFF_DC_LUMA)
+    dc_chroma_enc = _build_encode_table(*_HUFF_DC_CHROMA)
+    dc_encs = [dc_luma_enc if q == 0 else dc_chroma_enc
+               for q in p["qids"]]
+    ac_prog_enc = _build_encode_table(*_HUFF_AC_PROG)
+
+    out = bytearray()
+    out += b"\xff\xd8"                                         # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" \
+        + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    dqt = bytes([0]) + bytes(p["qt_luma"][_ZIGZAG].tolist())
+    if not gray:
+        dqt += bytes([1]) + bytes(p["qt_chroma"][_ZIGZAG].tolist())
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    ncomp = len(p["comp_blocks"])
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        hi, vi = p["samp"][ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, p["qids"][ci]])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+
+    def _dht(cls, tid, bits, values):
+        return bytes([(cls << 4) | tid]) + bytes(bits) + bytes(values)
+    dht = _dht(0, 0, *_HUFF_DC_LUMA) + _dht(1, 0, *_HUFF_AC_PROG)
+    if not gray:
+        dht += _dht(0, 1, *_HUFF_DC_CHROMA)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    for comp_idxs, ss, se, ah, al in scans:
+        if ss > 0 and len(comp_idxs) != 1:
+            raise ValueError("progressive AC scans are single-component")
+        sos = bytes([len(comp_idxs)])
+        for ci in comp_idxs:
+            dc_tid = 0 if p["qids"][ci] == 0 else 1
+            sos += bytes([ci + 1, (dc_tid << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw = _BitWriter()
+        if ss == 0:
+            _encode_prog_dc(bw, p, comp_idxs, ah, al, dc_encs,
+                            restart_interval)
+        else:
+            _encode_prog_ac(bw, p, comp_idxs[0], ss, se, ah, al,
+                            ac_prog_enc, restart_interval)
+        bw.pad_to_byte()
+        out += bw.out
+    out += b"\xff\xd9"                                         # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> uint8 array: (h, w) for grayscale, (h, w, 3)
-    RGB for YCbCr. Raises ``NotImplementedError`` for progressive /
-    extended SOFn, ``ValueError`` for malformed streams."""
+    """Baseline (SOF0/1) or progressive (SOF2) JFIF bytes -> uint8
+    array: (h, w) for grayscale, (h, w, 3) RGB for YCbCr. Raises
+    ``NotImplementedError`` for hierarchical / lossless / arithmetic
+    SOFn, ``ValueError`` for malformed streams."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -499,6 +786,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:                    # EOI
+            if frame is not None and "h_max" in frame:
+                # progressive: every scan has accumulated into the
+                # coefficient planes — reconstruct once, at the end
+                return _reconstruct(frame, qtables)
             raise ValueError("invalid JPEG: no scan data")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue                          # standalone
@@ -531,7 +822,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 i += 17 + n
         elif marker == 0xDD:                  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):    # baseline / ext seq / prog
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -542,12 +833,14 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"h": fh, "w": fw, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"SOF{marker - 0xC0}: only baseline sequential (SOF0) "
-                "is supported by the pure-stdlib codec")
+                f"SOF{marker - 0xC0}: only baseline sequential (SOF0/1) "
+                "and progressive (SOF2) are supported by the pure-stdlib "
+                "codec")
         elif marker == 0xDA:                  # SOS — scan follows
             if frame is None:
                 raise ValueError("invalid JPEG: SOS before SOF")
@@ -557,8 +850,19 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 cs, tabs = body[1 + 2 * si], body[2 + 2 * si]
                 scan_tabs[cs] = (tabs >> 4, tabs & 0x0F)
             pos += seglen
-            return _decode_scan(data, pos, frame, scan_tabs, qtables,
-                                htables, restart_interval)
+            if not frame["progressive"]:
+                return _decode_scan(data, pos, frame, scan_tabs, qtables,
+                                    htables, restart_interval)
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ah = body[3 + 2 * ns] >> 4
+            al = body[3 + 2 * ns] & 0x0F
+            if "h_max" not in frame:          # first scan: allocate
+                _alloc_progressive(frame)
+            pos = _decode_progressive_scan(
+                data, pos, frame, scan_tabs, ss, se, ah, al, htables,
+                restart_interval)
+            continue
         # APPn / COM / anything else: skip
         pos += seglen
 
@@ -622,7 +926,17 @@ def _decode_scan(data, pos, frame, scan_tabs, qtables, htables,
                         c["coefs"][r_idx * c["bx"] + c_idx] = zz
             mcu_count += 1
 
-    # everything after entropy decode is batched numpy per component
+    return _reconstruct({"h": h, "w": w, "comps": comps}, qtables)
+
+
+def _reconstruct(frame, qtables) -> np.ndarray:
+    """Shared post-entropy reconstruction: dequantize, inverse zigzag,
+    IDCT, upsample, color convert — batched numpy per component. Serves
+    both the baseline scan and the progressive multi-scan accumulator."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    h_max = max(c["h"] for c in comps)
+    v_max = max(c["v"] for c in comps)
     planes = []
     for c in comps:
         qt = qtables[c["tq"]]
@@ -654,3 +968,183 @@ def _decode_scan(data, pos, frame, scan_tabs, qtables, htables,
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive decode (T.81 Annex G: spectral selection + successive
+# approximation). Coefficients accumulate across scans in zigzag order;
+# _reconstruct runs once at EOI.
+# ---------------------------------------------------------------------------
+
+def _alloc_progressive(frame) -> None:
+    comps = frame["comps"]
+    if len(comps) == 1:
+        # T.81 A.2.2: single-component frames scan non-interleaved;
+        # declared sampling factors do not shape the data (same rule the
+        # baseline path applies)
+        comps[0]["h"] = comps[0]["v"] = 1
+    h_max = max(c["h"] for c in comps)
+    v_max = max(c["v"] for c in comps)
+    frame["h_max"], frame["v_max"] = h_max, v_max
+    frame["mcus_x"] = (frame["w"] + 8 * h_max - 1) // (8 * h_max)
+    frame["mcus_y"] = (frame["h"] + 8 * v_max - 1) // (8 * v_max)
+    for c in comps:
+        c["bx"] = frame["mcus_x"] * c["h"]
+        c["by"] = frame["mcus_y"] * c["v"]
+        c["coefs"] = np.zeros((c["by"] * c["bx"], 64), dtype=np.int64)
+        c["pred"] = 0
+        # non-interleaved (single-component scan) block grid: covers the
+        # COMPONENT's own dimensions, not the interleaved MCU padding
+        # (T.81 A.2.2) — ceil(ceil(dim * sampling / max) / 8)
+        c["nbx"] = (-(-frame["w"] * c["h"] // h_max) + 7) // 8
+        c["nby"] = (-(-frame["h"] * c["v"] // v_max) + 7) // 8
+
+
+def _resume_pos(br: "_BitReader") -> int:
+    """Byte position of the marker that terminated a progressive scan's
+    entropy data (the outer segment loop resumes there)."""
+    if br.marker is not None:
+        return br.pos - 2
+    d, p = br.data, br.pos
+    while d[p] != 0xFF or d[p + 1] == 0x00:
+        p += 1                                # pad bits / stuffing tail
+    return p
+
+
+def _refine_nonzero(br, zz, k, se, p1, m1, stop_run: int | None):
+    """G.1.2.3 correction-bit walk: advance from ``k`` reading one
+    correction bit per NONZERO-history coefficient; zero-history
+    positions count down ``stop_run`` (the run length before a new
+    coefficient / ZRL span) — returns the stop index (or se+1)."""
+    while k <= se:
+        if zz[k]:
+            if br.read(1) and not (zz[k] & p1):
+                zz[k] += p1 if zz[k] >= 0 else m1
+        else:
+            if stop_run is not None:
+                if stop_run == 0:
+                    return k
+                stop_run -= 1
+        k += 1
+    return k
+
+
+def _decode_progressive_scan(data, pos, frame, scan_tabs, ss, se, ah, al,
+                             htables, restart_interval) -> int:
+    comps = frame["comps"]
+    in_scan = [c for c in comps if c["id"] in scan_tabs]
+    br = _BitReader(data, pos)
+    p1, m1 = 1 << al, -1 << al
+    eobrun = 0
+
+    if ss == 0:                               # DC scan (first or refine)
+        if se != 0:
+            raise ValueError("invalid JPEG: DC scan with Se != 0")
+        if ah == 0:
+            for c in in_scan:
+                c["dc"] = htables[(0, scan_tabs[c["id"]][0])]
+                c["pred"] = 0
+
+        def dc_block(c, idx):
+            zz = c["coefs"][idx]
+            if ah == 0:
+                s = br.read_huff(c["dc"])
+                diff = _extend(br.read(s), s) if s else 0
+                c["pred"] += diff
+                zz[0] = c["pred"] << al
+            else:                             # refinement: one raw bit
+                zz[0] |= br.read(1) << al
+
+        if len(in_scan) > 1:                  # interleaved over MCUs
+            n = 0
+            for my in range(frame["mcus_y"]):
+                for mx in range(frame["mcus_x"]):
+                    if restart_interval and n and \
+                            n % restart_interval == 0:
+                        br.sync_restart()
+                        for c in in_scan:
+                            c["pred"] = 0
+                    for c in in_scan:
+                        for dy in range(c["v"]):
+                            for dx in range(c["h"]):
+                                dc_block(c, (my * c["v"] + dy) * c["bx"]
+                                         + mx * c["h"] + dx)
+                    n += 1
+        else:
+            c = in_scan[0]
+            n = 0
+            for r in range(c["nby"]):
+                for col in range(c["nbx"]):
+                    if restart_interval and n and \
+                            n % restart_interval == 0:
+                        br.sync_restart()
+                        c["pred"] = 0
+                    dc_block(c, r * c["bx"] + col)
+                    n += 1
+        return _resume_pos(br)
+
+    # AC scan: single component, non-interleaved (T.81 G.1.1.1.1)
+    if len(in_scan) != 1:
+        raise ValueError("invalid JPEG: interleaved progressive AC scan")
+    c = in_scan[0]
+    ac = htables[(1, scan_tabs[c["id"]][1])]
+    n = 0
+    for row in range(c["nby"]):
+        for col in range(c["nbx"]):
+            if restart_interval and n and n % restart_interval == 0:
+                br.sync_restart()
+                eobrun = 0
+            n += 1
+            zz = c["coefs"][row * c["bx"] + col]
+            if ah == 0:                       # first pass over the band
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.read_huff(ac)
+                    r_, s_ = rs >> 4, rs & 0x0F
+                    if s_ == 0:
+                        if r_ == 15:          # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r_) - 1
+                        if r_:
+                            eobrun += br.read(r_)
+                        break
+                    k += r_
+                    if k > se:
+                        raise ValueError("invalid JPEG: AC overrun")
+                    zz[k] = _extend(br.read(s_), s_) << al
+                    k += 1
+                continue
+            # refinement pass (G.1.2.3 decode side)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = br.read_huff(ac)
+                    r_, s_ = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s_:
+                        if s_ != 1:
+                            raise ValueError(
+                                "invalid JPEG: refinement size != 1")
+                        val = p1 if br.read(1) else m1
+                    elif r_ != 15:            # EOBn: run covers this
+                        eobrun = 1 << r_      # block's tail too
+                        if r_:
+                            eobrun += br.read(r_)
+                        break
+                    # advance over r_ zero-history slots, correcting
+                    # nonzero-history ones along the way; the walk stops
+                    # AT the (r_+1)-th zero-history slot — the new
+                    # coefficient's home for s_=1, the 16th skipped slot
+                    # for ZRL (r_=15, s_=0; k+=1 below consumes it)
+                    k = _refine_nonzero(br, zz, k, se, p1, m1, r_)
+                    if s_ and k <= se:
+                        zz[k] = val
+                    k += 1
+            if eobrun > 0:
+                _refine_nonzero(br, zz, k, se, p1, m1, None)
+                eobrun -= 1
+    return _resume_pos(br)

@@ -101,12 +101,106 @@ def test_gray_with_22_sampling_factors_decodes():
     assert np.array_equal(dec, jpeg_decode(jpeg_encode(img, quality=90)))
 
 
-def test_progressive_rejected_cleanly():
+def test_lossless_rejected_cleanly():
     data = bytearray(jpeg_encode(_gradient(8, 8)))
     idx = bytes(data).find(b"\xff\xc0")
-    data[idx + 1] = 0xC2                      # SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    data[idx + 1] = 0xC3                      # SOF0 -> SOF3 (lossless)
+    with pytest.raises(NotImplementedError, match="SOF3"):
         jpeg_decode(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — the entropy layer is lossless, so a progressive
+# encoding of the same quantized coefficients must decode bit-identically
+# to the baseline encoding: the conformance oracle for Annex G
+# ---------------------------------------------------------------------------
+
+def _assert_prog_equals_baseline(px, quality=90, subsampling="4:4:4",
+                                 **kw):
+    from cartwright_ray.media.jpeg import jpeg_encode_progressive
+
+    base = jpeg_decode(jpeg_encode(px, quality, subsampling))
+    data = jpeg_encode_progressive(px, quality, subsampling, **kw)
+    assert data[3] == 0xE0 and b"\xff\xc2" in data      # really SOF2
+    assert np.array_equal(jpeg_decode(data), base)
+
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:2", "4:2:0"])
+def test_progressive_color_matches_baseline(subsampling):
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, (33, 31, 3), dtype=np.uint8)
+    _assert_prog_equals_baseline(px, subsampling=subsampling)
+
+
+def test_progressive_gray_and_single_block():
+    _assert_prog_equals_baseline(_gradient(8, 8))
+    _assert_prog_equals_baseline(_gradient(24, 17), quality=50)
+
+
+def test_progressive_long_eob_runs():
+    """Near-flat images drive EOBRUN far past 1 — the EOBn symbol and
+    cross-block correction-bit buffering paths on both sides."""
+    px = np.full((128, 96, 3), 130, np.uint8)
+    px[5, 7] = (135, 128, 140)
+    _assert_prog_equals_baseline(px, quality=85)
+    _assert_prog_equals_baseline(px[..., 0], quality=85)
+
+
+def test_progressive_restart_markers():
+    xx, yy = np.meshgrid(np.arange(48), np.arange(40))
+    px = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+    _assert_prog_equals_baseline(px, restart_interval=2)
+    px3 = np.stack([px, 255 - px, np.roll(px, 9, 1)], axis=2)
+    _assert_prog_equals_baseline(px3, subsampling="4:2:0",
+                                 restart_interval=3)
+
+
+def test_progressive_custom_scan_scripts():
+    """Spectral-selection-only, deep successive-approximation chains,
+    and split AC bands all reconstruct exactly."""
+    rng = np.random.default_rng(29)
+    px = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    spectral = [([0, 1, 2], 0, 0, 0, 0), ([0], 1, 63, 0, 0),
+                ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0)]
+    deep = [([0, 1, 2], 0, 0, 0, 3), ([0, 1, 2], 0, 0, 3, 2),
+            ([0, 1, 2], 0, 0, 2, 1), ([0, 1, 2], 0, 0, 1, 0),
+            ([0], 1, 63, 0, 3), ([0], 1, 63, 3, 2),
+            ([0], 1, 63, 2, 1), ([0], 1, 63, 1, 0),
+            ([1], 1, 63, 0, 2), ([1], 1, 63, 2, 1), ([1], 1, 63, 1, 0),
+            ([2], 1, 63, 0, 1), ([2], 1, 63, 1, 0)]
+    bands = [([0, 1, 2], 0, 0, 0, 1), ([0, 1, 2], 0, 0, 1, 0),
+             ([0], 1, 2, 0, 1), ([0], 3, 9, 0, 1), ([0], 10, 63, 0, 1),
+             ([0], 1, 63, 1, 0),
+             ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0)]
+    for scans in (spectral, deep, bands):
+        _assert_prog_equals_baseline(px, scans=scans)
+
+
+def test_progressive_media_stage_features_match_baseline(ray_session):
+    """The jpeg_progressive payload kind flows through the SAME actor
+    stage and must produce features identical to the baseline kind."""
+    import pyarrow as pa
+    import ray.data
+
+    from cartwright_ray.stages.media import (extract_media_features,
+                                             media_rows_from_corpus)
+
+    spans = pa.array([[{"kind": "media", "text": None,
+                        "media_ref": f"media://{d}/1"}] for d in (3, 8)])
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["3", "8"]), "spans": spans}))
+    feats = {}
+    for kind in ("jpeg", "jpeg_progressive"):
+        rows = media_rows_from_corpus(
+            ray.data.from_arrow(pa.table({
+                "doc_id": pa.array(["3", "8"]), "spans": spans})),
+            payload_kind=kind)
+        df = extract_media_features(rows, decoder="jpeg").to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        feats[kind] = df
+    for a, b in zip(feats["jpeg"]["feature"],
+                    feats["jpeg_progressive"]["feature"]):
+        assert list(a) == list(b)
 
 
 def test_non_jpeg_rejected():
