@@ -20,12 +20,13 @@ def test_city_recall_pinned():
     from scripts.city_recall import measure
 
     m = measure(n_sample=400, seed=42)
-    # round-4 measured values: exact_cover 0.327, per_value 0.3675,
-    # column-2of5 0.605 (pessimistic uniform-draw model; real columns
+    # round-5 measured values (after the cities_extended2 expansion to
+    # 14,135 names): exact_cover 0.451, per_value 0.515, column-2of5
+    # 0.831 at n=600 (pessimistic uniform-draw model; real columns
     # repeat prominent cities). Floors catch regressions; they are NOT
     # targets met by construction — the curated list must never shrink
-    # below them.
-    assert m["n_curated"] >= 9_400
-    assert m["exact_cover"] >= 0.32
-    assert m["per_value_recall"] >= 0.35
-    assert m["column_2of5_recall"] >= 0.58
+    # below them. Round-4 values for history: 0.327 / 0.3675 / 0.605.
+    assert m["n_curated"] >= 14_000
+    assert m["exact_cover"] >= 0.44
+    assert m["per_value_recall"] >= 0.48
+    assert m["column_2of5_recall"] >= 0.78
