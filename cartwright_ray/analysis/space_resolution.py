@@ -38,12 +38,32 @@ def preprocess_latlon(lat: np.ndarray, lon: np.ndarray,
     return latlon[0], latlon[1]
 
 
-def _axis_edges(key: np.ndarray, other: np.ndarray) -> np.ndarray:
-    """Adjacent diffs of ``other`` within groups of exactly-equal ``key``
-    (vectorized: lexsort then mask same-key adjacents)."""
-    order = np.lexsort((other, key))
-    k, o = key[order], other[order]
-    same = k[1:] == k[:-1]
+def _axis_edges(key: np.ndarray, other: np.ndarray,
+                tol: float = 1e-6) -> np.ndarray:
+    """Adjacent diffs of ``other`` within groups of ``key`` equal to within
+    ``tol`` (vectorized: lexsort then mask near-same-key adjacents).
+
+    ``tol`` mirrors the reference's axis-parallel edge tolerance — a
+    Delaunay edge counts as horizontal/vertical when the cross-axis delta
+    is < 1e-6 RADIANS (`space_resolution.py:69-71`), so a grid whose rows
+    are jittered by less than that is still detected by both engines.
+    Chained tolerance grouping cannot merge distinct grid lines unless the
+    grid spacing itself is < tol, where the reference's gate also breaks
+    down (every edge counts as both horizontal and vertical).
+
+    Implementation: cluster the sorted keys (new cluster where the
+    adjacent key gap is ≥ tol), then sort by (cluster, other) so the
+    within-cluster diffs of ``other`` are true neighbor deltas even when
+    the keys inside a cluster differ by sub-tol jitter."""
+    ks = np.sort(key)
+    boundaries = np.empty(key.size, dtype=bool)
+    boundaries[0] = True
+    boundaries[1:] = (ks[1:] - ks[:-1]) >= tol
+    starts = ks[boundaries]                       # cluster representatives
+    cluster = np.searchsorted(starts, key, side="right") - 1
+    order = np.lexsort((other, cluster))
+    c, o = cluster[order], other[order]
+    same = c[1:] == c[:-1]
     return (o[1:] - o[:-1])[same]
 
 
