@@ -1078,6 +1078,21 @@ def _q_rerank_ann(sf_dir):
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_retrieval_pipeline(sf_dir):
+    """The engine's THIRD cross-family composite (pipelines/retrieval.py):
+    chunk → synth-embed → sign-quantize → packed-Hamming shortlist →
+    exact float rerank → per-(query, document) cluster dedup, composed
+    as one streaming chain of the already-oracled stages. The oracle is
+    the identical rule chain in CTE form — chunk-window arithmetic, the
+    deterministic embedding mixer, per-dim sign-disagreement Hamming,
+    rounded-cosine rerank order, and the doc-cluster dedup are all
+    value-hashed end to end."""
+    from cartwright_ray.pipelines.retrieval import retrieval_pipeline
+    df = retrieval_pipeline(_docs(sf_dir), query_ids=(0, 1, 2)).to_pandas()
+    df = df[["query_id", "chunk_id", "doc_id", "score", "rank"]]
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _q_label_centroids(sf_dir):
     """Per-label mean embeddings (class prototypes) via fused per-block
     partial sums — the shuffle carries O(labels × dim) rows; same
@@ -1984,18 +1999,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage_docs": _q_vocab_coverage,
         "matryoshka_ann_topk": _q_matryoshka_ann,
         "rerank_ann_topk": _q_rerank_ann,
+        # round-5 composite #3 (never driver-verified — must sit in the
+        # window), plus the spatial-resolution pair whose axis kernel was
+        # REWRITTEN this round (tolerance-clustered grouping) — promoted
+        # back for driver re-verification per the r4 rotation discipline
+        "retrieval_pipeline": _q_retrieval_pipeline,
+        "spatial_resolution_grid": _q_spatial_resolution,
+        "spatial_resolution_table": _q_spatial_resolution_table,
         "label_centroids": _q_label_centroids,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "ivf_ann_pruned": _q_ivf_ann_pruned,
         # text / dedup / ANN
         "quality_filter_docs": _q_quality_filter,
-        "jsonl_roundtrip_docs": _q_jsonl_roundtrip,
         "incremental_dedup_docs": _q_incremental_dedup,
         "mixture_sample_docs": _q_mixture_sample,
         "source_quota_docs": _q_source_quota,
         "heavy_hitter_tokens": _q_heavy_hitters,
-        "training_prep_docs": _q_training_prep,
-        "zscore_events": _q_zscore,
         "exact_dedup_docs": _q_exact_dedup,
         "ann_topk": _q_ann,
         "hamming_ann_topk": _q_hamming_ann,
@@ -2021,7 +2040,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join_boxes": _q_pip_join_boxes,
         "admin_polygon_areas": _q_polygon_areas,
         "redacted_spans": _q_redacted_spans,
-        "media_frames": _q_media_frames,
         "media_resized": _q_media_resized,
         "media_features_jpeg": _q_media_jpeg,
         "media_features_jpeg_progressive": _q_media_jpeg_progressive,
@@ -2044,6 +2062,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # double-green r02+r03 entries, untouched in r4 — demoted to
         # make window slots for media_features_jpeg + the three
         # round-4 layout ops
+        # r4-green, untouched in r5 — demoted for the r5 promotions
+        # (retrieval_pipeline + the spatial-resolution pair)
+        "jsonl_roundtrip_docs": _q_jsonl_roundtrip,
+        "training_prep_docs": _q_training_prep,
+        "zscore_events": _q_zscore,
+        "media_frames": _q_media_frames,
         "box_join_pairs": _q_box_join,
         "compact_cells": _q_compact_cells,
         "extract_points": _q_extract_points,
@@ -2069,7 +2093,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": _q_minhash,
         "geohash_prefix_counts": _q_geohash_prefix_counts,
         "temporal_resolution_events": _q_temporal_resolution,
-        "spatial_resolution_grid": _q_spatial_resolution,
         "user_set_ops": rel.user_set_ops,
         "distinct_users_by_type": rel.distinct_users_by_type,
         "top_users_by_value": rel.top_users_by_value,
@@ -2095,7 +2118,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_by_type": rel.value_quantiles_by_type,
         "user_running_value": rel.user_running_value,
         "temporal_resolution_by_type": _q_temporal_resolution_by_type,
-        "spatial_resolution_table": _q_spatial_resolution_table,
         "classify_derived_columns": _q_classify_derived,
         "lineitem_shipdate_minmax": rel.lineitem_shipdate_minmax,
         "quality_scores": _q_quality,
@@ -3589,6 +3611,73 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(w[i * 24 + 1 : least(i * 24 + 32, n)],
                                    ' ') AS chunk_text
             FROM c ORDER BY doc_id, chunk_idx
+        """,
+        # the full retrieval composite replayed as one CTE chain:
+        # chunk windows → deterministic embedding mixer → per-dim
+        # sign-disagreement Hamming shortlist (top-40 by h, chunk_id) →
+        # rounded-cosine rerank (top-20) → best chunk per (query, doc)
+        # → final top-5 per query
+        "retrieval_pipeline": r"""
+            WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(
+                           text, '\s+'), x -> x <> '') AS w
+                       FROM documents),
+            d AS (SELECT doc_id, w, len(w) AS n,
+                      1 + (greatest(len(w) - 32, 0) + 23) // 24 AS k
+                  FROM w WHERE len(w) > 0),
+            c AS (SELECT doc_id, w, n,
+                      unnest(generate_series(0, k - 1)) AS i
+                  FROM d),
+            ch AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       CAST(i AS BIGINT) AS chunk_idx,
+                       CAST(least(32, n - i * 24) AS BIGINT) AS ntok,
+                       length(array_to_string(
+                           w[i * 24 + 1 : least(i * 24 + 32, n)],
+                           ' ')) AS tlen
+                   FROM c),
+            eb AS (SELECT doc_id * 1024 + chunk_idx AS chunk_id,
+                       (doc_id * 1000003 + chunk_idx * 7919 + ntok * 131
+                        + tlen * 31) % 100003 AS base
+                   FROM ch),
+            emb AS (SELECT chunk_id,
+                        [CAST((base * (j + 3) + j * j * 7919) % 2000
+                              AS DOUBLE) / 1000.0 - 1.0
+                         FOR j IN generate_series(0, 15)] AS v
+                    FROM eb),
+            qv AS (SELECT CAST(q AS BIGINT) AS query_id,
+                       [CAST((((q * 40503 + 7) % 100003) * (j + 3)
+                              + j * j * 7919) % 2000 AS DOUBLE)
+                        / 1000.0 - 1.0
+                        FOR j IN generate_series(0, 15)] AS qv
+                   FROM range(3) t(q)),
+            ham AS (SELECT qv.query_id, emb.chunk_id,
+                        len(list_filter(list_zip(qv.qv, emb.v),
+                            x -> (x[1] >= 0) <> (x[2] >= 0))) AS h
+                    FROM qv CROSS JOIN emb),
+            sl AS (SELECT query_id, chunk_id FROM (
+                       SELECT query_id, chunk_id,
+                              row_number() OVER (PARTITION BY query_id
+                                  ORDER BY h, chunk_id) AS rn
+                       FROM ham) WHERE rn <= 40),
+            rr AS (SELECT sl.query_id, sl.chunk_id,
+                       round(list_cosine_similarity(emb.v, qv.qv), 6)
+                           AS score
+                   FROM sl JOIN emb USING (chunk_id)
+                           JOIN qv USING (query_id)),
+            rk AS (SELECT query_id, chunk_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, chunk_id) - 1 AS r0
+                   FROM rr QUALIFY r0 < 20),
+            dd AS (SELECT query_id, chunk_id, score, r0,
+                       chunk_id // 1024 AS doc_id
+                   FROM rk
+                   QUALIFY row_number() OVER (
+                       PARTITION BY query_id, chunk_id // 1024
+                       ORDER BY r0) = 1)
+            SELECT query_id, chunk_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY r0) - 1 AS rank
+            FROM dd QUALIFY rank < 5
+            ORDER BY query_id, rank
         """,
         # the full prep chain in CTE form: each stage scoped to the
         # prior stage's survivors, every rule reused verbatim from the
