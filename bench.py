@@ -149,7 +149,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "quality_filter_docs", "jsonl_roundtrip_docs",
              "llm_corpus_prep", "chunk_docs_overlap", "winsorize_events",
              "normalize_text_docs", "vocab_coverage_docs",
-             "matryoshka_ann_topk", "rerank_ann_topk", "label_centroids"]
+             "matryoshka_ann_topk", "rerank_ann_topk", "label_centroids",
+             # round-5 additions
+             "media_features_jpeg_progressive", "retrieval_pipeline"]
     out = {}
     for name in picks:
         t0 = time.time()
