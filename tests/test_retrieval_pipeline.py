@@ -119,3 +119,22 @@ def test_chunk_idx_overflow_guard(ray_session):
     with pytest.raises(Exception, match="CHUNK_STRIDE"):
         retrieval_pipeline(_mkdocs(ray_session, {0: long_doc}),
                            query_ids=(0,)).to_pandas()
+
+
+def test_retrieval_many_queries_matches_brute_force(ray_session):
+    """64 queries over a multi-block corpus: stresses the finalize
+    sort's per-query block alignment that dedup_by_doc relies on (a
+    query split across blocks would produce duplicate docs / wrong
+    ranks)."""
+    rng = np.random.default_rng(7)
+    words = ["w%d" % i for i in range(30)]
+    docs = {i: " ".join(rng.choice(words, size=int(rng.integers(5, 120))))
+            for i in range(120)}
+    qids = tuple(range(64))
+    got = retrieval_pipeline(_mkdocs(ray_session, docs), query_ids=qids,
+                             shortlist=20, k=10, m=3).to_pandas()
+    got = got[["query_id", "chunk_id", "doc_id", "score", "rank"]] \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    want = _brute(docs, qids, shortlist=20, k=10, m=3) \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
