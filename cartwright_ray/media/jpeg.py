@@ -424,7 +424,7 @@ def jpeg_encode(arr: np.ndarray, quality: int = 90,
     qt_luma, qt_chroma = p["qt_luma"], p["qt_chroma"]
     comp_blocks, comp_bxy = p["comp_blocks"], p["comp_bxy"]
     mcus_x, mcus_y = p["mcus_x"], p["mcus_y"]
-    planes = comp_blocks                      # per-component count only
+    ncomp = len(comp_blocks)
 
     dc_luma_enc = _build_encode_table(*_HUFF_DC_LUMA)
     ac_luma_enc = _build_encode_table(*_HUFF_AC_LUMA)
@@ -432,7 +432,7 @@ def jpeg_encode(arr: np.ndarray, quality: int = 90,
     ac_chroma_enc = _build_encode_table(*_HUFF_AC_CHROMA)
 
     bw = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * ncomp
     mcu_count = 0
     rst = 0
     for my in range(mcus_y):
@@ -442,8 +442,8 @@ def jpeg_encode(arr: np.ndarray, quality: int = 90,
                 bw.pad_to_byte()
                 bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
                 rst += 1
-                preds = [0] * len(planes)
-            for ci in range(len(planes)):
+                preds = [0] * ncomp
+            for ci in range(ncomp):
                 hi, vi = samp[ci]
                 by, bx = comp_bxy[ci]
                 dc_tab = dc_luma_enc if qids[ci] == 0 else dc_chroma_enc
@@ -470,7 +470,6 @@ def jpeg_encode(arr: np.ndarray, quality: int = 90,
         dqt += bytes([1]) + bytes(qt_chroma[_ZIGZAG].tolist())
     out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
     # SOF0
-    ncomp = len(planes)
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
         hi, vi = samp[ci]
@@ -784,6 +783,13 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise ValueError("invalid JPEG: expected marker")
         marker = data[pos + 1]
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code; skip them (same handling as media._jfif_frame_end).
+        while marker == 0xFF:
+            pos += 1
+            if pos + 1 >= len(data):
+                raise ValueError("invalid JPEG: truncated at fill bytes")
+            marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:                    # EOI
             if frame is not None and "h_max" in frame:

@@ -40,7 +40,6 @@ from ..stages.ann import (_finalize_topk, _normalize, _vecs_from_arrow,
                           hamming_ann_search)
 from ..stages.chunking import chunk_tokens
 from ..stages.partition import key_segments
-from ..util import _pool
 
 #: chunk_id = doc_id * CHUNK_STRIDE + chunk_idx — recoverable on both
 #: sides (doc_id = chunk_id // CHUNK_STRIDE), bounded by the assert in
@@ -96,7 +95,7 @@ def embed_chunks(ds, dims: int = 16):
                           zero_copy_batch=True)
 
 
-def dedup_by_doc(topk, m: int, round_decimals: int | None = 6):
+def dedup_by_doc(topk, m: int):
     """Cluster-dedup of a ``_finalize_topk`` result whose ids are packed
     chunk_ids: per (query, document) keep only the best-ranked chunk
     (chunks of one document are near-duplicate retrieval hits), then
@@ -183,7 +182,10 @@ def retrieval_pipeline(docs, query_ids=(0, 1, 2), dims: int = 16,
                          "vec_id": pa.array(out_id, pa.int64()),
                          "score": pa.array(out_s, pa.float64())})
 
+    # rerank is a stateless task fn: an int caps concurrent tasks, None
+    # lets the streaming executor size it (tuple pools are actor-only)
     cands = emb.map_batches(rerank, batch_format="pyarrow",
+                            concurrency=concurrency,
                             zero_copy_batch=True)
     topk = _finalize_topk(cands, k, round_decimals)
     # batch_size=None: 1:1 block mapping so the finalize sort's
@@ -192,4 +194,4 @@ def retrieval_pipeline(docs, query_ids=(0, 1, 2), dims: int = 16,
         lambda t: t.rename_columns(
             ["query_id", "chunk_id", "score", "rank"]),
         batch_format="pyarrow", batch_size=None)
-    return dedup_by_doc(topk, m, round_decimals)
+    return dedup_by_doc(topk, m)

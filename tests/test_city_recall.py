@@ -19,17 +19,25 @@ def test_city_recall_pinned():
     sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
     from scripts.city_recall import measure
 
-    m = measure(n_sample=400, seed=42)
-    # round-5 measured values after the cities_extended4 expansion to
-    # 24,886 names (past the reference's 24,534): exact_cover 0.5525,
-    # per_value 0.625, column-2of5 0.9308 at the pinned n=400/seed=42
-    # (0.6338/0.9364 at n=800; the uniform-draw model is pessimistic —
-    # real columns repeat prominent cities). Floors catch regressions;
-    # they are NOT targets met by construction — the curated list must
-    # never shrink below them. History: r4 0.327/0.3675/0.605;
-    # r5-early (14,135) 0.451/0.515/0.831 at n=600; r5-mid (21,986)
-    # 0.518/0.5725/0.8901; r5-late (23,041) 0.524/0.585/0.9009.
+    # seed=555 is a FRESH seed, never used to guide curation. Round-5
+    # curation iterated against seed=42 samples (and a minority of
+    # sampled tail names were included directly — provenance in
+    # cities_extended3.py), so seed-42 readings are mildly inflated:
+    # at 24,886 names seed=42 reads per_value 0.625 while five fresh
+    # seeds (7/101/555/2024/9001, n=400 each) read 0.610/0.5875/0.560/
+    # 0.570/0.620 — pooled 0.5895 over 2000 draws, i.e. ~+1.4 binomial
+    # sd of inflation. The pinned measurement therefore uses a fresh
+    # seed, floored under the most conservative fresh reading
+    # (0.560 per-value / 0.8786 column-2of5 / exact_cover 0.5525,
+    # which is full-population, not sample-dependent).
+    m = measure(n_sample=400, seed=555)
+    # Floors catch regressions; they are NOT targets met by
+    # construction — the curated list must never shrink below them.
+    # History (seed=42 era): r4 0.327/0.3675/0.605; r5-early (14,135)
+    # 0.451/0.515/0.831 at n=600; r5-mid (21,986) 0.518/0.5725/0.8901;
+    # r5-late (23,041) 0.524/0.585/0.9009; r5-final (24,886)
+    # 0.5525/0.625/0.9308.
     assert m["n_curated"] >= 24_534  # reference-count parity
     assert m["exact_cover"] >= 0.54
-    assert m["per_value_recall"] >= 0.60
-    assert m["column_2of5_recall"] >= 0.91
+    assert m["per_value_recall"] >= 0.55
+    assert m["column_2of5_recall"] >= 0.87

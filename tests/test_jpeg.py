@@ -101,6 +101,23 @@ def test_gray_with_22_sampling_factors_decodes():
     assert np.array_equal(dec, jpeg_decode(jpeg_encode(img, quality=90)))
 
 
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    code. Byte stuffing guarantees FF DA / FF D9 never appear inside
+    entropy-coded data, so every occurrence is a real marker we can pad
+    in front of. Regression: the marker loop used to read the fill byte
+    as a marker code and die with IndexError."""
+    from cartwright_ray.media.jpeg import jpeg_encode_progressive
+
+    px = _gradient(24, 17)
+    for data in (jpeg_encode(px, quality=85),
+                 jpeg_encode_progressive(px, quality=85)):
+        want = jpeg_decode(data)
+        padded = data.replace(b"\xff\xda", b"\xff\xff\xda")  # every SOS
+        padded = padded[:-2] + b"\xff\xff" + padded[-2:]     # before EOI
+        assert np.array_equal(jpeg_decode(padded), want)
+
+
 def test_lossless_rejected_cleanly():
     data = bytearray(jpeg_encode(_gradient(8, 8)))
     idx = bytes(data).find(b"\xff\xc0")
