@@ -21,7 +21,13 @@ Reports:
                     PESSIMISTIC model: real columns repeat prominent
                     cities, which the curated list covers much better.
 
-Usage: python scripts/city_recall.py [n_sample]
+Usage: python scripts/city_recall.py [n_sample] [seed]
+
+Seed discipline (round-5 contamination audit, FIXTURES.md): curation
+iterated against seed=42 samples, so seed-42 per-value readings are
+mildly inflated (~+1.4 binomial sd). Fresh seeds 7/101/555/2024/9001
+were never used to guide curation; the pinned regression test measures
+at seed=555.
 """
 import random
 import sys
@@ -57,6 +63,7 @@ def measure(n_sample: int = 400, seed: int = 42):
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 400
-    m = measure(n)
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    m = measure(n, seed)
     for k, v in m.items():
         print(f"{k}: {v:.4f}" if isinstance(v, float) else f"{k}: {v}")
