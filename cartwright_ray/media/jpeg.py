@@ -243,8 +243,16 @@ class _BitReader:
             d, p = self.data, self.pos
             while d[p] != 0xFF or d[p + 1] == 0x00:
                 p += 1
+            while d[p + 1] == 0xFF:           # T.81 B.1.1.2 fill bytes
+                p += 1
             self.marker = d[p + 1]
             self.pos = p + 2
+        else:
+            # _fill may have latched a fill byte (FF FF RSTn): resolve
+            # to the real marker code that follows
+            while self.marker == 0xFF:
+                self.marker = self.data[self.pos]
+                self.pos += 1
         if not (0xD0 <= self.marker <= 0xD7):
             raise ValueError("invalid JPEG: expected restart marker")
         self.marker = None

@@ -118,6 +118,25 @@ def test_fill_bytes_before_markers_are_skipped():
         assert np.array_equal(jpeg_decode(padded), want)
 
 
+def test_fill_bytes_before_restart_markers_are_skipped():
+    """Fill bytes are also legal before RSTn markers INSIDE entropy
+    data (same T.81 clause); both sync_restart branches (marker latched
+    by _fill vs mid-byte forward scan) must resolve through them."""
+    from cartwright_ray.media.jpeg import jpeg_encode_progressive
+
+    xx, yy = np.meshgrid(np.arange(48), np.arange(40))
+    px = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+    for data in (jpeg_encode(px, quality=85, restart_interval=2),
+                 jpeg_encode_progressive(px, quality=85,
+                                         restart_interval=2)):
+        want = jpeg_decode(data)
+        padded = data
+        for n in range(8):                    # pad every RSTn id
+            padded = padded.replace(bytes([0xFF, 0xD0 + n]),
+                                    bytes([0xFF, 0xFF, 0xD0 + n]))
+        assert np.array_equal(jpeg_decode(padded), want)
+
+
 def test_lossless_rejected_cleanly():
     data = bytearray(jpeg_encode(_gradient(8, 8)))
     idx = bytes(data).find(b"\xff\xc0")
