@@ -183,6 +183,17 @@ def _q_exact_dedup(sf_dir):
     return df[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_line_dedup(sf_dir):
+    """Repeated-span (boilerplate) removal over the REAL corpus: any
+    8-token window whose text occurs in >= 3 distinct documents is cut
+    from every document carrying it (C4/Gopher line-dedup semantics over
+    fixed windows — the synthetic docs are single-line). The sf0.01
+    corpus carries 17 such windows naturally; nothing is planted."""
+    from cartwright_ray.stages.dedup import line_dedup
+    df = line_dedup(_docs(sf_dir), window=8, min_docs=3).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_training_prep(sf_dir):
     """Composed LLM-training-data prep over the real documents table:
     exact dedup (keep min doc_id per text) -> quality gate (>= 5 words,
@@ -2016,6 +2027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quota_docs": _q_source_quota,
         "heavy_hitter_tokens": _q_heavy_hitters,
         "exact_dedup_docs": _q_exact_dedup,
+        "line_dedup_docs": _q_line_dedup,
         "ann_topk": _q_ann,
         "hamming_ann_topk": _q_hamming_ann,
         "kmeans_centroids": _q_kmeans,
@@ -2634,6 +2646,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+            ORDER BY doc_id
+        """,
+        # boilerplate-window dedup: 8-token tiles, window text repeated
+        # in >= 3 distinct docs is cut everywhere; docs losing every
+        # window drop out. Tiles via generate_subscripts ordinals (the
+        # corpus is single-spaced, so string_split == the engine's \\s+
+        # split with empties filtered).
+        "line_dedup_docs": """
+            WITH w AS (
+              SELECT doc_id,
+                     CAST(floor((ord - 1) / 8) AS BIGINT) AS win_idx,
+                     string_agg(word, ' ' ORDER BY ord) AS win_text
+              FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS word,
+                       generate_subscripts(string_split(text, ' '), 1)
+                           AS ord
+                FROM documents
+              )
+              WHERE word <> ''
+              GROUP BY doc_id, floor((ord - 1) / 8)
+            ),
+            freq AS (
+              SELECT win_text FROM w GROUP BY win_text
+              HAVING count(DISTINCT doc_id) >= 3
+            ),
+            f AS (SELECT w.*, win_text IN (SELECT win_text FROM freq)
+                             AS boiler
+                  FROM w)
+            SELECT doc_id,
+                   string_agg(CASE WHEN NOT boiler THEN win_text END,
+                              ' ' ORDER BY win_idx) AS text_clean,
+                   count(*) FILTER (WHERE NOT boiler) AS n_kept,
+                   count(*) FILTER (WHERE boiler) AS n_removed
+            FROM f GROUP BY doc_id
+            HAVING count(*) FILTER (WHERE NOT boiler) > 0
             ORDER BY doc_id
         """,
         # semantic ground truth for the packed-bit engine path: hamming =

@@ -241,6 +241,198 @@ def _exact_dedup_shuffle(ds, col: str, id_col: str):
 
 
 # ---------------------------------------------------------------------------
+# line/window-level boilerplate dedup (C4 / Gopher-style repeated-span
+# removal: a fixed-width token window whose text recurs in >= min_docs
+# DISTINCT documents is corpus boilerplate — nav bars, license footers,
+# cookie banners — and is cut from every document that carries it)
+# ---------------------------------------------------------------------------
+
+def _token_windows(t: pa.Table, window: int, text_col: str):
+    """Non-overlapping ``window``-token tiling of each document, fully
+    vectorized (the stride==size special case of
+    ``stages/chunking.chunk_tokens``: windows partition the flattened
+    token array in order, so no gather is needed — the window ListArray
+    reuses the flat values with merged offsets).
+
+    → (parents int64[n_win], win_text pa.StringArray[n_win]); the last
+    window of a document may be shorter than ``window``; zero-token
+    documents emit no windows."""
+    col = t[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()          # parent indices must be global
+    toks = pc.split_pattern_regex(pc.cast(col, pa.string()), r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = np.asarray(pc.list_parent_indices(toks))
+    keep = np.asarray(pc.not_equal(flat, ""))
+    flat = flat.filter(pa.array(keep))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parents = parents[keep]
+    n_docs = len(t)
+    n = np.bincount(parents, minlength=n_docs)              # tokens/doc
+    k = -(-n // window)                                     # ceil, 0 stays 0
+    total = int(k.sum())
+    if total == 0:
+        return (np.empty(0, np.int64),
+                pa.array([], pa.string()))
+    win_doc = np.repeat(np.arange(n_docs), k)
+    win_idx = np.arange(total) \
+        - np.repeat(np.concatenate([[0], np.cumsum(k)])[:-1], k)
+    lens = np.minimum(window, n[win_doc] - win_idx * window)
+    # tiling ⇒ window boundaries are exactly the running token count:
+    # int64 offsets for the >2^31-token block case (ADVICE r04 class)
+    offsets = pa.array(np.concatenate([[0], np.cumsum(lens)]), pa.int64())
+    win_text = pc.binary_join(
+        pa.LargeListArray.from_arrays(offsets, flat), " ")
+    if isinstance(win_text, pa.ChunkedArray):
+        win_text = win_text.combine_chunks()
+    return win_doc, win_text
+
+
+def _window_hash128(win_text: pa.StringArray):
+    """128-bit content hash of window texts (same two-pass siphash +
+    NUL-escape scheme as ``_content_hash128``, over a bare array)."""
+    return _content_hash128(pa.table({"t": win_text}), "t")
+
+
+# heavy-hitter windows are O(corpus_windows / min_docs) in the worst
+# case but tiny in practice (boilerplate is by definition repeated);
+# the broadcast set above this bound means the corpus is degenerate
+# (one giant template) and the caller should raise min_docs
+_HEAVY_LIMIT = 2_000_000
+
+
+def line_dedup(ds, window: int = 8, min_docs: int = 3,
+               text_col: str = "text", id_col: str = "doc_id",
+               heavy_limit: int = _HEAVY_LIMIT):
+    """Repeated-span (boilerplate) removal — the line-level dedup pass of
+    web-corpus pipelines (C4's repeated three-sentence spans, Gopher's
+    duplicated-line filter), expressed over fixed ``window``-token tiles
+    because the synthetic corpus is single-line. Two streaming passes,
+    no corpus-sized shuffle:
+
+    1. **Count** (map → narrow sort): each batch tiles its documents,
+       hashes window texts, and emits per-batch PARTIAL distinct-doc
+       counts per window hash (every document is one row, so all its
+       windows sit in one batch and the per-batch per-doc distinct is
+       globally exact). Only ``(h1, h2, n)`` partials cross the
+       exchange; a range sort co-locates equal hashes and a whole-block
+       segment-sum keeps hashes with ``n >= min_docs``.
+    2. **Rebuild** (pure map): the heavy set — bounded by
+       ``heavy_limit`` — is broadcast once via ``ray.put``; each batch
+       re-tiles its documents, drops boilerplate windows by hash
+       membership, and re-joins the survivors per document in one
+       ``pc.binary_join``. Documents whose every window was boilerplate
+       are dropped (C4 semantics).
+
+    → (id_col, text_clean, n_kept, n_removed), one row per surviving
+    document. 128-bit hash equality stands in for text equality, the
+    same accepted collision bound as ``exact_dedup``.
+    """
+    import ray
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        parents, win_text = _token_windows(t, window, text_col)
+        h1, h2 = _window_hash128(win_text)
+        h1 = h1.view(np.int64); h2 = h2.view(np.int64)
+        if len(parents) == 0:
+            return pa.table({"h1": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        # distinct (doc, window) — a window repeated WITHIN a doc counts
+        # once toward its document frequency
+        order = np.lexsort((h2, h1, parents))
+        p, a, b = parents[order], h1[order], h2[order]
+        first = np.r_[True, (p[1:] != p[:-1]) | (a[1:] != a[:-1])
+                      | (b[1:] != b[:-1])]
+        a, b = a[first], b[first]
+        # partial combiner: docs-per-window within this batch
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        starts = np.flatnonzero(
+            np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        counts = np.diff(np.r_[starts, len(a)])
+        return pa.table({"h1": pa.array(a[starts]),
+                         "h2": pa.array(b[starts]),
+                         "n": pa.array(counts, pa.int64())})
+
+    def heavy_block(t: pa.Table) -> pa.Table:
+        # whole-block segment-sum over the (h1, h2)-sorted exchange —
+        # the range sort co-locates equal keys (same contract
+        # ``_exact_dedup_shuffle.keep_min_block`` relies on)
+        if t.num_rows == 0:
+            return t
+        a = np.asarray(t["h1"]); b = np.asarray(t["h2"])
+        n = np.asarray(t["n"])
+        starts = np.flatnonzero(
+            np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        sums = np.add.reduceat(n, starts)
+        m = sums >= min_docs
+        return pa.table({"h1": pa.array(a[starts][m]),
+                         "h2": pa.array(b[starts][m]),
+                         "n": pa.array(sums[m], pa.int64())})
+
+    heavy = (ds.map_batches(count_partials, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .sort(["h1", "h2"])
+               .map_batches(heavy_block, batch_format="pyarrow",
+                            batch_size=None)
+               .take_all())
+    if len(heavy) > heavy_limit:
+        raise ValueError(
+            f"{len(heavy)} boilerplate windows exceed heavy_limit="
+            f"{heavy_limit}; raise min_docs or the limit")
+    hv1 = np.array([r["h1"] for r in heavy], np.int64)
+    hv2 = np.array([r["h2"] for r in heavy], np.int64)
+    order = np.lexsort((hv2, hv1))
+    hv1, hv2 = hv1[order], hv2[order]
+    heavy_ref = ray.put((hv1, hv2))
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        H1, H2 = ray.get(heavy_ref)
+        parents, win_text = _token_windows(t, window, text_col)
+        out_schema = pa.schema([
+            t.schema.field(id_col), pa.field("text_clean", pa.string()),
+            pa.field("n_kept", pa.int64()),
+            pa.field("n_removed", pa.int64())])
+        if len(parents) == 0:
+            return out_schema.empty_table()
+        h1, h2 = _window_hash128(win_text)
+        h1 = h1.view(np.int64); h2 = h2.view(np.int64)
+        boiler = np.zeros(len(parents), bool)
+        if len(H1):
+            # two-level membership: vectorized h1 pre-filter, then an
+            # exact (h1, h2) check ONLY over the candidate windows —
+            # the loop is bounded by actual boilerplate hits (+ rare
+            # h1 collisions), i.e. the rows being removed anyway
+            cand = np.flatnonzero(np.isin(h1, H1))
+            for i in cand:
+                lo = np.searchsorted(H1, h1[i], "left")
+                hi = np.searchsorted(H1, h1[i], "right")
+                if h2[i] in H2[lo:hi]:
+                    boiler[i] = True
+        kept = ~boiler
+        n_docs = len(t)
+        kept_per_doc = np.bincount(parents[kept], minlength=n_docs)
+        total_per_doc = np.bincount(parents, minlength=n_docs)
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum(kept_per_doc)]), pa.int64())
+        text_clean = pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                offsets, win_text.filter(pa.array(kept))), " ")
+        out = pa.table({
+            id_col: t[id_col],
+            "text_clean": text_clean,
+            "n_kept": pa.array(kept_per_doc, pa.int64()),
+            "n_removed": pa.array(total_per_doc - kept_per_doc,
+                                  pa.int64())})
+        return out.filter(pa.array(kept_per_doc > 0))
+
+    return ds.map_batches(rebuild, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH near-dedup
 # ---------------------------------------------------------------------------
 
