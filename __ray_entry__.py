@@ -368,6 +368,23 @@ def _q_encoded_points(sf_dir):
     return df.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
 
 
+def _q_grid_dbscan(sf_dir):
+    """Cell-bucketed DBSCAN over the REAL extraction stage's points:
+    5-degree graticule cells, core = >= 2 points, clusters = 8-neighbor
+    connected components of core cells (min-cell-id labels), border
+    points adopt the smallest adjacent component, noise = -1. The
+    oracle replays the clustering with a recursive label-propagation
+    CTE over the same derived points."""
+    from cartwright_ray.pipelines.derived import derived_corpus_extracted
+    from cartwright_ray.stages.dbscan import grid_dbscan
+    df = grid_dbscan(derived_corpus_extracted(sf_dir), cell_deg=5.0,
+                     min_pts=2).to_pandas()
+    df = df[["doc_id", "span_idx", "lat", "lon", "cluster"]]
+    df["_d"] = df["doc_id"].astype("int64")
+    df = df.sort_values(["_d", "span_idx"]).drop(columns="_d")
+    return df.reset_index(drop=True)
+
+
 def _q_geohash_prefix_counts(sf_dir):
     """Geohash-prefix rollup (string-hierarchy analogue of tile_pyramid):
     point counts per 4-char geohash prefix over the real encode stage.
@@ -2047,6 +2064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spatial pipeline + the full spatial-join family (verified in
         # r03; the family representatives stay in-window)
         "encoded_points": _q_encoded_points,
+        "grid_dbscan_points": _q_grid_dbscan,
         "pip_join_counts": _q_pip_join_counts,
         "pip_join_counts_shuffle": _q_pip_join_counts_shuffle,
         "pip_join_boxes": _q_pip_join_boxes,
@@ -2948,6 +2966,38 @@ def oracle_sql() -> dict[str, str]:
                         + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1))
                         / pi()) / 2 * 4096) AS INT) AS tile_y
             FROM q ORDER BY doc_id, span_idx
+        """,
+        # grid DBSCAN: 5-deg cells, core >= 2 pts, components via a
+        # recursive reachability CTE over the 8-neighbor core adjacency
+        # (min reachable cell id = the engine's pointer-jump label);
+        # border points take the smallest adjacent component, noise -1
+        "grid_dbscan_points": f"""
+            WITH RECURSIVE {_DPTS_SQL},
+            cells AS (
+              SELECT doc_id, span_idx, lat, lon,
+                     CAST(floor((lon + 180.0) / 5.0) AS BIGINT) AS ix,
+                     CAST(floor((lat + 90.0) / 5.0) AS BIGINT) AS iy
+              FROM dpts),
+            core AS (
+              SELECT ix, iy, ix * 4294967296 + iy AS cell
+              FROM cells GROUP BY ix, iy HAVING count(*) >= 2),
+            adj AS (
+              SELECT a.cell AS u, b.cell AS v FROM core a JOIN core b
+              ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1),
+            r(u, v) AS (
+              SELECT cell, cell FROM core
+              UNION
+              SELECT r.u, a.v FROM r JOIN adj a ON a.u = r.v),
+            comp AS (SELECT u AS cell, min(v) AS label FROM r GROUP BY u),
+            core_lab AS (SELECT k.ix, k.iy, c.label
+                         FROM core k JOIN comp c ON c.cell = k.cell)
+            SELECT c.doc_id, c.span_idx, c.lat, c.lon,
+                   CAST(COALESCE(min(k.label), -1) AS BIGINT) AS cluster
+            FROM cells c
+            LEFT JOIN core_lab k
+              ON abs(c.ix - k.ix) <= 1 AND abs(c.iy - k.iy) <= 1
+            GROUP BY c.doc_id, c.span_idx, c.lat, c.lon
+            ORDER BY CAST(doc_id AS BIGINT), span_idx
         """,
         "geohash_prefix_counts": f"""
             WITH {_DPTS_SQL},
