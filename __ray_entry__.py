@@ -183,6 +183,17 @@ def _q_exact_dedup(sf_dir):
     return df[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_lm_score(sf_dir):
+    """CCNet-style corpus quality signal: fit a word-bigram LM over the
+    REAL corpus (two-pass: tagged partial counts -> narrow sort ->
+    broadcast model), then score each document's mean add-one-smoothed
+    transition log-probability. The oracle refits the same model with
+    ordinal self-join bigrams and replays the smoothing formula."""
+    from cartwright_ray.stages.lm import lm_score
+    df = lm_score(_docs(sf_dir)).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_line_dedup(sf_dir):
     """Repeated-span (boilerplate) removal over the REAL corpus: any
     8-token window whose text occurs in >= 3 distinct documents is cut
@@ -2045,6 +2056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": _q_heavy_hitters,
         "exact_dedup_docs": _q_exact_dedup,
         "line_dedup_docs": _q_line_dedup,
+        "lm_score_docs": _q_lm_score,
         "ann_topk": _q_ann,
         "hamming_ann_topk": _q_hamming_ann,
         "kmeans_centroids": _q_kmeans,
@@ -2665,6 +2677,42 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
             ORDER BY doc_id
+        """,
+        # corpus-fit bigram LM score: ordinal self-join bigrams,
+        # history counts exclude doc-final words, add-one smoothing
+        # over the distinct-word vocabulary; mean floored at 1e-6
+        "lm_score_docs": """
+            WITH w AS (
+              SELECT doc_id, word, ord FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                       generate_subscripts(string_split(text, ' '), 1)
+                           AS ord
+                FROM documents)
+              WHERE word <> ''
+            ),
+            big AS (
+              SELECT a.doc_id, a.word AS l, b.word AS r
+              FROM w a JOIN w b ON b.doc_id = a.doc_id
+                               AND b.ord = a.ord + 1
+            ),
+            vsize AS (SELECT count(DISTINCT word) AS V FROM w),
+            hist AS (SELECT l AS word, count(*) AS h FROM big GROUP BY l),
+            bc AS (SELECT l, r, count(*) AS c FROM big GROUP BY l, r),
+            scored AS (
+              SELECT g.doc_id,
+                     ln(bc.c + 1.0) - ln(hist.h + vsize.V) AS lp
+              FROM big g JOIN bc ON bc.l = g.l AND bc.r = g.r
+                         JOIN hist ON hist.word = g.l
+                         CROSS JOIN vsize
+            ),
+            agg AS (SELECT doc_id, count(*) AS nb, sum(lp) AS slp
+                    FROM scored GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.nb, 0) AS BIGINT) AS n_bigrams,
+                   COALESCE(floor(a.slp / a.nb * 1e6) / 1e6, 0.0)
+                       AS avg_logprob
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
         """,
         # boilerplate-window dedup: 8-token tiles, window text repeated
         # in >= 3 distinct docs is cut everywhere; docs losing every
