@@ -183,6 +183,20 @@ def _q_exact_dedup(sf_dir):
     return df[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_pps_sample(sf_dir):
+    """Sequential Poisson (PPS) sample: k=100 docs with priority
+    xi = u/n_chars, u from the integer-exact Lehmer hash — every
+    operation is IEEE-exactly-rounded, so the oracle's selection is
+    bit-identical (no transcendental libm divergence)."""
+    from cartwright_ray.stages.sampling import sequential_poisson_sample
+    import ray.data
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+    df = sequential_poisson_sample(ds, k=100,
+                                   weight_col="n_chars").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_lm_score(sf_dir):
     """CCNet-style corpus quality signal: fit a word-bigram LM over the
     REAL corpus (two-pass: tagged partial counts -> narrow sort ->
@@ -2057,6 +2071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _q_exact_dedup,
         "line_dedup_docs": _q_line_dedup,
         "lm_score_docs": _q_lm_score,
+        "pps_sample_docs": _q_pps_sample,
         "ann_topk": _q_ann,
         "hamming_ann_topk": _q_hamming_ann,
         "kmeans_centroids": _q_kmeans,
@@ -2676,6 +2691,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+            ORDER BY doc_id
+        """,
+        # sequential Poisson PPS sample: integer-exact Lehmer hash ->
+        # xi = u / weight via two correctly-rounded divisions; k
+        # smallest xi (ties by doc_id) — bit-identical across engines
+        "pps_sample_docs": """
+            SELECT doc_id, n_chars, xi FROM (
+              SELECT doc_id, n_chars,
+                     (((doc_id * 48271) % 2147483647 * 48271)
+                        % 2147483647 + 0.5) / 2147483647 / n_chars AS xi
+              FROM documents WHERE n_chars > 0
+              ORDER BY xi, doc_id LIMIT 100)
             ORDER BY doc_id
         """,
         # corpus-fit bigram LM score: ordinal self-join bigrams,

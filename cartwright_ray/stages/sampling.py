@@ -116,6 +116,56 @@ def stratified_topk_sample(ds, key_col: str, id_col: str, k: int,
                               batch_size=None)
 
 
+def sequential_poisson_sample(ds, k: int, weight_col: str,
+                              id_col: str = "doc_id"):
+    """Weighted (probability-proportional-to-size) sample of ``k`` rows
+    — sequential Poisson sampling (Ohlsson 1998, the PPS scheme used in
+    survey estimation): each row gets priority ``xi = u / w`` with
+    ``u = (lehmer_hash(id) + 0.5) / (2^31 - 1)`` and weight ``w``; the
+    ``k`` smallest priorities win, so heavier rows are
+    proportionally likelier to be picked, deterministically.
+
+    ``xi`` is built ONLY from IEEE-exact operations (integer hash, two
+    correctly-rounded divisions), so any engine computes bit-identical
+    priorities — the DuckDB oracle replays the selection exactly,
+    unlike log/exp-based Efraimidis–Sampling keys whose transcendental
+    libm calls differ across engines.
+
+    Scale shape (same as k-means seeding): each block keeps only its
+    local ``k`` smallest (``np.argpartition``), the driver merges the
+    ``k × num_blocks`` narrow partials and keeps the global ``k``.
+    Rows with non-positive weight are excluded (undefined priority).
+
+    → the selected input rows + ``xi``, sorted by ``id_col``.
+    """
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(t[id_col], pa.int64()))
+        w = np.asarray(pc.cast(t[weight_col], pa.float64()))
+        u = (lehmer_hash(ids) + 0.5) / _LEHMER_MOD
+        xi = u / w
+        ok = np.flatnonzero(w > 0)
+        if len(ok) > k:
+            ok = ok[np.argpartition(xi[ok], k)[:k]]
+        t = t.take(pa.array(ok, pa.int64()))
+        return t.append_column("xi", pa.array(xi[ok], pa.float64()))
+
+    import ray
+    import ray.data
+
+    refs = (ds.map_batches(block_topk, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .materialize().to_arrow_refs())   # ≤ k × num_blocks rows
+    parts = pa.concat_tables([t.combine_chunks()
+                              for t in ray.get(refs)])
+    xi = np.asarray(parts["xi"])
+    ids = np.asarray(pc.cast(parts[id_col], pa.int64()))
+    order = np.lexsort((ids, xi))[:k]           # global k smallest xi
+    win = parts.take(pa.array(
+        order[np.argsort(ids[order])], pa.int64()))
+    return ray.data.from_arrow(win)
+
+
 def top_tokens(ds, col: str = "text", k: int = 50,
                split_pattern: str = r"\s+"):
     """Corpus-wide heavy hitters: the ``k`` most frequent whitespace
