@@ -151,7 +151,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "normalize_text_docs", "vocab_coverage_docs",
              "matryoshka_ann_topk", "rerank_ann_topk", "label_centroids",
              # round-5 additions
-             "media_features_jpeg_progressive", "retrieval_pipeline"]
+             "media_features_jpeg_progressive", "retrieval_pipeline",
+             "line_dedup_docs", "grid_dbscan_points", "lm_score_docs",
+             "pps_sample_docs"]
     out = {}
     for name in picks:
         t0 = time.time()
