@@ -183,6 +183,52 @@ def _q_exact_dedup(sf_dir):
     return df[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_simplify_tracks(sf_dir):
+    """Douglas-Peucker simplification (eps = 2 planar degrees) of the
+    derived per-user movement tracks. The squared-form split test
+    (cross^2 > eps^2*len2, rational arithmetic) is bit-identical across
+    engines; the oracle replays the recursion as a recursive CTE that
+    splits each segment at its argmax-metric interior point."""
+    from cartwright_ray.pipelines.relational import derived_track_points
+    from cartwright_ray.stages.tracks import simplify_tracks
+    df = simplify_tracks(derived_track_points(sf_dir),
+                         eps=2.0).to_pandas()
+    return df.sort_values(["user_id", "seq"]).reset_index(drop=True)
+
+
+_IDW_QUERIES = [(1, 10.3, 20.7), (2, -45.1, 88.8), (3, 59.9, -149.0),
+                (4, 0.1, 0.2), (5, -80.0, 170.3)]
+
+
+def _q_idw(sf_dir):
+    """IDW (Shepard) interpolation of the REAL n_chars measurement over
+    the derived point cloud: k=8 nearest by squared-degree distance
+    (rational metric — neighbor selection is bit-identical across
+    engines), 1/d2 weights, exact-hit mean rule. The oracle replays the
+    selection with row_number() OVER (ORDER BY d2, doc_id)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cartwright_ray.joins.idw import idw_interpolate
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+
+    def pts(t: pa.Table) -> pa.Table:
+        did = np.asarray(t["doc_id"], np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lat": pa.array((did * 7919 % 170) - 85 + 0.5, pa.float64()),
+            "lon": pa.array((did * 104729 % 360) - 180 + 0.5,
+                            pa.float64()),
+            "value": pa.array(np.asarray(t["n_chars"], np.float64))})
+
+    tbl = idw_interpolate(ds.map_batches(pts, batch_format="pyarrow"),
+                          _IDW_QUERIES, k=8, id_cols=("doc_id",))
+    return tbl.to_pandas()
+
+
 def _q_pps_sample(sf_dir):
     """Sequential Poisson (PPS) sample: k=100 docs with priority
     xi = u/n_chars, u from the integer-exact Lehmer hash — every
@@ -2072,6 +2118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_docs": _q_line_dedup,
         "lm_score_docs": _q_lm_score,
         "pps_sample_docs": _q_pps_sample,
+        "idw_interpolate_grid": _q_idw,
+        "simplify_tracks_dp": _q_simplify_tracks,
         "ann_topk": _q_ann,
         "hamming_ann_topk": _q_hamming_ann,
         "kmeans_centroids": _q_kmeans,
@@ -2692,6 +2740,111 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
             ORDER BY doc_id
+        """,
+        # Douglas-Peucker as a recursive CTE: seg seeded with track
+        # endpoints; each step splits at the argmax interior point
+        # (squared-form rational test, ties to smallest seq); DISTINCT
+        # over UNION ALL because DuckDB treats a bare UNION inside a
+        # WITH RECURSIVE chain as recursive syntax (no dedup)
+        "simplify_tracks_dp": """
+            WITH RECURSIVE pts AS (
+              SELECT user_id, event_id, lat, lon,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         - 1 AS seq
+              FROM (
+                SELECT user_id, event_id, ts,
+                       CAST((user_id * 13 % 120) - 60.0
+                            + (event_id * 7 % 19) * 0.125
+                            + CASE WHEN event_id % 11 = 0 THEN 15.0
+                                   ELSE 0.0 END AS DOUBLE) AS lat,
+                       CAST((user_id * 29 % 300) - 150.0
+                            + (event_id * 3 % 23) * 0.125 AS DOUBLE) AS lon
+                FROM events)),
+            ends AS (SELECT user_id, min(seq) AS i, max(seq) AS j
+                     FROM pts GROUP BY user_id),
+            seg(user_id, i, j) AS (
+              SELECT user_id, i, j FROM ends
+              UNION ALL
+              SELECT t.user_id,
+                     CASE g.k WHEN 0 THEN t.i ELSE t.mseq END,
+                     CASE g.k WHEN 0 THEN t.mseq ELSE t.j END
+              FROM (
+                SELECT s.user_id, s.i, s.j, p.seq AS mseq,
+                       CASE WHEN (b.lat - a.lat) * (b.lat - a.lat)
+                                 + (b.lon - a.lon) * (b.lon - a.lon) = 0
+                            THEN (p.lat - a.lat) * (p.lat - a.lat)
+                                 + (p.lon - a.lon) * (p.lon - a.lon)
+                            ELSE ((b.lat - a.lat) * (p.lon - a.lon)
+                                  - (b.lon - a.lon) * (p.lat - a.lat))
+                                 * ((b.lat - a.lat) * (p.lon - a.lon)
+                                    - (b.lon - a.lon) * (p.lat - a.lat))
+                       END AS metric,
+                       CASE WHEN (b.lat - a.lat) * (b.lat - a.lat)
+                                 + (b.lon - a.lon) * (b.lon - a.lon) = 0
+                            THEN 4.0
+                            ELSE 4.0 * ((b.lat - a.lat) * (b.lat - a.lat)
+                                         + (b.lon - a.lon) * (b.lon - a.lon))
+                       END AS thresh,
+                       row_number() OVER (PARTITION BY s.user_id, s.i, s.j
+                          ORDER BY CASE WHEN (b.lat - a.lat) * (b.lat - a.lat)
+                                        + (b.lon - a.lon) * (b.lon - a.lon) = 0
+                               THEN (p.lat - a.lat) * (p.lat - a.lat)
+                                    + (p.lon - a.lon) * (p.lon - a.lon)
+                               ELSE ((b.lat - a.lat) * (p.lon - a.lon)
+                                     - (b.lon - a.lon) * (p.lat - a.lat))
+                                    * ((b.lat - a.lat) * (p.lon - a.lon)
+                                       - (b.lon - a.lon) * (p.lat - a.lat))
+                             END DESC, p.seq) AS rn
+                FROM seg s
+                JOIN pts a ON a.user_id = s.user_id AND a.seq = s.i
+                JOIN pts b ON b.user_id = s.user_id AND b.seq = s.j
+                JOIN pts p ON p.user_id = s.user_id AND p.seq > s.i AND p.seq < s.j
+              ) t
+              JOIN (VALUES (0), (1)) g(k) ON TRUE
+              WHERE t.rn = 1 AND t.metric > t.thresh),
+            kept AS (
+              SELECT DISTINCT user_id, seq FROM (
+                SELECT user_id, i AS seq FROM seg
+                UNION ALL
+                SELECT user_id, j AS seq FROM seg))
+            SELECT p.user_id, CAST(p.seq AS BIGINT) AS seq, p.event_id, p.lat, p.lon
+            FROM pts p JOIN kept k ON k.user_id = p.user_id AND k.seq = p.seq
+            ORDER BY p.user_id, p.seq
+        """,
+        # IDW interpolation: rational squared-degree metric makes the
+        # k-NN selection bit-identical; 1/d2 weights; coincident-point
+        # mean rule; result floored at 1e-6
+        "idw_interpolate_grid": """
+            WITH p AS (
+              SELECT doc_id,
+                     CAST((doc_id * 7919 % 170) - 85 + 0.5 AS DOUBLE)
+                         AS lat,
+                     CAST((doc_id * 104729 % 360) - 180 + 0.5 AS DOUBLE)
+                         AS lon,
+                     CAST(n_chars AS DOUBLE) AS value
+              FROM documents),
+            q(query_id, qlat, qlon) AS (VALUES
+              (1, 10.3, 20.7), (2, -45.1, 88.8), (3, 59.9, -149.0),
+              (4, 0.1, 0.2), (5, -80.0, 170.3)),
+            d AS (
+              SELECT q.query_id, p.doc_id, p.value,
+                     (p.lat - q.qlat) * (p.lat - q.qlat)
+                     + (p.lon - q.qlon) * (p.lon - q.qlon) AS d2
+              FROM q CROSS JOIN p),
+            r AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY d2, doc_id) AS rn
+              FROM d),
+            kk AS (SELECT * FROM r WHERE rn <= 8)
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(count(*) AS BIGINT) AS n_neighbors,
+                   CASE WHEN min(d2) = 0
+                        THEN floor(avg(value) FILTER (WHERE d2 = 0)
+                                   * 1e6) / 1e6
+                        ELSE floor(sum(value / d2) / sum(1.0 / d2)
+                                   * 1e6) / 1e6
+                   END AS idw_value
+            FROM kk GROUP BY query_id ORDER BY query_id
         """,
         # sequential Poisson PPS sample: integer-exact Lehmer hash ->
         # xi = u / weight via two correctly-rounded divisions; k

@@ -153,7 +153,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              # round-5 additions
              "media_features_jpeg_progressive", "retrieval_pipeline",
              "line_dedup_docs", "grid_dbscan_points", "lm_score_docs",
-             "pps_sample_docs"]
+             "pps_sample_docs", "idw_interpolate_grid",
+             "simplify_tracks_dp"]
     out = {}
     for name in picks:
         t0 = time.time()
