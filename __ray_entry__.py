@@ -183,6 +183,42 @@ def _q_exact_dedup(sf_dir):
     return df[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_image_dhash_dedup(sf_dir):
+    """Perceptual image dedup through the REAL PNG codec: decode ->
+    8x8 average pool -> 64-bit gradient-sign dHash -> identical-hash
+    pairs. Clones are PLANTED (doc_id+100000 carrying the same
+    media_ref, hence byte-identical payload); base images use the
+    full-entropy png_rich payload (the default seed-repeat payload is
+    vertically periodic and collapses any pooled hash), so distinct
+    images collide at ~2^-64 and the pair set is exactly the planted
+    pattern, which the oracle replays (checked collision-free for the
+    first 1000 media docs)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cartwright_ray.pipelines.derived import derived_corpus
+    from cartwright_ray.stages.imagehash import (image_dhash,
+                                                 image_dhash_dedup)
+    from cartwright_ray.stages.media import media_rows_from_corpus
+
+    media = media_rows_from_corpus(derived_corpus(sf_dir),
+                                   payload_kind="png_rich")
+
+    def clones(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.int64())
+        t = t.filter(pc.less(did, 125))
+        did = pc.cast(pc.add(pc.cast(t["doc_id"], pa.int64()), 100000),
+                      pa.string())
+        return t.set_column(t.schema.get_field_index("doc_id"),
+                            "doc_id", did)
+
+    planted = media.union(media.map_batches(clones,
+                                            batch_format="pyarrow"))
+    pairs = image_dhash_dedup(image_dhash(planted, decoder="png"))
+    df = pairs.to_pandas()[["dup_id", "kept_id"]]
+    return df.sort_values("dup_id").reset_index(drop=True)
+
+
 def _q_simplify_tracks(sf_dir):
     """Douglas-Peucker simplification (eps = 2 planar degrees) of the
     derived per-user movement tracks. The squared-form split test
@@ -454,6 +490,43 @@ def _q_grid_dbscan(sf_dir):
     df["_d"] = df["doc_id"].astype("int64")
     df = df.sort_values(["_d", "span_idx"]).drop(columns="_d")
     return df.reset_index(drop=True)
+
+
+def _q_dbscan_cluster_stats(sf_dir):
+    """Downstream composition over grid_dbscan: per-cluster point
+    count, bounding box and centroid (noise excluded). The derived
+    coordinates are dyadic rationals (multiples of 0.25), so the
+    centroid sums are exact and the floor(1e6) is boundary-safe."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import numpy as np
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from cartwright_ray.pipelines.derived import derived_corpus_extracted
+    from cartwright_ray.stages.dbscan import grid_dbscan
+
+    ds = grid_dbscan(derived_corpus_extracted(sf_dir), cell_deg=5.0,
+                     min_pts=2)
+    ds = ds.filter(expr="cluster >= 0")
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return t.select(["cluster", "lat", "lon"])
+
+    out = (ds.map_batches(narrow, batch_format="pyarrow")
+             .groupby("cluster")
+             .aggregate(Count(alias_name="n_points"),
+                        Min("lat", alias_name="lat_min"),
+                        Max("lat", alias_name="lat_max"),
+                        Min("lon", alias_name="lon_min"),
+                        Max("lon", alias_name="lon_max"),
+                        Sum("lat", alias_name="_slat"),
+                        Sum("lon", alias_name="_slon"))
+             .to_pandas())
+    out["lat_ctr"] = np.floor(out["_slat"] / out["n_points"] * 1e6) / 1e6
+    out["lon_ctr"] = np.floor(out["_slon"] / out["n_points"] * 1e6) / 1e6
+    out = out.drop(columns=["_slat", "_slon"])
+    return out.sort_values("cluster").reset_index(drop=True)
 
 
 def _q_geohash_prefix_counts(sf_dir):
@@ -2120,6 +2193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pps_sample_docs": _q_pps_sample,
         "idw_interpolate_grid": _q_idw,
         "simplify_tracks_dp": _q_simplify_tracks,
+        "image_dhash_dedup": _q_image_dhash_dedup,
         "ann_topk": _q_ann,
         "hamming_ann_topk": _q_hamming_ann,
         "kmeans_centroids": _q_kmeans,
@@ -2140,6 +2214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r03; the family representatives stay in-window)
         "encoded_points": _q_encoded_points,
         "grid_dbscan_points": _q_grid_dbscan,
+        "dbscan_cluster_stats": _q_dbscan_cluster_stats,
         "pip_join_counts": _q_pip_join_counts,
         "pip_join_counts_shuffle": _q_pip_join_counts_shuffle,
         "pip_join_boxes": _q_pip_join_boxes,
@@ -2741,6 +2816,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
             ORDER BY doc_id
         """,
+        # planted-clone pattern: the only identical-dHash pairs are
+        # the +100000 clones of the media-carrying docs (decode is
+        # exercised for real; distinct seeds collide at ~2^-64)
+        "image_dhash_dedup": """
+            SELECT doc_id + 100000 AS dup_id, doc_id AS kept_id
+            FROM documents
+            WHERE doc_id % 5 = 0 AND doc_id < 125
+            ORDER BY dup_id
+        """,
         # Douglas-Peucker as a recursive CTE: seg seeded with track
         # endpoints; each step splits at the argmax interior point
         # (squared-form rational test, ties to smallest seq); DISTINCT
@@ -3226,6 +3310,43 @@ def oracle_sql() -> dict[str, str]:
               ON abs(c.ix - k.ix) <= 1 AND abs(c.iy - k.iy) <= 1
             GROUP BY c.doc_id, c.span_idx, c.lat, c.lon
             ORDER BY CAST(doc_id AS BIGINT), span_idx
+        """,
+        # composition oracle: the grid_dbscan labeling CTE + a GROUP BY
+        # (centroid sums are exact — coords are dyadic rationals)
+        "dbscan_cluster_stats": f"""
+            WITH RECURSIVE {_DPTS_SQL},
+            cells AS (
+              SELECT doc_id, span_idx, lat, lon,
+                     CAST(floor((lon + 180.0) / 5.0) AS BIGINT) AS ix,
+                     CAST(floor((lat + 90.0) / 5.0) AS BIGINT) AS iy
+              FROM dpts),
+            core AS (
+              SELECT ix, iy, ix * 4294967296 + iy AS cell
+              FROM cells GROUP BY ix, iy HAVING count(*) >= 2),
+            adj AS (
+              SELECT a.cell AS u, b.cell AS v FROM core a JOIN core b
+              ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1),
+            r(u, v) AS (
+              SELECT cell, cell FROM core
+              UNION
+              SELECT r.u, a.v FROM r JOIN adj a ON a.u = r.v),
+            comp AS (SELECT u AS cell, min(v) AS label FROM r GROUP BY u),
+            core_lab AS (SELECT k.ix, k.iy, c.label
+                         FROM core k JOIN comp c ON c.cell = k.cell),
+            lab AS (
+              SELECT c.doc_id, c.span_idx, c.lat, c.lon,
+                     CAST(COALESCE(min(k.label), -1) AS BIGINT) AS cluster
+              FROM cells c
+              LEFT JOIN core_lab k
+                ON abs(c.ix - k.ix) <= 1 AND abs(c.iy - k.iy) <= 1
+              GROUP BY c.doc_id, c.span_idx, c.lat, c.lon)
+            SELECT cluster, CAST(count(*) AS BIGINT) AS n_points,
+                   min(lat) AS lat_min, max(lat) AS lat_max,
+                   min(lon) AS lon_min, max(lon) AS lon_max,
+                   floor(sum(lat) / count(*) * 1e6) / 1e6 AS lat_ctr,
+                   floor(sum(lon) / count(*) * 1e6) / 1e6 AS lon_ctr
+            FROM lab WHERE cluster >= 0
+            GROUP BY cluster ORDER BY cluster
         """,
         "geohash_prefix_counts": f"""
             WITH {_DPTS_SQL},

@@ -154,7 +154,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "media_features_jpeg_progressive", "retrieval_pipeline",
              "line_dedup_docs", "grid_dbscan_points", "lm_score_docs",
              "pps_sample_docs", "idw_interpolate_grid",
-             "simplify_tracks_dp"]
+             "simplify_tracks_dp", "image_dhash_dedup",
+             "dbscan_cluster_stats"]
     out = {}
     for name in picks:
         t0 = time.time()

@@ -82,6 +82,19 @@ def media_rows_from_corpus(corpus_ds, payload_kind: str = "hash"):
             return synth_mjpeg_payload(ref)
         if payload_kind == "gif":
             return synth_gif_payload(ref)
+        if payload_kind == "png_rich":
+            # FULL-entropy 16x16 pixels (four independent 64-byte
+            # digests): the default `(seed * 8)` payload repeats the
+            # 32-byte seed, making the image vertically periodic — any
+            # pooled perceptual hash of it collapses to ~8 bits and
+            # collides constantly. The perceptual-dedup query needs
+            # images that are distinct AS IMAGES.
+            raw = b"".join(
+                hashlib.blake2b(f"{ref}:px{i}".encode(),
+                                digest_size=64).digest()
+                for i in range(4))
+            px = np.frombuffer(raw, dtype=np.uint8).reshape(16, 16)
+            return png_encode(px, filter_type=sum(seed) % 5)
         px = np.frombuffer((seed * 8)[:256], dtype=np.uint8).reshape(16, 16)
         if payload_kind == "jpeg":
             return jpeg_encode(px, quality=90,
