@@ -177,10 +177,74 @@ def _quality_oracle_sql() -> str:
     """
 
 
+def _curriculum_pack_oracle_sql() -> str:
+    from cartwright_ray.stages.textstats import _STOPWORDS
+    stops = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS["en"]))
+    return rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(regexp_split_to_array(lower(text),
+                     '\s+'), x -> x <> '')) AS BIGINT) AS nt,
+                 CAST(len(list_filter(regexp_split_to_array(lower(text),
+                     '\s+'), x -> x IN ({{stops}}))) AS BIGINT) AS sh
+          FROM documents),
+        k AS (SELECT doc_id, nt,
+                     sh * 10 // greatest(nt, 1) AS bucket FROM t),
+        o AS (SELECT doc_id, bucket, nt,
+                     coalesce(sum(nt) OVER (ORDER BY bucket, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS st
+              FROM k)
+        SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+               nt AS n_tokens, CAST(st AS BIGINT) AS start_tok,
+               CAST(st // 512 AS BIGINT) AS bin_start,
+               CAST((st + greatest(nt, 1) - 1) // 512 AS BIGINT)
+                   AS bin_end
+        FROM o ORDER BY doc_id
+    """.replace("{stops}", stops)
+
+
 def _q_exact_dedup(sf_dir):
     from cartwright_ray.stages.dedup import exact_dedup
     df = exact_dedup(_docs(sf_dir)).to_pandas()
     return df[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_curriculum_pack(sf_dir):
+    """Cross-family composite #4 — curriculum packing: quality signal
+    (stopword-hit ratio, integer-exact bucket = sh*10 // max(nw,1)) ->
+    curriculum order (bucket asc, doc_id asc, via a packed synthetic
+    sort key; doc_id < 10^7 documented bound) -> GPT-style token-budget
+    packing over that order. Chains quality_score -> pack_token_budget
+    with no driver materialization; the oracle replays bucket + window
+    prefix-sum binning in one CTE chain."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cartwright_ray.stages.packing import pack_token_budget
+    from cartwright_ray.stages.textstats import quality_score
+
+    ds = quality_score(_docs(sf_dir))
+
+    def key(t: pa.Table) -> pa.Table:
+        nw = np.asarray(t["n_words"], np.int64)
+        sh = np.asarray(t["stop_hits"], np.int64)
+        bucket = (sh * 10) // np.maximum(nw, 1)
+        did = np.asarray(t["doc_id"], np.int64)
+        if did.size and did.max() >= 10_000_000:
+            raise ValueError("doc_id exceeds the packed-key bound")
+        return pa.table({
+            "curr_key": pa.array(bucket * 10_000_000 + did, pa.int64()),
+            "text": t["text"]})
+
+    keyed = ds.map_batches(key, batch_format="pyarrow")
+    df = pack_token_budget(keyed, budget=512,
+                           id_col="curr_key").to_pandas()
+    df["bucket"] = df["curr_key"] // 10_000_000
+    df["doc_id"] = df["curr_key"] % 10_000_000
+    df = df[["doc_id", "bucket", "n_tokens", "start_tok",
+             "bin_start", "bin_end"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_image_dhash_dedup(sf_dir):
@@ -2194,6 +2258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idw_interpolate_grid": _q_idw,
         "simplify_tracks_dp": _q_simplify_tracks,
         "image_dhash_dedup": _q_image_dhash_dedup,
+        "curriculum_pack_docs": _q_curriculum_pack,
         "ann_topk": _q_ann,
         "hamming_ann_topk": _q_hamming_ann,
         "kmeans_centroids": _q_kmeans,
@@ -2767,6 +2832,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY vec_id
         """,
         "quality_scores": _quality_oracle_sql(),
+        # composite #4: quality bucket (integer-exact) -> curriculum
+        # order -> window prefix-sum token packing, one CTE chain
+        "curriculum_pack_docs": _curriculum_pack_oracle_sql(),
         "training_prep_docs": r"""
             WITH winners AS (
                 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),

@@ -155,7 +155,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "line_dedup_docs", "grid_dbscan_points", "lm_score_docs",
              "pps_sample_docs", "idw_interpolate_grid",
              "simplify_tracks_dp", "image_dhash_dedup",
-             "dbscan_cluster_stats"]
+             "dbscan_cluster_stats", "curriculum_pack_docs"]
     out = {}
     for name in picks:
         t0 = time.time()
