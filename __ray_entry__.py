@@ -210,6 +210,18 @@ def _q_exact_dedup(sf_dir):
     return df[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_greedy_pack(sf_dir):
+    """Greedy first-fit packing (budget 512) in doc_id order — the
+    sequential-recurrence layout distributed as a finite-state
+    transfer-table scan (stages/packing.py:pack_greedy_bins). The
+    oracle replays it as a recursive CTE over BINS (not rows): each
+    step closes one bin at the largest prefix that still fits, so the
+    recursion depth is total_tokens/512, not the row count."""
+    from cartwright_ray.stages.packing import pack_greedy_bins
+    df = pack_greedy_bins(_docs(sf_dir), budget=512).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_curriculum_pack(sf_dir):
     """Cross-family composite #4 — curriculum packing: quality signal
     (stopword-hit ratio, integer-exact bucket = sh*10 // max(nw,1)) ->
@@ -2259,6 +2271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simplify_tracks_dp": _q_simplify_tracks,
         "image_dhash_dedup": _q_image_dhash_dedup,
         "curriculum_pack_docs": _q_curriculum_pack,
+        "greedy_pack_docs": _q_greedy_pack,
         "ann_topk": _q_ann,
         "hamming_ann_topk": _q_hamming_ann,
         "kmeans_centroids": _q_kmeans,
@@ -3971,6 +3984,46 @@ def oracle_sql() -> dict[str, str]:
                         // ((8 + (doc_id % 5) * 2) // 2) AS BIGINT)
                        AS n_zero_crossings
             FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id
+        """,
+        # greedy first-fit bins as a recursive CTE over BINS: runs(run,
+        # start_pos, base) — each step's next boundary is the largest
+        # position whose inclusive prefix still fits base+512, clamped
+        # to start+1 (oversized singleton); zero-size docs extend full
+        # bins (monotone prefix makes that automatic)
+        "greedy_pack_docs": r"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(regexp_split_to_array(
+                         lower(text), '\s+'), x -> x <> ''))
+                         AS BIGINT) AS nt,
+                     CAST(row_number() OVER (ORDER BY doc_id) - 1
+                         AS BIGINT) AS pos
+              FROM documents),
+            c AS (SELECT doc_id, nt, pos,
+                         sum(nt) OVER (ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS inc
+                  FROM t),
+            nrows AS (SELECT count(*) AS n FROM t),
+            runs(run_id, start_pos, base) AS (
+              SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                     CAST(0 AS BIGINT)
+              UNION ALL
+              SELECT run_id + 1, nxt,
+                     (SELECT CAST(inc AS BIGINT) FROM c
+                      WHERE pos = nxt - 1)
+              FROM (
+                SELECT r.run_id,
+                       greatest(coalesce((SELECT max(pos) FROM c
+                                          WHERE inc - r.base <= 512),
+                                         -1) + 1,
+                                r.start_pos + 1) AS nxt
+                FROM runs r
+                WHERE r.start_pos < (SELECT n FROM nrows))
+              WHERE nxt < (SELECT n FROM nrows))
+            SELECT c.doc_id, c.nt AS n_tokens,
+                   (SELECT max(run_id) FROM runs r
+                    WHERE r.start_pos <= c.pos) AS bin_id
+            FROM c ORDER BY c.doc_id
         """,
         "pack_token_budget_docs": r"""
             WITH t AS (SELECT doc_id,

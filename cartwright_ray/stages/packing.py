@@ -128,6 +128,182 @@ def pack_token_budget(ds, budget: int = 512, text_col: str = "text",
                            batch_size=None)
 
 
+# ---------------------------------------------------------------------------
+# greedy first-fit sequence packing — the SEQUENTIAL-recurrence variant
+# pack_token_budget's docstring rules out of the prefix-sum layout: the
+# bin resets whenever the next document would split, so every document's
+# bin depends on every earlier document.
+# ---------------------------------------------------------------------------
+
+_FRESH = -2          # entry/exit state: no open bin (or an empty one)
+
+
+def _greedy_geometry(nt: np.ndarray, budget: int):
+    """Shared per-block geometry: exclusive prefix + the run-jump table
+    ``jump[p] = end of the bin that starts fresh at doc p`` (largest
+    j with exc[j] - exc[p] <= budget, clamped to p+1 so an oversized
+    document forms a singleton bin)."""
+    n = len(nt)
+    exc = np.concatenate([[0], np.cumsum(nt, dtype=np.int64)])
+    j0 = np.maximum(
+        np.searchsorted(exc, exc[:n] + budget, side="right") - 1,
+        np.arange(n) + 1)
+    jump = np.append(j0, n).astype(np.int64)
+    return exc, jump
+
+
+def _greedy_chain(exc, jump, starts, budget):
+    """Vectorized run-chain walk by binary lifting: from each fresh
+    start position, (bins closed inside the block, exit state). The
+    final open run carries unless it is an oversized singleton, which
+    closes immediately (nothing can ever join it)."""
+    n = len(jump) - 1
+    starts = np.asarray(starts, np.int64)
+    closes = np.zeros(len(starts), np.int64)
+    exit_ = np.full(len(starts), _FRESH, np.int64)
+    if n == 0:
+        return closes, exit_
+    levels = [jump]
+    while (1 << len(levels)) <= n:
+        prev = levels[-1]
+        levels.append(prev[prev])
+    cur = starts.copy()
+    cnt = np.zeros(len(starts), np.int64)
+    for k in range(len(levels) - 1, -1, -1):
+        nxt = levels[k][cur]
+        ok = nxt < n
+        cur[ok] = nxt[ok]
+        cnt[ok] += np.int64(1) << k
+    live = starts < n
+    s_last = exc[n] - exc[cur]               # final run's token total
+    over = live & (s_last > budget)          # oversized singleton
+    closes[live] = cnt[live] + over[live]
+    exit_[live & ~over] = budget - s_last[live & ~over]
+    return closes, exit_
+
+
+def pack_greedy_bins(ds, budget: int = 512, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Greedy first-fit packing in ``id_col`` order: documents fill the
+    current bin while they fit (``used + n_tokens <= budget``); a
+    non-fitting document CLOSES the bin and opens the next; an
+    oversized document (> budget) takes a bin alone, which closes
+    immediately. Zero-token documents join the current bin. → one row
+    per document: (id, n_tokens, bin_id), bin ids dense from 0.
+
+    This recurrence is sequential over the whole corpus, but its state
+    is FINITE — the open bin's remaining capacity (0..budget) or
+    "fresh" — so it distributes as a function-composition scan:
+
+    1. sort + materialize the narrow (id, n_tokens) projection (the
+       same one exchange as pack_token_budget);
+    2. each block computes, fully vectorized (one searchsorted for all
+       entry states + a binary-lifting run-chain walk), its TRANSFER
+       TABLE: entry state → (bins closed inside the block, exit
+       state) — O((budget + block_rows) · log block_rows);
+    3. the driver folds the per-block tables in id order — O(blocks ·
+       budget) tiny ints — and broadcasts each block's (entry state,
+       first bin id); function composition is associative, so a tree
+       reduction drops in if block counts ever outgrow the driver;
+    4. a second whole-block pass labels documents: entry-bin docs take
+       the entry bin id, then a per-RUN walk (loop over bins, not
+       rows) numbers the rest.
+    """
+    import ray
+
+    mat = token_counts_narrow(ds, text_col, id_col).sort(id_col) \
+        .materialize()
+
+    def summary(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "__min": pa.array([], pa.int64()),
+            "__max": pa.array([], pa.int64()),
+            "fresh_closes": pa.array([], pa.int64()),
+            "fresh_exit": pa.array([], pa.int64()),
+            "closes": pa.array([], pa.list_(pa.int64())),
+            "exit": pa.array([], pa.list_(pa.int64()))})
+        if t.num_rows == 0:                  # sort can emit empty blocks
+            return empty
+        nt = np.asarray(t["n_tokens"], np.int64)
+        n = len(nt)
+        exc, jump = _greedy_geometry(nt, budget)
+        f_closes, f_exit = _greedy_chain(exc, jump, [0], budget)
+        # entry state r = remaining capacity of the carried-in open bin:
+        # docs 0..b1-1 join it (zero-size docs extend a full bin, same
+        # as the chain rule), then it closes and a fresh chain runs
+        r = np.arange(budget + 1, dtype=np.int64)
+        b1 = np.searchsorted(exc, r, side="right") - 1
+        closes = np.zeros(budget + 1, np.int64)
+        exit_ = np.empty(budget + 1, np.int64)
+        through = b1 >= n                    # whole block joins the bin
+        closes[through] = 0
+        exit_[through] = r[through] - exc[n]
+        rest = ~through
+        c2, e2 = _greedy_chain(exc, jump, b1[rest], budget)
+        closes[rest] = 1 + c2
+        exit_[rest] = e2
+        ids = t[id_col]
+        return pa.table({
+            "__min": [pc.min(ids).as_py()],
+            "__max": [pc.max(ids).as_py()],
+            "fresh_closes": pa.array([int(f_closes[0])], pa.int64()),
+            "fresh_exit": pa.array([int(f_exit[0])], pa.int64()),
+            "closes": pa.array([closes.tolist()], pa.list_(pa.int64())),
+            "exit": pa.array([exit_.tolist()], pa.list_(pa.int64()))})
+
+    parts = (mat.map_batches(summary, batch_format="pyarrow",
+                             batch_size=None)
+             .to_pandas())
+    parts = parts[parts["__min"].notna()].sort_values("__min")
+    entry: dict = {}
+    state, bin_idx = _FRESH, 0
+    for mn, mx, fc, fe, cl, ex in zip(
+            parts["__min"], parts["__max"], parts["fresh_closes"],
+            parts["fresh_exit"], parts["closes"], parts["exit"]):
+        entry[(mn, mx)] = (state, bin_idx)
+        if state == _FRESH:
+            bin_idx += int(fc)
+            state = int(fe)
+        else:
+            bin_idx += int(cl[state])
+            state = int(ex[state])
+    entry_ref = ray.put(entry)
+
+    def label(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([t.schema.field(id_col),
+                                pa.field("n_tokens", pa.int64()),
+                                pa.field("bin_id", pa.int64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ids = t[id_col]
+        e, base = ray.get(entry_ref)[(pc.min(ids).as_py(),
+                                      pc.max(ids).as_py())]
+        nt = np.asarray(t["n_tokens"], np.int64)
+        n = len(nt)
+        exc, jump = _greedy_geometry(nt, budget)
+        bins = np.empty(n, np.int64)
+        if e == _FRESH:
+            p, cur = 0, base
+        else:
+            b1 = int(np.searchsorted(exc, e, side="right") - 1)
+            bins[:b1] = base
+            if b1 >= n:
+                return pa.table({id_col: ids,
+                                 "n_tokens": pa.array(nt),
+                                 "bin_id": pa.array(bins)})
+            p, cur = b1, base + 1
+        while p < n:                         # loop over BINS, not rows
+            q = int(jump[p])
+            bins[p:q] = cur
+            cur += 1
+            p = q
+        return pa.table({id_col: ids, "n_tokens": pa.array(nt),
+                         "bin_id": pa.array(bins)})
+
+    return mat.map_batches(label, batch_format="pyarrow",
+                           batch_size=None)
+
+
 _SHUFFLE_MULT = 2654435761                  # Knuth multiplicative constant
 
 
