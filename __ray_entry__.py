@@ -222,6 +222,29 @@ def _q_greedy_pack(sf_dir):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_hll_distinct(sf_dir):
+    """Per-key HyperLogLog distinct-count with the INTEGER estimator
+    (stages/sketch.py:hll_distinct_by_key): double-Lehmer 31-bit hash,
+    max-rank registers merged through one narrow sort exchange, and a
+    fixed-point rational raw estimator + shared integer-floored
+    linear-counting table — every step SQL-replayable bit-exactly. One
+    scan feeds two sketches: distinct users per type lands in the
+    linear-counting branch (150 true << 2.5m), distinct event ids in
+    the raw branch (~2000 true >> 640)."""
+    import ray.data
+
+    from cartwright_ray.stages.sketch import hll_distinct_by_key
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id",
+                                        "event_id"])
+    users = hll_distinct_by_key(ds, "event_type", "user_id", p=8) \
+        .to_pandas().rename(columns={"est": "est_users"})
+    evs = hll_distinct_by_key(ds, "event_type", "event_id", p=8) \
+        .to_pandas().rename(columns={"est": "est_events"})
+    df = users.merge(evs, on="event_type")
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
 def _q_curriculum_pack(sf_dir):
     """Cross-family composite #4 — curriculum packing: quality signal
     (stopword-hit ratio, integer-exact bucket = sh*10 // max(nw,1)) ->
@@ -2272,6 +2295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash_dedup": _q_image_dhash_dedup,
         "curriculum_pack_docs": _q_curriculum_pack,
         "greedy_pack_docs": _q_greedy_pack,
+        "hll_distinct_by_type": _q_hll_distinct,
         "ann_topk": _q_ann,
         "hamming_ann_topk": _q_hamming_ann,
         "kmeans_centroids": _q_kmeans,
@@ -4510,4 +4534,44 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     out["pip_join_counts_shuffle"] = out["pip_join_counts"]
+
+    # hll_distinct_by_type: the SQL replays the INTEGER estimator of
+    # stages/sketch.py:hll_distinct_by_key step for step. The linear-
+    # counting table literal and the fixed-point constants are GENERATED
+    # from the same functions the engine uses, so the two sides cannot
+    # drift; bitlen(w) = length(bin(w)) (DuckDB bin() prints no leading
+    # zeros), rank rho = 24 - bitlen, w = 0 -> 24, at p = 8 / m = 256.
+    from cartwright_ray.stages.sketch import lc_floor_table
+    _m = 256
+    _lc = "[" + ", ".join(str(v) for v in lc_floor_table(_m)) + "]"
+    _raw_num = 7213 * _m * _m * _m * (1 << 24)
+    _sketch = """
+        h{S} AS (SELECT event_type,
+                        (({COL} + 1) * 48271 % 2147483647) * 48271
+                            % 2147483647 AS h
+                 FROM events),
+        r{S} AS (SELECT event_type, h % 256 AS bucket,
+                        max(CASE WHEN h // 256 = 0 THEN 24
+                                 ELSE 24 - length(bin(h // 256)) END)
+                            AS rho
+                 FROM h{S} GROUP BY 1, 2),
+        s{S} AS (SELECT event_type, 256 - count(*) AS v,
+                        {RAW} // (2570790 *
+                            (sum(1 << (24 - rho))
+                             + (256 - count(*)) * 16777216)) AS raw
+                 FROM r{S} GROUP BY 1),
+        e{S} AS (SELECT event_type,
+                        CAST(CASE WHEN v > 0 AND 2 * raw <= 1280
+                                  THEN ({LC})[CAST(v AS INT)]
+                                  ELSE raw END AS BIGINT) AS est_{S}
+                 FROM s{S})"""
+    out["hll_distinct_by_type"] = (
+        "WITH" + _sketch.format(S="users", COL="user_id",
+                                RAW=_raw_num, LC=_lc)
+        + "," + _sketch.format(S="events", COL="event_id",
+                               RAW=_raw_num, LC=_lc)
+        + """
+        SELECT eusers.event_type, est_users, est_events
+        FROM eusers JOIN eevents USING (event_type)
+        ORDER BY event_type""")
     return out

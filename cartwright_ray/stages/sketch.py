@@ -73,6 +73,115 @@ def hll_distinct(ds, col: str, p: int = 12) -> float:
     return _estimate(merged)
 
 
+# ---------------------------------------------------------------------------
+# per-key HyperLogLog with an INTEGER estimator — the oracle-replayable
+# variant. `hll_distinct` above is the production shape (64-bit hash,
+# float estimator, global count); this one trades hash width for exact
+# replayability: every step — the double-Lehmer hash, the bucket/rank
+# split, the register max-merge, and the estimate itself (fixed-point
+# rational raw estimator + a shared integer-floored linear-counting
+# table) — is integer arithmetic a SQL engine reproduces bit-exactly.
+# ---------------------------------------------------------------------------
+
+_LEHMER_M = 2147483647                      # 2^31 - 1 (prime)
+_LEHMER_A = 48271                           # MINSTD multiplier
+
+
+def lehmer2(v: np.ndarray) -> np.ndarray:
+    """31-bit double-step Lehmer hash of int64 values, SQL-replayable as
+    ``((v+1)*48271 % 2147483647) * 48271 % 2147483647`` (the +1 keeps
+    value 0 out of the generator's fixed point)."""
+    x = (np.asarray(v, np.int64) + 1) * _LEHMER_A % _LEHMER_M
+    return x * _LEHMER_A % _LEHMER_M
+
+
+def lc_floor_table(m: int) -> list[int]:
+    """Integer-floored linear-counting estimates ``floor(m*ln(m/V))``
+    for V = 1..m. Embedded VERBATIM in the SQL oracle (the literal is
+    generated from this function), so both engines index the same
+    table instead of each calling their own libm ``ln``."""
+    import math
+    return [math.floor(m * math.log(m / v)) for v in range(1, m + 1)]
+
+
+def hll_distinct_by_key(ds, key_col: str, val_col: str, p: int = 8):
+    """Approximate COUNT(DISTINCT ``val_col``) per ``key_col`` → one row
+    (key, est) per key, ``est`` an int64 from the integer estimator:
+
+    - hash: :func:`lehmer2` (31 bits); bucket = h % m, w = h // m
+      (Q = 31-p residual bits); rank rho = Q+1 - bitlen(w), w=0 → Q+1;
+    - registers: max rho per (key, bucket), absent bucket = 0;
+    - raw = (7213·m · m² · 2^(Q+1)) // ((10000·m + 10790) · sum_pow)
+      with sum_pow = Σ_b 2^(Q+1 - reg_b) — the standard
+      alpha_m·m²/Σ2^-reg estimator scaled to one integer division
+      (alpha_m = 0.7213/(1 + 1.079/m) held as an exact rational);
+    - linear counting when any register is empty and 2·raw ≤ 5·m:
+      est = lc_floor_table(m)[V-1] for V empty registers.
+
+    Distribution: per-block partials merge each block's rows into dense
+    per-key registers (one ``np.maximum.at``) and emit only the nonzero
+    (key, bucket, rho) triples — ≤ m·keys tiny rows per block; ONE sort
+    exchange on the key alone co-locates them and a whole-block kernel
+    max-merges and estimates, vectorized across every key in the block.
+    At extreme block counts the exchange carries m rows per key per
+    block; registers merge associatively, so an intermediate combine
+    stage drops in unchanged if that narrow exchange ever dominates.
+    """
+    from .partition import key_segments
+
+    m = 1 << p
+    q1 = 31 - p + 1                          # rank ceiling (w = 0 case)
+    alpha_num = 7213 * m
+    alpha_den = 10000 * m + 10790
+    raw_num = alpha_num * m * m * (1 << q1)
+    lc = np.asarray(lc_floor_table(m), np.int64)
+    part_schema = pa.schema([pa.field(key_col, pa.string()),
+                             pa.field("bucket", pa.int64()),
+                             pa.field("rho", pa.int64())])
+    out_schema = pa.schema([pa.field(key_col, pa.string()),
+                            pa.field("est", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        h = lehmer2(np.asarray(t[val_col], np.int64))
+        bucket = h % m
+        w = h // m
+        bl = np.zeros(len(w), np.int64)
+        nz = w > 0
+        bl[nz] = np.frexp(w[nz].astype(np.float64))[1]  # exact bitlen
+        rho = q1 - bl
+        codes, uniq = pd.factorize(t[key_col].to_pandas())
+        regs = np.zeros(len(uniq) * m, np.int64)
+        np.maximum.at(regs, codes * m + bucket, rho)
+        keep = np.flatnonzero(regs)
+        return pa.table({key_col: pa.array(uniq[keep // m], pa.string()),
+                         "bucket": pa.array(keep % m),
+                         "rho": pa.array(regs[keep])})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        keys = np.asarray(t[key_col], dtype=object)
+        starts, seg = key_segments(keys)
+        regs = np.zeros(len(starts) * m, np.int64)
+        np.maximum.at(regs, seg * m + np.asarray(t["bucket"], np.int64),
+                      np.asarray(t["rho"], np.int64))
+        regs = regs.reshape(len(starts), m)
+        sum_pow = np.left_shift(np.int64(1), q1 - regs).sum(axis=1)
+        v_zero = (regs == 0).sum(axis=1).astype(np.int64)
+        raw = raw_num // (alpha_den * sum_pow)
+        lc_est = lc[np.maximum(v_zero, 1) - 1]
+        est = np.where((v_zero > 0) & (2 * raw <= 5 * m), lc_est, raw)
+        return pa.table({key_col: pa.array(keys[starts], pa.string()),
+                         "est": pa.array(est)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return parts.sort(key_col).map_batches(finalize,
+                                           batch_format="pyarrow",
+                                           batch_size=None)
+
+
 def heavy_hitter_tokens(ds, col: str = "text", k: int = 10,
                         capacity: int = 256,
                         split_pattern: str = r"\s+") -> pa.Table:
