@@ -222,6 +222,22 @@ def _q_greedy_pack(sf_dir):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_track_extent(sf_dir):
+    """Exact per-user track extent (stages/tracks.py:track_extent):
+    integer bbox + farthest-pair diameter over the derived movement
+    cloud. Farthest pair is attained at convex-hull vertices and a
+    point inside its block's hull is inside the global hull, so blocks
+    reduce to hull candidates (vectorized chain pruning across all
+    tracks at once) before one narrow sort exchange; coordinates are
+    exact multiples of 0.125° so the ×8 integer metric is bit-exact.
+    The oracle replays the spec directly: a per-user O(n²) self-join
+    max (~67 points/user on the testdata)."""
+    from cartwright_ray.pipelines.relational import derived_track_points
+    from cartwright_ray.stages.tracks import track_extent
+    df = track_extent(derived_track_points(sf_dir), scale=8).to_pandas()
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_hll_distinct(sf_dir):
     """Per-key HyperLogLog distinct-count with the INTEGER estimator
     (stages/sketch.py:hll_distinct_by_key): double-Lehmer 31-bit hash,
@@ -2296,6 +2312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_pack_docs": _q_curriculum_pack,
         "greedy_pack_docs": _q_greedy_pack,
         "hll_distinct_by_type": _q_hll_distinct,
+        "track_extent_users": _q_track_extent,
         "ann_topk": _q_ann,
         "hamming_ann_topk": _q_hamming_ann,
         "kmeans_centroids": _q_kmeans,
@@ -4014,6 +4031,31 @@ def oracle_sql() -> dict[str, str]:
         # position whose inclusive prefix still fits base+512, clamped
         # to start+1 (oversized singleton); zero-size docs extend full
         # bins (monotone prefix makes that automatic)
+        # integer point derivation = round(lat*8), round(lon*8) of the
+        # track_segments cloud (all terms are multiples of 0.125, so
+        # the x8 form below is the exact same integers)
+        "track_extent_users": """
+            WITH p AS (
+                SELECT user_id,
+                       (user_id * 13 % 120 - 60) * 8 + event_id * 7 % 19
+                           + CASE WHEN event_id % 11 = 0 THEN 120
+                                  ELSE 0 END AS y,
+                       (user_id * 29 % 300 - 150) * 8
+                           + event_id * 3 % 23 AS x
+                FROM events),
+            d AS (SELECT a.user_id,
+                         max((a.x - q.x) * (a.x - q.x)
+                             + (a.y - q.y) * (a.y - q.y)) AS diam2
+                  FROM p a JOIN p q ON a.user_id = q.user_id
+                  GROUP BY a.user_id)
+            SELECT p.user_id,
+                   min(x) AS xmin, max(x) AS xmax,
+                   min(y) AS ymin, max(y) AS ymax,
+                   CAST(any_value(d.diam2) AS BIGINT) AS diam2
+            FROM p JOIN d ON p.user_id = d.user_id
+            GROUP BY p.user_id
+            ORDER BY p.user_id
+        """,
         "greedy_pack_docs": r"""
             WITH RECURSIVE t AS (
               SELECT doc_id,

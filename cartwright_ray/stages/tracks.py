@@ -103,3 +103,127 @@ def simplify_tracks(ds, eps: float, track_col: str = "user_id",
     return (ds.sort(track_col)
               .map_batches(kernel, batch_format="pyarrow",
                            batch_size=None))
+
+
+# ---------------------------------------------------------------------------
+# per-track extent: exact integer bounding box + exact farthest-pair
+# diameter via a hull-of-hulls candidate reduction.
+# ---------------------------------------------------------------------------
+
+def _chain_candidates(k: np.ndarray, x: np.ndarray,
+                      y: np.ndarray) -> np.ndarray:
+    """Boolean mask of convex-hull CANDIDATE points for (k, x, y) rows
+    sorted by (k, x, y): union of upper- and lower-chain survivors of an
+    iterated, fully vectorized middle-point elimination.
+
+    The elimination test is point-wise SOUND independent of what else is
+    removed in the same pass: if neighbours a (left) and c (right) exist
+    with b on-or-below chord a→c, then b is not an upper-hull vertex of
+    the INPUT (the chord's endpoints are input points), so removing all
+    flagged points simultaneously never loses a vertex; iterating to a
+    fixed point leaves a superset of the hull vertices (collinear edge
+    midpoints may be dropped — harmless for bbox/diameter, both attained
+    at surviving extreme points). Each pass is one numpy sweep across
+    EVERY track in the block; zigzag interiors halve per pass."""
+    n = len(k)
+    out = np.zeros(n, bool)
+    if n == 0:
+        return out
+    last_of_kx = np.r_[(k[1:] != k[:-1]) | (x[1:] != x[:-1]), True]
+    first_of_kx = np.r_[True, (k[1:] != k[:-1]) | (x[1:] != x[:-1])]
+    for seed, keep_left in ((last_of_kx, False), (first_of_kx, True)):
+        alive = seed.copy()
+        while True:
+            idx = np.flatnonzero(alive)
+            if len(idx) < 3:
+                break
+            a, b, c = idx[:-2], idx[1:-1], idx[2:]
+            tri = (k[a] == k[b]) & (k[b] == k[c])
+            cr = ((x[b] - x[a]) * (y[c] - y[a])
+                  - (y[b] - y[a]) * (x[c] - x[a]))
+            # upper chain keeps right turns (cr < 0); lower keeps left
+            drop = tri & (cr <= 0 if keep_left else cr >= 0)
+            if not drop.any():
+                break
+            alive[b[drop]] = False
+        out |= alive
+    return out
+
+
+def track_extent(ds, track_col: str = "user_id", lat_col: str = "lat",
+                 lon_col: str = "lon", scale: int = 8):
+    """Exact per-track planar extent → one row per track:
+    (track, xmin, xmax, ymin, ymax, diam2), where x = lon·scale,
+    y = lat·scale as exact int64 (coordinates must be multiples of
+    1/scale and |coord·scale| < 2^30 — squared distances then stay
+    integer-exact, so the result is bit-identical in any engine) and
+    diam2 = max pairwise squared distance (the diameter, squared).
+
+    Scale shape: the farthest pair of a point set is attained between
+    convex-hull vertices, and a point inside its own block's hull is
+    inside the global hull — so each block reduces to its per-track
+    hull-candidate points (:func:`_chain_candidates`, vectorized across
+    all tracks at once), ONE narrow sort exchange on the track id
+    co-locates the candidates, and the finalize kernel prunes once more
+    then takes the O(h²) pairwise max per track (a loop over TRACKS,
+    h = surviving hull points, with all inner work vectorized). The
+    bbox falls out of ``np.minimum/maximum.reduceat`` on the same
+    segments — candidates always retain the four extreme points.
+    """
+    from .partition import key_segments
+
+    def to_int(t: pa.Table):
+        u = np.asarray(t[track_col], np.int64)
+        x = np.rint(np.asarray(t[lon_col], np.float64) * scale) \
+            .astype(np.int64)
+        y = np.rint(np.asarray(t[lat_col], np.float64) * scale) \
+            .astype(np.int64)
+        order = np.lexsort((y, x, u))
+        return u[order], x[order], y[order]
+
+    part_schema = pa.schema([pa.field(track_col, pa.int64()),
+                             pa.field("x", pa.int64()),
+                             pa.field("y", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        u, x, y = to_int(t)
+        keep = _chain_candidates(u, x, y)
+        return pa.table({track_col: pa.array(u[keep]),
+                         "x": pa.array(x[keep]), "y": pa.array(y[keep])})
+
+    out_schema = pa.schema([pa.field(track_col, pa.int64())] + [
+        pa.field(c, pa.int64())
+        for c in ("xmin", "xmax", "ymin", "ymax", "diam2")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        u = np.asarray(t[track_col], np.int64)
+        x = np.asarray(t["x"], np.int64)
+        y = np.asarray(t["y"], np.int64)
+        order = np.lexsort((y, x, u))
+        u, x, y = u[order], x[order], y[order]
+        keep = _chain_candidates(u, x, y)
+        u, x, y = u[keep], x[keep], y[keep]
+        starts, seg = key_segments(u)
+        ends = np.r_[starts[1:], len(u)]
+        diam2 = np.empty(len(starts), np.int64)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            dx = x[s:e, None] - x[s:e]
+            dy = y[s:e, None] - y[s:e]
+            diam2[i] = (dx * dx + dy * dy).max()
+        return pa.table({
+            track_col: pa.array(u[starts]),
+            "xmin": pa.array(np.minimum.reduceat(x, starts)),
+            "xmax": pa.array(np.maximum.reduceat(x, starts)),
+            "ymin": pa.array(np.minimum.reduceat(y, starts)),
+            "ymax": pa.array(np.maximum.reduceat(y, starts)),
+            "diam2": pa.array(diam2)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+              .sort(track_col)
+              .map_batches(finalize, batch_format="pyarrow",
+                           batch_size=None))

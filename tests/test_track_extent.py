@@ -1,0 +1,100 @@
+"""track_extent — exact per-track bbox + farthest-pair diameter via
+hull-of-hulls candidate reduction.
+
+The brute O(n²) pairwise max IS the spec (integer coordinates make it
+bit-exact); the distributed result must match at any block layout, and
+the candidate pruning must survive the adversarial geometries: all
+points collinear (vertical / horizontal / diagonal), duplicated points,
+single-point tracks, and convex-position inputs where nothing prunes.
+"""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from cartwright_ray.stages.tracks import track_extent, _chain_candidates
+
+
+def _brute(df):
+    rows = []
+    for u, g in df.groupby("u"):
+        x = np.rint(g["lon"].to_numpy() * 8).astype(np.int64)
+        y = np.rint(g["lat"].to_numpy() * 8).astype(np.int64)
+        dx = x[:, None] - x
+        dy = y[:, None] - y
+        rows.append((u, x.min(), x.max(), y.min(), y.max(),
+                     (dx * dx + dy * dy).max()))
+    return pd.DataFrame(rows, columns=["u", "xmin", "xmax", "ymin",
+                                       "ymax", "diam2"])
+
+
+def _run(df, blocks):
+    ds = ray.data.from_pandas(df).repartition(blocks)
+    out = track_extent(ds, track_col="u", scale=8).to_pandas()
+    return out.sort_values("u").reset_index(drop=True)
+
+
+def test_matches_brute_random_layout_invariant():
+    rng = np.random.default_rng(5)
+    n = 600
+    df = pd.DataFrame({
+        "u": rng.integers(0, 12, n),
+        "lat": rng.integers(-600, 600, n) / 8.0,
+        "lon": rng.integers(-1200, 1200, n) / 8.0})
+    want = _brute(df).sort_values("u").reset_index(drop=True)
+    for blocks in (1, 3, 17):
+        got = _run(df, blocks)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_degenerate_geometries():
+    frames = [
+        pd.DataFrame({"u": 0, "lat": [3.0], "lon": [4.0]}),       # single
+        pd.DataFrame({"u": 1, "lat": [1.0] * 5,                    # horiz
+                      "lon": [0.0, 1.0, 2.0, 3.0, 4.0]}),
+        pd.DataFrame({"u": 2, "lat": [0.0, 1.0, 2.0, 3.0],         # vert
+                      "lon": [7.0] * 4}),
+        pd.DataFrame({"u": 3, "lat": [0.0, 1.0, 2.0, 3.0],         # diag
+                      "lon": [0.0, 1.0, 2.0, 3.0]}),
+        pd.DataFrame({"u": 4, "lat": [5.0] * 6, "lon": [5.0] * 6}),  # dups
+    ]
+    df = pd.concat(frames, ignore_index=True)
+    want = _brute(df).sort_values("u").reset_index(drop=True)
+    for blocks in (1, 4):
+        got = _run(df, blocks)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert int(got.loc[got["u"] == 0, "diam2"].iloc[0]) == 0
+    assert int(got.loc[got["u"] == 4, "diam2"].iloc[0]) == 0
+
+
+def test_convex_position_nothing_prunes():
+    # points on a circle: every point is a hull vertex; the pruner must
+    # terminate (one clean pass) and keep the exact diameter
+    t = np.arange(40) * (2 * np.pi / 40)
+    x = np.rint(100 * np.cos(t)).astype(np.int64)
+    y = np.rint(100 * np.sin(t)).astype(np.int64)
+    df = pd.DataFrame({"u": 0, "lat": y / 8.0, "lon": x / 8.0})
+    got = _run(df, 3)
+    want = _brute(df)
+    assert int(got["diam2"].iloc[0]) == int(want["diam2"].iloc[0])
+
+
+def test_chain_candidates_superset_of_hull_extremes():
+    rng = np.random.default_rng(9)
+    x = rng.integers(-50, 50, 200).astype(np.int64)
+    y = rng.integers(-50, 50, 200).astype(np.int64)
+    k = np.zeros(200, np.int64)
+    order = np.lexsort((y, x, k))
+    x, y = x[order], y[order]
+    keep = _chain_candidates(k, x, y)
+    assert x[keep].min() == x.min() and x[keep].max() == x.max()
+    assert y[keep].min() == y.min() and y[keep].max() == y.max()
+    dx = x[:, None] - x
+    dy = y[:, None] - y
+    full = (dx * dx + dy * dy).max()
+    xc, yc = x[keep], y[keep]
+    dxc = xc[:, None] - xc
+    dyc = yc[:, None] - yc
+    assert (dxc * dxc + dyc * dyc).max() == full
+    assert keep.sum() < 60                   # it actually pruned
