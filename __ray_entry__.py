@@ -222,6 +222,35 @@ def _q_greedy_pack(sf_dir):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_pagerank(sf_dir, plan="auto", iters=5):
+    """Integer fixed-point PageRank (stages/pagerank.py) over a
+    deterministic synthetic link graph on documents: doc d links to
+    (d*7 + 13*i) % N for i in 0..2. Five iterations with floor division
+    at exactly two points make the int64 ranks bit-identical across the
+    broadcast plan, the shuffle plan (2 narrow exchanges/iteration),
+    and the oracle's chained-CTE replay."""
+    import pyarrow as pa
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+    n = docs.count()
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        d = np.repeat(np.asarray(t["doc_id"], np.int64), 3)
+        k = np.tile(np.arange(3, dtype=np.int64), t.num_rows)
+        return pa.table({"src": pa.array(d),
+                         "dst": pa.array((d * 7 + 13 * k) % n)})
+
+    def mk_nodes(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["doc_id"]})
+
+    from cartwright_ray.stages.pagerank import pagerank
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    nodes = docs.map_batches(mk_nodes, batch_format="pyarrow")
+    out = pagerank(edges, nodes, iters=iters, plan=plan).to_pandas()
+    out = out.rename(columns={"node": "doc_id", "rank": "pr"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_track_extent(sf_dir):
     """Exact per-user track extent (stages/tracks.py:track_extent):
     integer bbox + farthest-pair diameter over the derived movement
@@ -2313,6 +2342,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "greedy_pack_docs": _q_greedy_pack,
         "hll_distinct_by_type": _q_hll_distinct,
         "track_extent_users": _q_track_extent,
+        "pagerank_docs": _q_pagerank,
+        # shuffle plan at 2 iterations: proves the scale path at a
+        # fifth of the per-iteration exchange cost in the driver window
+        "pagerank_docs_shuffle": lambda sf: _q_pagerank(
+            sf, plan="shuffle", iters=2),
         "ann_topk": _q_ann,
         "hamming_ann_topk": _q_hamming_ann,
         "kmeans_centroids": _q_kmeans,
@@ -4576,6 +4610,40 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     out["pip_join_counts_shuffle"] = out["pip_join_counts"]
+
+    # pagerank_docs: chained-CTE replay of the integer fixed-point
+    # iteration (stages/pagerank.py docstring is the spec) — rank held
+    # scaled by 1e12, base = 15% of scale, two floor divisions per
+    # step; five unrolled CTEs instead of a recursive CTE because the
+    # recursive term may not aggregate over the recursive reference.
+    _pr_scale = 10**12
+    _pr_base = (15 * _pr_scale) // 100
+
+    def _pr_sql(iters: int) -> str:
+        parts = [f"""
+        WITH n AS (SELECT count(*) AS n FROM documents),
+        e AS (SELECT doc_id AS src,
+                     (doc_id * 7 + 13 * i) % (SELECT n FROM n) AS dst
+              FROM documents, (VALUES (0), (1), (2)) t(i)),
+        deg AS (SELECT src, count(*) AS o FROM e GROUP BY src),
+        r0 AS (SELECT doc_id AS node, CAST({_pr_scale} AS BIGINT) AS r
+               FROM documents)"""]
+        for it in range(1, iters + 1):
+            parts.append(f""",
+        r{it} AS (SELECT d.doc_id AS node,
+                       {_pr_base} + (85 * coalesce(s.s, 0)) // 100 AS r
+                FROM documents d LEFT JOIN (
+                    SELECT e.dst, sum(r{it - 1}.r // deg.o) AS s
+                    FROM e JOIN r{it - 1} ON e.src = r{it - 1}.node
+                           JOIN deg ON e.src = deg.src
+                    GROUP BY e.dst) s ON d.doc_id = s.dst)""")
+        parts.append(f"""
+        SELECT node AS doc_id, CAST(r AS BIGINT) AS pr
+        FROM r{iters} ORDER BY doc_id""")
+        return "".join(parts)
+
+    out["pagerank_docs"] = _pr_sql(5)
+    out["pagerank_docs_shuffle"] = _pr_sql(2)
 
     # hll_distinct_by_type: the SQL replays the INTEGER estimator of
     # stages/sketch.py:hll_distinct_by_key step for step. The linear-
