@@ -155,7 +155,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "line_dedup_docs", "grid_dbscan_points", "lm_score_docs",
              "pps_sample_docs", "idw_interpolate_grid",
              "simplify_tracks_dp", "image_dhash_dedup",
-             "dbscan_cluster_stats", "curriculum_pack_docs"]
+             "dbscan_cluster_stats", "curriculum_pack_docs",
+             # round-5 late additions
+             "greedy_pack_docs", "hll_distinct_by_type",
+             "track_extent_users", "pagerank_docs"]
     out = {}
     for name in picks:
         t0 = time.time()
