@@ -267,6 +267,23 @@ def _q_track_extent(sf_dir):
     return df.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_geofence(sf_dir):
+    """Geofence transitions (stages/geofence.py): zone-assign every ping
+    of the derived movement tracks against the real ADMIN_POLYGONS via
+    the broadcast PIP index (LEFT semantics — 'none' outside every
+    polygon), then ONE user-keyed sort exchange + whole-block lag
+    compare emits (user, event, from_zone, to_zone) per boundary
+    crossing. Zones are decided by the same IEEE crossing arithmetic as
+    the driver-green pip_join_counts oracle, so the SQL replay (edge
+    VALUES table + window lag) is value-identical."""
+    from cartwright_ray.pipelines.relational import derived_track_points
+    from cartwright_ray.sources.synth import ADMIN_POLYGONS
+    from cartwright_ray.stages.geofence import geofence_transitions
+    df = geofence_transitions(derived_track_points(sf_dir),
+                              ADMIN_POLYGONS).to_pandas()
+    return df.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
 def _q_hll_distinct(sf_dir):
     """Per-key HyperLogLog distinct-count with the INTEGER estimator
     (stages/sketch.py:hll_distinct_by_key): double-Lehmer 31-bit hash,
@@ -2342,6 +2359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "greedy_pack_docs": _q_greedy_pack,
         "hll_distinct_by_type": _q_hll_distinct,
         "track_extent_users": _q_track_extent,
+        "geofence_transitions": _q_geofence,
         "pagerank_docs": _q_pagerank,
         # shuffle plan at 2 iterations: proves the scale path at a
         # fifth of the per-iteration exchange cost in the driver window
@@ -2794,6 +2812,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS segment_id
             FROM brk
+            ORDER BY user_id, event_id
+        """,
+        "geofence_transitions": f"""
+            WITH tpts AS (
+                SELECT user_id, event_id, ts,
+                       CAST((user_id * 13 % 120) - 60.0
+                            + (event_id * 7 % 19) * 0.125
+                            + CASE WHEN event_id % 11 = 0 THEN 15.0
+                                   ELSE 0.0 END AS DOUBLE) AS lat,
+                       CAST((user_id * 29 % 300) - 150.0
+                            + (event_id * 3 % 23) * 0.125 AS DOUBLE) AS lon
+                FROM events),
+            {_pip_edges_values()},
+            inside AS (
+                SELECT p.user_id, p.event_id, e.pidx, e.admin_id
+                FROM tpts p CROSS JOIN edges e
+                WHERE ((e.yi > p.lat) <> (e.yj > p.lat))
+                  AND p.lon < (e.xj - e.xi) * (p.lat - e.yi)
+                      / (e.yj - e.yi) + e.xi
+                GROUP BY p.user_id, p.event_id, e.pidx, e.admin_id
+                HAVING count(*) % 2 = 1),
+            zone AS (
+                SELECT t.user_id, t.event_id, t.ts,
+                       coalesce(min(i.admin_id), 'none') AS z
+                FROM tpts t LEFT JOIN inside i
+                  ON t.user_id = i.user_id AND t.event_id = i.event_id
+                GROUP BY t.user_id, t.event_id, t.ts),
+            seq AS (
+                SELECT user_id, event_id, z,
+                       lag(z) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS pz
+                FROM zone)
+            SELECT user_id, event_id, pz AS from_zone, z AS to_zone
+            FROM seq WHERE pz IS NOT NULL AND pz <> z
             ORDER BY user_id, event_id
         """,
         "interval_join_events": """

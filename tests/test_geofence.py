@@ -1,0 +1,123 @@
+"""geofence_transitions — brute-force differential + layout invariance.
+
+The spec is exact: zone = lexicographically smallest admin_id whose
+polygon contains the ping under the IEEE even-odd crossing test (the
+same arithmetic as joins.pip_join, already oracle-proven), else "none";
+emit one row per ping whose zone differs from the previous ping of the
+same track ordered by (ts, event_id). The brute oracle below re-derives
+both steps with a per-row Python loop; the distributed result must match
+it at any block layout, including the adversarial cases: single-ping
+tracks (never emit), all-outside tracks, a track whose pings alternate
+zones every step, and ties broken by event_id at equal ts.
+"""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from cartwright_ray.sources.synth import ADMIN_POLYGONS
+from cartwright_ray.stages.geofence import NO_ZONE, geofence_transitions
+
+
+def _crossing_inside(lat, lon, ring_lat, ring_lon):
+    """Reference even-odd test, same float ops as the engine kernel."""
+    inside = False
+    n = len(ring_lat)
+    for i in range(n):
+        j = (i + 1) % n
+        yi, yj = ring_lat[i], ring_lat[j]
+        xi, xj = ring_lon[i], ring_lon[j]
+        if (yi > lat) != (yj > lat):
+            if lon < (xj - xi) * (lat - yi) / (yj - yi) + xi:
+                inside = not inside
+    return inside
+
+
+def _brute(df, polygons):
+    zones = []
+    for lat, lon in zip(df["lat"], df["lon"]):
+        hits = sorted(p["admin_id"] for p in polygons
+                      if _crossing_inside(lat, lon,
+                                          p["ring_lat"], p["ring_lon"]))
+        zones.append(hits[0] if hits else NO_ZONE)
+    df = df.assign(zone=zones)
+    rows = []
+    for u, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        z = g["zone"].to_numpy()
+        e = g["event_id"].to_numpy()
+        for k in range(1, len(z)):
+            if z[k] != z[k - 1]:
+                rows.append((u, e[k], z[k - 1], z[k]))
+    return (pd.DataFrame(rows, columns=["user_id", "event_id",
+                                        "from_zone", "to_zone"])
+            .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+
+
+def _run(df, polygons, blocks):
+    ds = ray.data.from_pandas(df).repartition(blocks)
+    out = geofence_transitions(ds, polygons).to_pandas()
+    if out.empty:
+        return out
+    return (out.sort_values(["user_id", "event_id"])
+            .reset_index(drop=True).astype({"user_id": np.int64,
+                                            "event_id": np.int64}))
+
+
+def test_matches_brute_and_layout_invariant():
+    rng = np.random.default_rng(11)
+    n = 800
+    # concentrate pings around the synthetic admin area so a healthy
+    # fraction actually lands inside polygons (and transitions fire)
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 15, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": rng.integers(0, 10_000, n).astype(np.int64),
+        "lat": rng.uniform(-60, 60, n),
+        "lon": rng.uniform(-150, 60, n)})
+    want = _brute(df, ADMIN_POLYGONS)
+    assert len(want) > 50                      # the fixture exercises both
+    assert (want["from_zone"] != NO_ZONE).any() and \
+           (want["to_zone"] != NO_ZONE).any()
+    for blocks in (1, 4, 23):
+        got = _run(df, ADMIN_POLYGONS, blocks)
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_edge_cases():
+    poly = [{"admin_id": "Z1", "name": "z1",
+             "ring_lat": [0.0, 0.0, 10.0, 10.0],
+             "ring_lon": [0.0, 10.0, 10.0, 0.0]}]
+    df = pd.DataFrame({
+        # u0: single ping (never emits); u1: always outside (no emit);
+        # u2: alternates inside/outside every step (emits every step);
+        # u3: equal ts everywhere — order falls to event_id
+        "user_id": np.array([0, 1, 1, 2, 2, 2, 2, 3, 3, 3], np.int64),
+        "event_id": np.arange(10, dtype=np.int64),
+        "ts": np.array([0, 0, 1, 0, 1, 2, 3, 5, 5, 5], np.int64),
+        "lat": [5.0, 50, 51, 5, 50, 5, 50, 5, 50, 5],
+        "lon": [5.0, 50, 51, 5, 50, 5, 50, 5, 50, 5]})
+    want = _brute(df, poly)
+    got = _run(df, poly, 3)
+    pd.testing.assert_frame_equal(got, want)
+    u2 = want[want["user_id"] == 2]
+    assert len(u2) == 3                        # alternation emits each step
+    u3 = got[got["user_id"] == 3]
+    assert list(u3["event_id"]) == [8, 9]      # tie broken by event_id
+    assert not (want["user_id"] == 0).any()
+    assert not (want["user_id"] == 1).any()
+
+
+def test_all_outside_emits_nothing():
+    poly = [{"admin_id": "Z1", "name": "z1",
+             "ring_lat": [80.0, 80.0, 85.0, 85.0],
+             "ring_lon": [0.0, 5.0, 5.0, 0.0]}]
+    df = pd.DataFrame({
+        "user_id": np.zeros(6, np.int64),
+        "event_id": np.arange(6, dtype=np.int64),
+        "ts": np.arange(6, dtype=np.int64),
+        "lat": np.linspace(-50, 50, 6),
+        "lon": np.linspace(-50, 50, 6)})
+    got = _run(df, poly, 2)
+    assert len(got) == 0
