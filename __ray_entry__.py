@@ -284,6 +284,32 @@ def _q_geofence(sf_dir):
     return df.sort_values(["user_id", "event_id"]).reset_index(drop=True)
 
 
+def _q_od_matrix(sf_dir):
+    """Origin–destination matrix (stages/geofence.py:od_matrix): the
+    geofence transition stream rolled up to (from_zone, to_zone,
+    n_trips) — per-block partial counts (combiner rule), then a tiny
+    O(zones²) groupby sum. Oracle = the geofence CTE + GROUP BY."""
+    from cartwright_ray.pipelines.relational import derived_track_points
+    from cartwright_ray.sources.synth import ADMIN_POLYGONS
+    from cartwright_ray.stages.geofence import od_matrix
+    df = od_matrix(derived_track_points(sf_dir), ADMIN_POLYGONS).to_pandas()
+    return (df.sort_values(["from_zone", "to_zone"])
+            .reset_index(drop=True))
+
+
+def _q_trend(sf_dir):
+    """Per-key OLS slope of value vs time (stages/trend.py): exact
+    int64 moment partials (hours-rebased x, cent y) shuffled as one
+    narrow row per key per block, Python-bigint combine on the O(keys)
+    driver table, ONE shared float expression for the slope — HUGEINT
+    sum + CAST AS DOUBLE replays it bit-exactly in DuckDB."""
+    import ray.data
+    from cartwright_ray.stages.trend import trend_by_key
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+    return trend_by_key(ds, key_col="event_type")
+
+
 def _q_hll_distinct(sf_dir):
     """Per-key HyperLogLog distinct-count with the INTEGER estimator
     (stages/sketch.py:hll_distinct_by_key): double-Lehmer 31-bit hash,
@@ -2360,6 +2386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_by_type": _q_hll_distinct,
         "track_extent_users": _q_track_extent,
         "geofence_transitions": _q_geofence,
+        "od_matrix_zones": _q_od_matrix,
+        "trend_by_event_type": _q_trend,
         "pagerank_docs": _q_pagerank,
         # shuffle plan at 2 iterations: proves the scale path at a
         # fifth of the per-iteration exchange cost in the driver window
@@ -2847,6 +2875,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, pz AS from_zone, z AS to_zone
             FROM seq WHERE pz IS NOT NULL AND pz <> z
             ORDER BY user_id, event_id
+        """,
+        "od_matrix_zones": f"""
+            WITH tpts AS (
+                SELECT user_id, event_id, ts,
+                       CAST((user_id * 13 % 120) - 60.0
+                            + (event_id * 7 % 19) * 0.125
+                            + CASE WHEN event_id % 11 = 0 THEN 15.0
+                                   ELSE 0.0 END AS DOUBLE) AS lat,
+                       CAST((user_id * 29 % 300) - 150.0
+                            + (event_id * 3 % 23) * 0.125 AS DOUBLE) AS lon
+                FROM events),
+            {_pip_edges_values()},
+            inside AS (
+                SELECT p.user_id, p.event_id, e.pidx, e.admin_id
+                FROM tpts p CROSS JOIN edges e
+                WHERE ((e.yi > p.lat) <> (e.yj > p.lat))
+                  AND p.lon < (e.xj - e.xi) * (p.lat - e.yi)
+                      / (e.yj - e.yi) + e.xi
+                GROUP BY p.user_id, p.event_id, e.pidx, e.admin_id
+                HAVING count(*) % 2 = 1),
+            zone AS (
+                SELECT t.user_id, t.event_id, t.ts,
+                       coalesce(min(i.admin_id), 'none') AS z
+                FROM tpts t LEFT JOIN inside i
+                  ON t.user_id = i.user_id AND t.event_id = i.event_id
+                GROUP BY t.user_id, t.event_id, t.ts),
+            seq AS (
+                SELECT user_id, z,
+                       lag(z) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS pz
+                FROM zone)
+            SELECT pz AS from_zone, z AS to_zone,
+                   CAST(count(*) AS BIGINT) AS n_trips
+            FROM seq WHERE pz IS NOT NULL AND pz <> z
+            GROUP BY pz, z
+            ORDER BY from_zone, to_zone
+        """,
+        "trend_by_event_type": """
+            WITH pts AS (
+                SELECT event_type,
+                       epoch_us(ts) // 3600000000 - 438288 AS x,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+                FROM events),
+            m AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+                         sum(y) AS sy, sum(x * y) AS sxy,
+                         sum(x * x) AS sxx
+                  FROM pts GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0
+                   END AS slope
+            FROM m ORDER BY event_type
         """,
         "interval_join_events": """
             WITH iv AS (

@@ -123,3 +123,32 @@ def geofence_transitions(points_ds, polygons: list[dict],
     return (ds.sort(track_col)
               .map_batches(kernel, batch_format="pyarrow",
                            batch_size=None))
+
+
+def od_matrix(points_ds, polygons: list[dict],
+              track_col: str = "user_id", order_cols=("ts", "event_id"),
+              cover_res: int = DEFAULT_COVER_RES):
+    """Origin–destination matrix: → (from_zone, to_zone, n_trips) over
+    the geofence transitions. Transition volume is corpus-scale but the
+    zone-pair cardinality is O(zones²), so counts are pre-aggregated
+    per block (the combiner rule) and the closing groupby shuffles one
+    row per pair per block."""
+    from ray.data.aggregate import Sum
+    trans = geofence_transitions(points_ds, polygons,
+                                 track_col=track_col,
+                                 order_cols=order_cols,
+                                 cover_res=cover_res)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "from_zone": t["from_zone"].to_numpy(zero_copy_only=False),
+            "to_zone": t["to_zone"].to_numpy(zero_copy_only=False),
+            "n_trips": 1})
+        g = (df.groupby(["from_zone", "to_zone"], sort=False)
+             .sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (trans.map_batches(partial, batch_format="pyarrow")
+            .groupby(["from_zone", "to_zone"])
+            .aggregate(Sum("n_trips", alias_name="n_trips")))

@@ -109,6 +109,26 @@ def test_edge_cases():
     assert not (want["user_id"] == 1).any()
 
 
+def test_od_matrix_matches_brute_rollup():
+    from cartwright_ray.stages.geofence import od_matrix
+    rng = np.random.default_rng(3)
+    n = 500
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 10, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": rng.integers(0, 5_000, n).astype(np.int64),
+        "lat": rng.uniform(-60, 60, n),
+        "lon": rng.uniform(-150, 60, n)})
+    want = (_brute(df, ADMIN_POLYGONS)
+            .groupby(["from_zone", "to_zone"]).size()
+            .rename("n_trips").reset_index()
+            .sort_values(["from_zone", "to_zone"]).reset_index(drop=True))
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = (od_matrix(ds, ADMIN_POLYGONS).to_pandas()
+           .sort_values(["from_zone", "to_zone"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_all_outside_emits_nothing():
     poly = [{"admin_id": "Z1", "name": "z1",
              "ring_lat": [80.0, 80.0, 85.0, 85.0],
