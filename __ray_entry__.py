@@ -310,6 +310,18 @@ def _q_trend(sf_dir):
     return trend_by_key(ds, key_col="event_type")
 
 
+def _q_hotspot(sf_dir):
+    """Getis-Ord Gi* hotspot cells (stages/hotspot.py): 1° grid counts
+    via per-block partials, the 3×3 neighbor sum as a scatter-9 map +
+    ONE cell-keyed groupby (no self-join shuffle), O(1) global moments,
+    broadcast z-map. Counts are int64 and z is one shared float
+    expression, so the DuckDB replay (GROUP BY cells + BETWEEN
+    self-join + identical expression tree) hashes bit-exactly."""
+    from cartwright_ray.pipelines.relational import derived_track_points
+    from cartwright_ray.stages.hotspot import getis_ord_cells
+    return getis_ord_cells(derived_track_points(sf_dir))
+
+
 def _q_hll_distinct(sf_dir):
     """Per-key HyperLogLog distinct-count with the INTEGER estimator
     (stages/sketch.py:hll_distinct_by_key): double-Lehmer 31-bit hash,
@@ -2388,6 +2400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geofence_transitions": _q_geofence,
         "od_matrix_zones": _q_od_matrix,
         "trend_by_event_type": _q_trend,
+        "hotspot_cells_gi": _q_hotspot,
         "pagerank_docs": _q_pagerank,
         # shuffle plan at 2 iterations: proves the scale path at a
         # fifth of the per-iteration exchange cost in the driver window
@@ -2911,6 +2924,62 @@ def oracle_sql() -> dict[str, str]:
             FROM seq WHERE pz IS NOT NULL AND pz <> z
             GROUP BY pz, z
             ORDER BY from_zone, to_zone
+        """,
+        "hotspot_cells_gi": """
+            WITH tpts AS (
+                SELECT CAST((user_id * 13 % 120) - 60.0
+                            + (event_id * 7 % 19) * 0.125
+                            + CASE WHEN event_id % 11 = 0 THEN 15.0
+                                   ELSE 0.0 END AS DOUBLE) AS lat,
+                       CAST((user_id * 29 % 300) - 150.0
+                            + (event_id * 3 % 23) * 0.125 AS DOUBLE) AS lon
+                FROM events),
+            cells AS (
+                SELECT CAST(floor(lon) AS BIGINT) AS cx,
+                       CAST(floor(lat) AS BIGINT) AS cy,
+                       CAST(count(*) AS BIGINT) AS x
+                FROM tpts GROUP BY 1, 2),
+            g AS (SELECT CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(x * x) AS BIGINT) AS sxx,
+                         min(cx) AS xmin, max(cx) AS xmax,
+                         min(cy) AS ymin, max(cy) AS ymax,
+                         (max(cx) - min(cx) + 1)
+                             * (max(cy) - min(cy) + 1) AS n
+                  FROM cells),
+            nb AS (
+                SELECT c.cx, c.cy, c.x, CAST(sum(c2.x) AS BIGINT) AS wsum
+                FROM cells c JOIN cells c2
+                  ON c2.cx BETWEEN c.cx - 1 AND c.cx + 1
+                 AND c2.cy BETWEEN c.cy - 1 AND c.cy + 1
+                GROUP BY c.cx, c.cy, c.x),
+            ex AS (
+                SELECT nb.cx, nb.cy, nb.x, nb.wsum, g.n,
+                       CAST((least(nb.cx + 1, g.xmax)
+                             - greatest(nb.cx - 1, g.xmin) + 1)
+                            * (least(nb.cy + 1, g.ymax)
+                               - greatest(nb.cy - 1, g.ymin) + 1)
+                            AS DOUBLE) AS w,
+                       CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE) AS xbar,
+                       CAST(g.sxx AS DOUBLE) / CAST(g.n AS DOUBLE)
+                           - (CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE))
+                             * (CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE))
+                           AS s2
+                FROM nb CROSS JOIN g),
+            zz AS (
+                SELECT cx, cy, x,
+                       CASE WHEN n < 2 OR NOT (s2 > 0) THEN 0.0
+                            ELSE CASE WHEN sqrt(s2)
+                                      * sqrt((CAST(n AS DOUBLE) * w - w * w)
+                                             / CAST(n - 1 AS DOUBLE)) > 0
+                                 THEN (CAST(wsum AS DOUBLE) - xbar * w)
+                                      / (sqrt(s2)
+                                         * sqrt((CAST(n AS DOUBLE) * w
+                                                 - w * w)
+                                                / CAST(n - 1 AS DOUBLE)))
+                                 ELSE 0.0 END
+                       END AS gi_z
+                FROM ex)
+            SELECT cx, cy, x, gi_z FROM zz ORDER BY cx, cy
         """,
         "trend_by_event_type": """
             WITH pts AS (

@@ -1,0 +1,124 @@
+"""Getis-Ord Gi* hotspot detection over integer grid cells — the
+standard local spatial-autocorrelation statistic (Getis & Ord 1992,
+"The Analysis of Spatial Association by Use of Distance Statistics"),
+binary 3×3 queen-contiguity weights including self.
+
+Study region: the integer-degree bounding box of occupied cells; empty
+cells inside it contribute x=0 to the global moments and to neighbor
+sums (implicitly — they are never materialized). Gi* is emitted for
+OCCUPIED cells only (the practical convention; empty-cell scores are
+derivable from the same moments).
+
+Scale shape — ONE cell-keyed shuffle, no join:
+
+- Per-block partial counts (combiner rule) → ``groupby(cx,cy).sum``
+  gives the occupied-cell table, never collected.
+- Each occupied cell then emits 9 rows — its count attributed to every
+  3×3 neighbor position, tagged ``own`` on the center copy — and a
+  second groupby reduces (wsum, own) per position in the same pass;
+  ``own > 0`` filters back to occupied cells. This replaces the
+  neighbor self-join with a map + groupby (shuffle volume 9×|cells|,
+  independent of point volume).
+- Global moments (Σx, Σx², bbox) are an O(1) driver reduce over the
+  cell table; the closing z-map is stateless and broadcast.
+
+Cross-engine exactness: counts are int64; n, W are derived integers;
+z is ONE float expression over those integers, mirrored token-for-token
+in the DuckDB oracle (sqrt is correctly rounded in both engines).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_NEIGHBOR_D = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+def _cells_partial(t: pa.Table, lat_col: str, lon_col: str) -> pa.Table:
+    cx = np.floor(np.asarray(t[lon_col], np.float64)).astype(np.int64)
+    cy = np.floor(np.asarray(t[lat_col], np.float64)).astype(np.int64)
+    df = pd.DataFrame({"cx": cx, "cy": cy, "x": 1})
+    g = df.groupby(["cx", "cy"], sort=False).sum().reset_index()
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def _scatter9(t: pa.Table) -> pa.Table:
+    cx = np.asarray(t["cx"], np.int64)
+    cy = np.asarray(t["cy"], np.int64)
+    x = np.asarray(t["x"], np.int64)
+    outs = []
+    for dx, dy in _NEIGHBOR_D:
+        outs.append(pa.table({
+            "cx": pa.array(cx + dx), "cy": pa.array(cy + dy),
+            "wsum": pa.array(x),
+            "own": pa.array(x if (dx, dy) == (0, 0)
+                            else np.zeros_like(x))}))
+    return pa.concat_tables(outs)
+
+
+def getis_ord_cells(ds, lat_col: str = "lat", lon_col: str = "lon"):
+    """→ pandas (cx, cy, x, gi_z) for every occupied 1° cell, sorted by
+    (cx, cy). ``ds`` needs point columns lat/lon."""
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    cells = (ds.map_batches(
+                 functools.partial(_cells_partial, lat_col=lat_col,
+                                   lon_col=lon_col),
+                 batch_format="pyarrow")
+             .groupby(["cx", "cy"])
+             .aggregate(Sum("x", alias_name="x")))
+
+    # O(1) global moments over the occupied-cell table (tiny rows/key)
+    agg = cells.map_batches(
+        lambda t: pa.table({
+            "sx": [int(np.asarray(t["x"], np.int64).sum())],
+            "sxx": [int((np.asarray(t["x"], np.int64) ** 2).sum())],
+            "xmin": [int(np.asarray(t["cx"], np.int64).min())],
+            "xmax": [int(np.asarray(t["cx"], np.int64).max())],
+            "ymin": [int(np.asarray(t["cy"], np.int64).min())],
+            "ymax": [int(np.asarray(t["cy"], np.int64).max())]}),
+        batch_format="pyarrow").to_pandas()
+    sx, sxx = int(agg["sx"].sum()), int(agg["sxx"].sum())
+    xmin, xmax = int(agg["xmin"].min()), int(agg["xmax"].max())
+    ymin, ymax = int(agg["ymin"].min()), int(agg["ymax"].max())
+    n = (xmax - xmin + 1) * (ymax - ymin + 1)
+
+    nb = (cells.map_batches(_scatter9, batch_format="pyarrow")
+          .groupby(["cx", "cy"])
+          .aggregate(Sum("wsum", alias_name="wsum"),
+                     Sum("own", alias_name="own")))
+
+    def z_map(t: pa.Table) -> pa.Table:
+        own = np.asarray(t["own"], np.int64)
+        keep = own > 0
+        cx = np.asarray(t["cx"], np.int64)[keep]
+        cy = np.asarray(t["cy"], np.int64)[keep]
+        x = own[keep]
+        wsum = np.asarray(t["wsum"], np.int64)[keep]
+        # in-bbox 3x3 neighborhood size (integer, edge-aware)
+        w = ((np.minimum(cx + 1, xmax) - np.maximum(cx - 1, xmin) + 1)
+             * (np.minimum(cy + 1, ymax) - np.maximum(cy - 1, ymin) + 1)
+             ).astype(np.float64)
+        xbar = float(sx) / float(n)
+        s2 = float(sxx) / float(n) - xbar * xbar
+        # not (s2 > 0) also catches the float-negative-zero of an
+        # exactly-uniform grid; mirrored verbatim in the SQL oracle
+        if n < 2 or not (s2 > 0.0):
+            z = np.zeros(len(cx))
+        else:
+            s = np.sqrt(s2)
+            num = wsum.astype(np.float64) - xbar * w
+            den = s * np.sqrt((float(n) * w - w * w) / float(n - 1))
+            # n == W (bbox no larger than one neighborhood): no
+            # variance in the weight pattern, the statistic is undefined
+            z = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
+        return pa.table({"cx": pa.array(cx), "cy": pa.array(cy),
+                         "x": pa.array(x),
+                         "gi_z": pa.array(z, pa.float64())})
+
+    out = nb.map_batches(z_map, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["cx", "cy"]).reset_index(drop=True)

@@ -1,0 +1,74 @@
+"""getis_ord_cells — brute-force differential + invariants.
+
+The brute oracle recomputes Gi* per occupied cell directly from the
+formula (dict lookups, Python floats); the distributed scatter-9 +
+groupby result must match bit-exactly at any block layout. Invariants:
+a dense cluster's center cell carries the maximum z; an exactly-uniform
+fully-occupied grid has zero variance and every z is 0.
+"""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from cartwright_ray.stages.hotspot import getis_ord_cells
+
+
+def _brute(df):
+    cx = np.floor(df["lon"].to_numpy()).astype(np.int64)
+    cy = np.floor(df["lat"].to_numpy()).astype(np.int64)
+    counts = {}
+    for a, b in zip(cx, cy):
+        counts[(a, b)] = counts.get((a, b), 0) + 1
+    xmin, xmax = min(a for a, _ in counts), max(a for a, _ in counts)
+    ymin, ymax = min(b for _, b in counts), max(b for _, b in counts)
+    n = (xmax - xmin + 1) * (ymax - ymin + 1)
+    sx = sum(counts.values())
+    sxx = sum(v * v for v in counts.values())
+    xbar = float(sx) / float(n)
+    s2 = float(sxx) / float(n) - xbar * xbar
+    rows = []
+    for (a, b), x in sorted(counts.items()):
+        wsum = sum(counts.get((a + dx, b + dy), 0)
+                   for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+        w = float((min(a + 1, xmax) - max(a - 1, xmin) + 1)
+                  * (min(b + 1, ymax) - max(b - 1, ymin) + 1))
+        if n < 2 or not (s2 > 0.0):
+            z = 0.0
+        else:
+            den = np.sqrt(s2) * np.sqrt((float(n) * w - w * w)
+                                        / float(n - 1))
+            z = (float(wsum) - xbar * w) / den if den > 0 else 0.0
+        rows.append((a, b, x, z))
+    return pd.DataFrame(rows, columns=["cx", "cy", "x", "gi_z"])
+
+
+def test_matches_brute_and_layout_exact():
+    rng = np.random.default_rng(19)
+    # background noise + a dense cluster around (10.5, 20.5)
+    lat = np.r_[rng.uniform(0, 30, 2000), rng.normal(10.5, 0.8, 600)]
+    lon = np.r_[rng.uniform(0, 30, 2000), rng.normal(20.5, 0.8, 600)]
+    df = pd.DataFrame({"lat": lat, "lon": lon})
+    want = _brute(df)
+    runs = []
+    for blocks in (1, 4, 19):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        runs.append(getis_ord_cells(ds))
+    for got in runs:
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the cluster center is the global hotspot
+    top = want.loc[want["gi_z"].idxmax()]
+    assert (top["cx"], top["cy"]) == (20, 10)
+    assert top["gi_z"] > 5.0
+
+
+def test_uniform_grid_zero_variance():
+    # every cell of a 4x4 bbox occupied with exactly 2 points: s2 == 0
+    pts = [(y + 0.5 + k * 0.1, x + 0.5)
+           for x in range(4) for y in range(4) for k in (0, 1)]
+    df = pd.DataFrame(pts, columns=["lat", "lon"])
+    out = getis_ord_cells(ray.data.from_pandas(df))
+    assert len(out) == 16
+    assert (out["x"] == 2).all()
+    assert (out["gi_z"] == 0.0).all()
