@@ -322,6 +322,19 @@ def _q_hotspot(sf_dir):
     return getis_ord_cells(derived_track_points(sf_dir))
 
 
+def _q_dwell(sf_dir):
+    """Stay-point dwell episodes (stages/tracks.py:dwell_episodes):
+    maximal ≥3-ping runs of one user inside one 1° cell — grid-quantized
+    stay-points, one track-keyed sort exchange + vectorized run-length
+    kernel. SQL replay: gaps-and-islands (rn − rn_per_cell) with
+    arg_min/arg_max endpoints — integers end to end, bit-exact."""
+    from cartwright_ray.pipelines.relational import derived_track_points
+    from cartwright_ray.stages.tracks import dwell_episodes
+    df = dwell_episodes(derived_track_points(sf_dir)).to_pandas()
+    return (df.sort_values(["user_id", "start_event"])
+            .reset_index(drop=True))
+
+
 def _q_hll_distinct(sf_dir):
     """Per-key HyperLogLog distinct-count with the INTEGER estimator
     (stages/sketch.py:hll_distinct_by_key): double-Lehmer 31-bit hash,
@@ -2401,6 +2414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_matrix_zones": _q_od_matrix,
         "trend_by_event_type": _q_trend,
         "hotspot_cells_gi": _q_hotspot,
+        "dwell_episodes_users": _q_dwell,
         "pagerank_docs": _q_pagerank,
         # shuffle plan at 2 iterations: proves the scale path at a
         # fifth of the per-iteration exchange cost in the driver window
@@ -2980,6 +2994,37 @@ def oracle_sql() -> dict[str, str]:
                        END AS gi_z
                 FROM ex)
             SELECT cx, cy, x, gi_z FROM zz ORDER BY cx, cy
+        """,
+        "dwell_episodes_users": """
+            WITH tpts AS (
+                SELECT user_id, event_id, ts,
+                       CAST((user_id * 13 % 120) - 60.0
+                            + (event_id * 7 % 19) * 0.125
+                            + CASE WHEN event_id % 11 = 0 THEN 15.0
+                                   ELSE 0.0 END AS DOUBLE) AS lat,
+                       CAST((user_id * 29 % 300) - 150.0
+                            + (event_id * 3 % 23) * 0.125 AS DOUBLE) AS lon
+                FROM events),
+            cells AS (
+                SELECT user_id, event_id, ts,
+                       CAST(floor(lon) AS BIGINT) AS cx,
+                       CAST(floor(lat) AS BIGINT) AS cy
+                FROM tpts),
+            seq AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn,
+                       row_number() OVER (PARTITION BY user_id, cx, cy
+                                          ORDER BY ts, event_id) AS rnc
+                FROM cells)
+            SELECT user_id, cx, cy,
+                   arg_min(event_id, rn) AS start_event,
+                   arg_max(event_id, rn) AS end_event,
+                   CAST(count(*) AS BIGINT) AS n_pings,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+            FROM seq GROUP BY user_id, cx, cy, rn - rnc
+            HAVING count(*) >= 3
+            ORDER BY user_id, start_event
         """,
         "trend_by_event_type": """
             WITH pts AS (

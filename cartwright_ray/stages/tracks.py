@@ -227,3 +227,64 @@ def track_extent(ds, track_col: str = "user_id", lat_col: str = "lat",
               .sort(track_col)
               .map_batches(finalize, batch_format="pyarrow",
                            batch_size=None))
+
+
+def dwell_episodes(ds, min_pings: int = 3, track_col: str = "user_id",
+                   order_cols=("ts", "event_id"),
+                   event_col: str = "event_id",
+                   lat_col: str = "lat", lon_col: str = "lon"):
+    """Stay-point (dwell) episodes: maximal runs of ≥ ``min_pings``
+    consecutive pings of one track inside the same 1° grid cell,
+    in ``order_cols`` order — the grid-quantized variant of the Li et
+    al. 2008 stay-point scan, chosen because runs-in-a-cell vectorizes
+    to one lexsort + boundary cumsum per block (the anchor-advance
+    original is a data-dependent per-row loop).
+
+    → (track, cx, cy, start_event, end_event, n_pings, duration_us).
+
+    Distribution: the cell bin is a stateless map; episodes need
+    within-track order, so ONE sort exchange on the track id ALONE
+    (exchange-discipline rule, see module docstring) then a whole-block
+    kernel: run boundaries are a vectorized neighbor compare, per-run
+    first/last/count are index arithmetic on the boundary positions —
+    no reduceat even needed. SQL replays it as gaps-and-islands
+    (rn − rn_per_cell run key + arg_min/arg_max by rn)."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            pa.field(track_col, pa.int64()), pa.field("cx", pa.int64()),
+            pa.field("cy", pa.int64()),
+            pa.field("start_event", pa.int64()),
+            pa.field("end_event", pa.int64()),
+            pa.field("n_pings", pa.int64()),
+            pa.field("duration_us", pa.int64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        u = np.asarray(t[track_col], np.int64)
+        okeys = [np.asarray(t[c]) for c in order_cols]
+        order = np.lexsort(tuple(reversed(okeys)) + (u,))
+        u = u[order]
+        e = np.asarray(t[event_col], np.int64)[order]
+        ts = np.asarray(t["ts"].cast(pa.timestamp("us"))
+                        .cast(pa.int64()), np.int64)[order]
+        cx = np.floor(np.asarray(t[lon_col], np.float64)[order]
+                      ).astype(np.int64)
+        cy = np.floor(np.asarray(t[lat_col], np.float64)[order]
+                      ).astype(np.int64)
+        new = np.r_[True, (u[1:] != u[:-1]) | (cx[1:] != cx[:-1])
+                    | (cy[1:] != cy[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(u)] - 1
+        n = ends - starts + 1
+        keep = n >= min_pings
+        s, x = starts[keep], ends[keep]
+        return pa.table({track_col: pa.array(u[s]),
+                         "cx": pa.array(cx[s]), "cy": pa.array(cy[s]),
+                         "start_event": pa.array(e[s]),
+                         "end_event": pa.array(e[x]),
+                         "n_pings": pa.array(n[keep]),
+                         "duration_us": pa.array(ts[x] - ts[s])})
+
+    return (ds.sort(track_col)
+              .map_batches(kernel, batch_format="pyarrow",
+                           batch_size=None))
