@@ -322,6 +322,19 @@ def _q_hotspot(sf_dir):
     return getis_ord_cells(derived_track_points(sf_dir))
 
 
+def _q_morans_i(sf_dir):
+    """Global Moran's I (stages/hotspot.py:morans_i): queen-weight
+    autocorrelation over the 1° grid with empty bbox cells as x=0
+    members — never materialized, via the algebraic expansion
+    Σwzz = Σx·nbrx − 2x̄Σx·deg + x̄²W and the closed-form grid W.
+    All Σ are exact int64 off the scatter-9 shuffle; one shared float
+    expression closes it, so the DuckDB self-join replay hashes
+    bit-exactly."""
+    from cartwright_ray.pipelines.relational import derived_track_points
+    from cartwright_ray.stages.hotspot import morans_i
+    return morans_i(derived_track_points(sf_dir))
+
+
 def _q_dwell(sf_dir):
     """Stay-point dwell episodes (stages/tracks.py:dwell_episodes):
     maximal ≥3-ping runs of one user inside one 1° cell — grid-quantized
@@ -2415,6 +2428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trend_by_event_type": _q_trend,
         "hotspot_cells_gi": _q_hotspot,
         "dwell_episodes_users": _q_dwell,
+        "morans_i_cells": _q_morans_i,
         "pagerank_docs": _q_pagerank,
         # shuffle plan at 2 iterations: proves the scale path at a
         # fifth of the per-iteration exchange cost in the driver window
@@ -2994,6 +3008,72 @@ def oracle_sql() -> dict[str, str]:
                        END AS gi_z
                 FROM ex)
             SELECT cx, cy, x, gi_z FROM zz ORDER BY cx, cy
+        """,
+        "morans_i_cells": """
+            WITH tpts AS (
+                SELECT CAST((user_id * 13 % 120) - 60.0
+                            + (event_id * 7 % 19) * 0.125
+                            + CASE WHEN event_id % 11 = 0 THEN 15.0
+                                   ELSE 0.0 END AS DOUBLE) AS lat,
+                       CAST((user_id * 29 % 300) - 150.0
+                            + (event_id * 3 % 23) * 0.125 AS DOUBLE) AS lon
+                FROM events),
+            cells AS (
+                SELECT CAST(floor(lon) AS BIGINT) AS cx,
+                       CAST(floor(lat) AS BIGINT) AS cy,
+                       CAST(count(*) AS BIGINT) AS x
+                FROM tpts GROUP BY 1, 2),
+            g AS (SELECT CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(x * x) AS BIGINT) AS sxx,
+                         min(cx) AS xmin, max(cx) AS xmax,
+                         min(cy) AS ymin, max(cy) AS ymax,
+                         max(cy) - min(cy) + 1 AS r,
+                         max(cx) - min(cx) + 1 AS c
+                  FROM cells),
+            gg AS (SELECT *, r * c AS n,
+                          2 * (r * (c - 1) + c * (r - 1)
+                               + 2 * (r - 1) * (c - 1)) AS w
+                   FROM g),
+            nb AS (
+                SELECT c1.cx, c1.cy, c1.x,
+                       CAST(coalesce(sum(c2.x), 0) AS BIGINT) AS nbrx
+                FROM cells c1 LEFT JOIN cells c2
+                  ON c2.cx BETWEEN c1.cx - 1 AND c1.cx + 1
+                 AND c2.cy BETWEEN c1.cy - 1 AND c1.cy + 1
+                 AND NOT (c2.cx = c1.cx AND c2.cy = c1.cy)
+                GROUP BY c1.cx, c1.cy, c1.x),
+            cp AS (
+                SELECT CAST(sum(nb.x * nb.nbrx) AS BIGINT) AS xnbr,
+                       CAST(sum(nb.x *
+                           ((least(nb.cx + 1, gg.xmax)
+                             - greatest(nb.cx - 1, gg.xmin) + 1)
+                            * (least(nb.cy + 1, gg.ymax)
+                               - greatest(nb.cy - 1, gg.ymin) + 1)
+                            - 1)) AS BIGINT) AS xdeg
+                FROM nb CROSS JOIN gg)
+            SELECT gg.n AS n_cells, gg.w AS w_pairs,
+                   CASE WHEN gg.n < 2 OR gg.w = 0 THEN 0.0
+                        WHEN CAST(gg.sxx AS DOUBLE)
+                             - (CAST(gg.sx AS DOUBLE)
+                                / CAST(gg.n AS DOUBLE))
+                               * CAST(gg.sx AS DOUBLE) > 0
+                        THEN (CAST(gg.n AS DOUBLE)
+                              / CAST(gg.w AS DOUBLE))
+                             * ((CAST(cp.xnbr AS DOUBLE)
+                                 - 2.0 * (CAST(gg.sx AS DOUBLE)
+                                          / CAST(gg.n AS DOUBLE))
+                                       * CAST(cp.xdeg AS DOUBLE)
+                                 + (CAST(gg.sx AS DOUBLE)
+                                    / CAST(gg.n AS DOUBLE))
+                                   * (CAST(gg.sx AS DOUBLE)
+                                      / CAST(gg.n AS DOUBLE))
+                                   * CAST(gg.w AS DOUBLE))
+                                / (CAST(gg.sxx AS DOUBLE)
+                                   - (CAST(gg.sx AS DOUBLE)
+                                      / CAST(gg.n AS DOUBLE))
+                                     * CAST(gg.sx AS DOUBLE)))
+                        ELSE 0.0 END AS morans_i
+            FROM gg CROSS JOIN cp
         """,
         "dwell_episodes_users": """
             WITH tpts AS (

@@ -158,7 +158,11 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "dbscan_cluster_stats", "curriculum_pack_docs",
              # round-5 late additions
              "greedy_pack_docs", "hll_distinct_by_type",
-             "track_extent_users", "pagerank_docs"]
+             "track_extent_users", "pagerank_docs",
+             # round-5 movement-analytics family
+             "geofence_transitions", "od_matrix_zones",
+             "trend_by_event_type", "hotspot_cells_gi",
+             "dwell_episodes_users", "morans_i_cells"]
     out = {}
     for name in picks:
         t0 = time.time()

@@ -122,3 +122,81 @@ def getis_ord_cells(ds, lat_col: str = "lat", lon_col: str = "lon"):
 
     out = nb.map_batches(z_map, batch_format="pyarrow").to_pandas()
     return out.sort_values(["cx", "cy"]).reset_index(drop=True)
+
+
+def morans_i(ds, lat_col: str = "lat", lon_col: str = "lon"):
+    """Global Moran's I (Moran 1950) over the 1° cell grid, binary
+    queen weights (w_ii = 0), study region = the occupied-cell bbox
+    with empty cells as x = 0 members.
+
+    Empty cells are NEVER materialized: with z = x − x̄,
+    Σᵢⱼ wᵢⱼ zᵢ zⱼ expands to Σ_occ x·nbrx − 2 x̄ Σ_occ x·deg + x̄² W,
+    where nbrx (neighbor sum excluding self) and deg (in-bbox degree)
+    are known at occupied cells, and W = Σ deg over ALL bbox cells has
+    the closed form 2·[R(C−1) + C(R−1) + 2(R−1)(C−1)]. Every Σ is an
+    exact int64 reduce off the same scatter-9 shuffle as
+    :func:`getis_ord_cells`; the closing I is ONE float expression —
+    bit-exact against the DuckDB self-join replay.
+
+    → pandas single row (n_cells, w_pairs, morans_i).
+    """
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    cells = (ds.map_batches(
+                 functools.partial(_cells_partial, lat_col=lat_col,
+                                   lon_col=lon_col),
+                 batch_format="pyarrow")
+             .groupby(["cx", "cy"])
+             .aggregate(Sum("x", alias_name="x")))
+
+    agg = cells.map_batches(
+        lambda t: pa.table({
+            "sx": [int(np.asarray(t["x"], np.int64).sum())],
+            "sxx": [int((np.asarray(t["x"], np.int64) ** 2).sum())],
+            "xmin": [int(np.asarray(t["cx"], np.int64).min())],
+            "xmax": [int(np.asarray(t["cx"], np.int64).max())],
+            "ymin": [int(np.asarray(t["cy"], np.int64).min())],
+            "ymax": [int(np.asarray(t["cy"], np.int64).max())]}),
+        batch_format="pyarrow").to_pandas()
+    sx, sxx = int(agg["sx"].sum()), int(agg["sxx"].sum())
+    xmin, xmax = int(agg["xmin"].min()), int(agg["xmax"].max())
+    ymin, ymax = int(agg["ymin"].min()), int(agg["ymax"].max())
+    rows, cols = ymax - ymin + 1, xmax - xmin + 1
+    n = rows * cols
+    w_tot = 2 * (rows * (cols - 1) + cols * (rows - 1)
+                 + 2 * (rows - 1) * (cols - 1))
+
+    nb = (cells.map_batches(_scatter9, batch_format="pyarrow")
+          .groupby(["cx", "cy"])
+          .aggregate(Sum("wsum", alias_name="wsum"),
+                     Sum("own", alias_name="own")))
+
+    def cross_partial(t: pa.Table) -> pa.Table:
+        own = np.asarray(t["own"], np.int64)
+        keep = own > 0
+        cx = np.asarray(t["cx"], np.int64)[keep]
+        cy = np.asarray(t["cy"], np.int64)[keep]
+        x = own[keep]
+        nbrx = np.asarray(t["wsum"], np.int64)[keep] - x
+        deg = ((np.minimum(cx + 1, xmax) - np.maximum(cx - 1, xmin) + 1)
+               * (np.minimum(cy + 1, ymax) - np.maximum(cy - 1, ymin)
+                  + 1) - 1)
+        return pa.table({"xnbr": [int((x * nbrx).sum())],
+                         "xdeg": [int((x * deg).sum())]})
+
+    cp = nb.map_batches(cross_partial, batch_format="pyarrow").to_pandas()
+    xnbr, xdeg = int(cp["xnbr"].sum()), int(cp["xdeg"].sum())
+
+    import pandas as pd
+    if n < 2 or w_tot == 0:
+        return pd.DataFrame([(n, w_tot, 0.0)],
+                            columns=["n_cells", "w_pairs", "morans_i"])
+    xbar = float(sx) / float(n)
+    num = float(xnbr) - 2.0 * xbar * float(xdeg) \
+        + xbar * xbar * float(w_tot)
+    den = float(sxx) - xbar * float(sx)
+    i_val = (float(n) / float(w_tot)) * (num / den) if den > 0 else 0.0
+    return pd.DataFrame([(n, w_tot, i_val)],
+                        columns=["n_cells", "w_pairs", "morans_i"])

@@ -63,6 +63,53 @@ def test_matches_brute_and_layout_exact():
     assert top["gi_z"] > 5.0
 
 
+def _brute_morans(df):
+    cx = np.floor(df["lon"].to_numpy()).astype(np.int64)
+    cy = np.floor(df["lat"].to_numpy()).astype(np.int64)
+    counts = {}
+    for a, b in zip(cx, cy):
+        counts[(a, b)] = counts.get((a, b), 0) + 1
+    xmin, xmax = min(a for a, _ in counts), max(a for a, _ in counts)
+    ymin, ymax = min(b for _, b in counts), max(b for _, b in counts)
+    # MATERIALIZE every bbox cell (the thing the engine must never do)
+    full = {(a, b): counts.get((a, b), 0)
+            for a in range(xmin, xmax + 1) for b in range(ymin, ymax + 1)}
+    n = len(full)
+    xbar = sum(full.values()) / n
+    num = 0.0
+    w = 0
+    for (a, b), x in full.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx, dy) == (0, 0):
+                    continue
+                q = full.get((a + dx, b + dy))
+                if q is None:
+                    continue
+                w += 1
+                num += (x - xbar) * (q - xbar)
+    den = sum((x - xbar) ** 2 for x in full.values())
+    return n, w, (n / w) * (num / den)
+
+
+def test_morans_i_matches_brute_and_is_positive_for_clusters():
+    from cartwright_ray.stages.hotspot import morans_i
+    rng = np.random.default_rng(31)
+    lat = np.r_[rng.normal(5.5, 1.2, 900), rng.normal(14.5, 1.0, 700)]
+    lon = np.r_[rng.normal(5.5, 1.2, 900), rng.normal(14.5, 1.0, 700)]
+    df = pd.DataFrame({"lat": lat, "lon": lon})
+    n, w, want = _brute_morans(df)
+    for blocks in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        got = morans_i(ds)
+        assert int(got.loc[0, "n_cells"]) == n
+        assert int(got.loc[0, "w_pairs"]) == w
+        # brute accumulates floats in dict order; engine uses the exact
+        # integer expansion — compare to rtol, exactness is the oracle's
+        assert np.isclose(got.loc[0, "morans_i"], want, rtol=1e-9)
+    assert want > 0.3                           # clusters autocorrelate
+
+
 def test_uniform_grid_zero_variance():
     # every cell of a 4x4 bbox occupied with exactly 2 points: s2 == 0
     pts = [(y + 0.5 + k * 0.1, x + 0.5)
