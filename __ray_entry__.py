@@ -322,6 +322,22 @@ def _q_hotspot(sf_dir):
     return getis_ord_cells(derived_track_points(sf_dir))
 
 
+def _q_bpe_train(sf_dir):
+    """BPE tokenizer training, 8 merges (stages/bpe.py): corpus scanned
+    ONCE into a word-frequency table, then per-merge passes over the
+    VOCABULARY only — pair counts via list-offset arithmetic, top-1 via
+    per-block argmax candidates (never a collected pair table), merge
+    application as one literal replace over the double-space symbol
+    encoding (greedy left-to-right semantics identical in Arrow,
+    Python and DuckDB). Oracle: 8 unrolled CTE iterations, the
+    pagerank_docs precedent."""
+    import ray.data
+    from cartwright_ray.stages.bpe import bpe_train
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    return bpe_train(ds, n_merges=8)
+
+
 def _q_morans_i(sf_dir):
     """Global Moran's I (stages/hotspot.py:morans_i): queen-weight
     autocorrelation over the 1° grid with empty bbox cells as x=0
@@ -2429,6 +2445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hotspot_cells_gi": _q_hotspot,
         "dwell_episodes_users": _q_dwell,
         "morans_i_cells": _q_morans_i,
+        "bpe_train_docs": _q_bpe_train,
         "pagerank_docs": _q_pagerank,
         # shuffle plan at 2 iterations: proves the scale path at a
         # fifth of the per-iteration exchange cost in the driver window
@@ -4971,6 +4988,50 @@ def oracle_sql() -> dict[str, str]:
 
     out["pagerank_docs"] = _pr_sql(5)
     out["pagerank_docs_shuffle"] = _pr_sql(2)
+
+    # bpe_train_docs: unrolled-CTE replay of the 8 BPE merges — the
+    # double-space symbol encoding makes each merge application ONE
+    # literal replace() whose greedy left-to-right non-overlap scan is
+    # identical in DuckDB / Arrow / Python; best-pair values flow via
+    # scalar subqueries so symbol text never needs SQL-literal quoting.
+    def _bpe_sql(iters: int) -> str:
+        parts = [r"""
+        WITH words AS (
+            SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+                  FROM documents)
+            WHERE tok <> '' GROUP BY tok),
+        enc0 AS MATERIALIZED (SELECT freq,
+                        regexp_replace(word, '(.)', ' \1 ', 'g') AS s
+                 FROM words)"""]
+        for k in range(1, iters + 1):
+            parts.append(f""",
+        pairs{k} AS MATERIALIZED (
+            SELECT l[i] AS a, l[i + 1] AS b,
+                   CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (SELECT freq, str_split(trim(s), '  ') AS l
+                  FROM enc{k - 1}) t,
+                 unnest(generate_series(1, length(l) - 1)) AS u(i)
+            GROUP BY a, b),
+        best{k} AS MATERIALIZED (SELECT a, b, cnt FROM pairs{k}
+                    ORDER BY cnt DESC, a, b LIMIT 1),
+        enc{k} AS MATERIALIZED (
+            SELECT freq,
+                   replace(s,
+                           ' ' || (SELECT a FROM best{k}) || '  '
+                               || (SELECT b FROM best{k}) || ' ',
+                           ' ' || (SELECT a FROM best{k})
+                               || (SELECT b FROM best{k}) || ' ') AS s
+            FROM enc{k - 1})""")
+        selects = [f"""
+            SELECT CAST({k} AS BIGINT) AS step, a AS left_sym,
+                   b AS right_sym, a || b AS merged, cnt AS pair_count
+            FROM best{k}""" for k in range(1, iters + 1)]
+        parts.append("\n" + "\nUNION ALL\n".join(selects)
+                     + "\nORDER BY step")
+        return "".join(parts)
+
+    out["bpe_train_docs"] = _bpe_sql(8)
 
     # hll_distinct_by_type: the SQL replays the INTEGER estimator of
     # stages/sketch.py:hll_distinct_by_key step for step. The linear-
