@@ -338,6 +338,19 @@ def _q_bpe_train(sf_dir):
     return bpe_train(ds, n_merges=8)
 
 
+def _q_bpe_tokens(sf_dir):
+    """Corpus token frequencies under the learned BPE vocabulary
+    (stages/bpe.py:bpe_token_counts): the tokenizer is APPLIED on the
+    aggregated word-frequency table (symbol counts × word freq), so
+    the corpus is scanned exactly once end to end. Oracle: the
+    bpe_train CTE chain + unnest of the final encoding."""
+    import ray.data
+    from cartwright_ray.stages.bpe import bpe_token_counts
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    return bpe_token_counts(ds, n_merges=8, k=30)
+
+
 def _q_morans_i(sf_dir):
     """Global Moran's I (stages/hotspot.py:morans_i): queen-weight
     autocorrelation over the 1° grid with empty bbox cells as x=0
@@ -2446,6 +2459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dwell_episodes_users": _q_dwell,
         "morans_i_cells": _q_morans_i,
         "bpe_train_docs": _q_bpe_train,
+        "bpe_token_counts": _q_bpe_tokens,
         "pagerank_docs": _q_pagerank,
         # shuffle plan at 2 iterations: proves the scale path at a
         # fifth of the per-iteration exchange cost in the driver window
@@ -5031,7 +5045,18 @@ def oracle_sql() -> dict[str, str]:
                      + "\nORDER BY step")
         return "".join(parts)
 
+    def _bpe_tokens_sql(iters: int, k: int) -> str:
+        head = _bpe_sql(iters)
+        head = head[:head.index("\n            SELECT CAST(1 AS")]
+        return head + f"""
+            SELECT tok AS token, CAST(sum(freq) AS BIGINT) AS n
+            FROM (SELECT freq, unnest(str_split(trim(s), '  ')) AS tok
+                  FROM enc{iters})
+            GROUP BY tok
+            ORDER BY n DESC, token LIMIT {k}"""
+
     out["bpe_train_docs"] = _bpe_sql(8)
+    out["bpe_token_counts"] = _bpe_tokens_sql(8, 30)
 
     # hll_distinct_by_type: the SQL replays the INTEGER estimator of
     # stages/sketch.py:hll_distinct_by_key step for step. The linear-

@@ -90,6 +90,44 @@ def bpe_train(ds, n_merges: int = 8, col: str = "text") -> pd.DataFrame:
     """→ pandas (step, left_sym, right_sym, merged, pair_count): the
     merge table of ``n_merges`` BPE iterations over the whitespace-token
     vocabulary of ``ds[col]``. Stops early if no pair remains."""
+    rows, _ = _train(ds, n_merges, col)
+    return pd.DataFrame(rows, columns=["step", "left_sym", "right_sym",
+                                       "merged", "pair_count"])
+
+
+def bpe_token_counts(ds, n_merges: int = 8, k: int = 30,
+                     col: str = "text") -> pd.DataFrame:
+    """Corpus token frequencies UNDER the learned BPE vocabulary: train
+    ``n_merges`` merges, then count final symbols — weighted by word
+    frequency over the ALREADY-AGGREGATED vocab table, so applying the
+    tokenizer to the corpus costs zero additional corpus scans.
+    → pandas (token, n), top ``k`` by (n desc, token asc)."""
+    from ray.data.aggregate import Sum
+
+    _, enc = _train(ds, n_merges, col)
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        s = pc.utf8_trim(t["s"], " ")
+        toks = pc.split_pattern(s, "  ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        vals = np.asarray(toks.values, dtype=object)
+        n_tok = np.diff(np.asarray(toks.offsets, np.int64))
+        w = np.repeat(np.asarray(t["freq"], np.int64), n_tok)
+        g = (pd.DataFrame({"token": vals, "n": w})
+             .groupby("token", sort=False).sum().reset_index())
+        return pa.table({"token": pa.array(g["token"], pa.string()),
+                         "n": pa.array(g["n"], pa.int64())})
+
+    out = (enc.map_batches(tok_partial, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("n", alias_name="n"))
+           .sort(["n", "token"], descending=[True, False]).limit(k)
+           .to_pandas())
+    return out.reset_index(drop=True)
+
+
+def _train(ds, n_merges: int, col: str):
+    """Shared merge loop: → (merge rows, final vocab-encoding Dataset)."""
     from ray.data.aggregate import Sum
 
     words = _word_counts(ds, col)
@@ -121,5 +159,4 @@ def bpe_train(ds, n_merges: int = 8, col: str = "text") -> pd.DataFrame:
                 "s": pc.replace_substring(t["s"], pattern=pat,
                                           replacement=rep)}),
             batch_format="pyarrow").materialize()
-    return pd.DataFrame(rows, columns=["step", "left_sym", "right_sym",
-                                       "merged", "pair_count"])
+    return rows, enc

@@ -66,6 +66,31 @@ def test_overlap_counting_and_merge():
     assert got.loc[1, "left_sym"] == "aa"    # left-to-right greedy
 
 
+def test_token_counts_weighted_apply():
+    from cartwright_ray.stages.bpe import bpe_token_counts
+    texts = ["banana ban", "banana", "nab abba"]
+    # reference: train 2 merges, re-encode every word, count × freq
+    want_merges = _ref_bpe(texts, 2)
+    freq = {}
+    for t in texts:
+        for w in t.split():
+            freq[w] = freq.get(w, 0) + 1
+    counts = {}
+    for w, f in freq.items():
+        s = " " + "  ".join(w) + " "
+        for _, r in want_merges.iterrows():
+            s = s.replace(f" {r.left_sym}  {r.right_sym} ",
+                          f" {r.merged} ")
+        for tok in s.strip().split("  "):
+            counts[tok] = counts.get(tok, 0) + f
+    want = (pd.DataFrame(sorted(counts.items(),
+                                key=lambda kv: (-kv[1], kv[0]))[:30],
+                         columns=["token", "n"]))
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts}))
+    got = bpe_token_counts(ds, n_merges=2, k=30)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_early_stop_single_chars():
     ds = ray.data.from_pandas(pd.DataFrame({"text": ["a b c", "d e"]}))
     got = bpe_train(ds, n_merges=5)
