@@ -351,6 +351,50 @@ def _q_bpe_tokens(sf_dir):
     return bpe_token_counts(ds, n_merges=8, k=30)
 
 
+def _q_crossings(sf_dir):
+    """Trajectory crossing join (joins/crossing_join.py): segment pairs
+    of DIFFERENT users that properly intersect, counted per user pair.
+    ×8-integer coordinates, four integer cross products with strict
+    sign opposition — exact; candidates via 1° bbox-cell scatter +
+    hash-partitioned per-cell m² kernel, deduped on the 4-key groupby.
+    The point generator differs from derived_track_points on purpose:
+    its user strips OVERLAP (base spacing 8 ints < strip width 22), so
+    cross-user crossings actually exist. Oracle: lag-window segments +
+    cell generate_series cover + DISTINCT self-join with the identical
+    integer predicate."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from cartwright_ray.joins.crossing_join import crossing_join
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], np.int64)
+        e = np.asarray(t["event_id"], np.int64)
+        # grid-enumerated bases (x from u mod 60, y from u div 60):
+        # adjacent users share a y-row with x-strips 8 ints apart vs a
+        # 22-int strip width, so tracks overlap and genuinely cross —
+        # a LINEAR base map (u*k % m on both axes) provably never
+        # yields a pair overlapping on both axes at once
+        y = (u // 60 % 40 - 20) * 8 + e * 7 % 19
+        x = (u % 60 - 30) * 8 + e * 3 % 23
+        t = t.append_column("x", pa.array(x))
+        return t.append_column("y", pa.array(y))
+
+    res = crossing_join(ds.map_batches(derive, batch_format="pyarrow"))
+    df = res.to_pandas() if res is not None else None
+    if df is None or df.empty:
+        import pandas as pd
+        return pd.DataFrame({"user_a": pd.Series([], dtype=np.int64),
+                             "user_b": pd.Series([], dtype=np.int64),
+                             "n_crossings": pd.Series([], dtype=np.int64)})
+    return (df.sort_values(["user_a", "user_b"])
+            .reset_index(drop=True))
+
+
 def _q_morans_i(sf_dir):
     """Global Moran's I (stages/hotspot.py:morans_i): queen-weight
     autocorrelation over the 1° grid with empty bbox cells as x=0
@@ -2460,6 +2504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "morans_i_cells": _q_morans_i,
         "bpe_train_docs": _q_bpe_train,
         "bpe_token_counts": _q_bpe_tokens,
+        "track_crossings": _q_crossings,
         "pagerank_docs": _q_pagerank,
         # shuffle plan at 2 iterations: proves the scale path at a
         # fifth of the per-iteration exchange cost in the driver window
@@ -3039,6 +3084,59 @@ def oracle_sql() -> dict[str, str]:
                        END AS gi_z
                 FROM ex)
             SELECT cx, cy, x, gi_z FROM zz ORDER BY cx, cy
+        """,
+        "track_crossings": """
+            WITH p AS (
+                SELECT user_id, event_id, ts,
+                       ((user_id // 60) % 40 - 20) * 8
+                           + event_id * 7 % 19 AS y,
+                       (user_id % 60 - 30) * 8
+                           + event_id * 3 % 23 AS x
+                FROM events),
+            s AS (
+                SELECT user_id, event_id AS eid, x AS x2, y AS y2,
+                       lag(x) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS x1,
+                       lag(y) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS y1
+                FROM p),
+            segs AS (SELECT * FROM s WHERE x1 IS NOT NULL),
+            cov AS (
+                SELECT segs.*, u.cx, v.cy
+                FROM segs,
+                unnest(generate_series(
+                    CAST(floor(least(x1, x2) / 8.0) AS BIGINT),
+                    CAST(floor(greatest(x1, x2) / 8.0) AS BIGINT)))
+                    AS u(cx),
+                unnest(generate_series(
+                    CAST(floor(least(y1, y2) / 8.0) AS BIGINT),
+                    CAST(floor(greatest(y1, y2) / 8.0) AS BIGINT)))
+                    AS v(cy)),
+            cand AS (
+                SELECT DISTINCT
+                       c1.user_id AS ua, c1.eid AS ea,
+                       c1.x1 AS ax1, c1.y1 AS ay1,
+                       c1.x2 AS ax2, c1.y2 AS ay2,
+                       c2.user_id AS ub, c2.eid AS eb,
+                       c2.x1 AS bx1, c2.y1 AS by1,
+                       c2.x2 AS bx2, c2.y2 AS by2
+                FROM cov c1 JOIN cov c2
+                  ON c1.cx = c2.cx AND c1.cy = c2.cy
+                 AND c1.user_id < c2.user_id),
+            hit AS (
+                SELECT ua, ub FROM (
+                    SELECT ua, ub,
+                           (bx2-bx1)*(ay1-by1) - (by2-by1)*(ax1-bx1) AS d1,
+                           (bx2-bx1)*(ay2-by1) - (by2-by1)*(ax2-bx1) AS d2,
+                           (ax2-ax1)*(by1-ay1) - (ay2-ay1)*(bx1-ax1) AS d3,
+                           (ax2-ax1)*(by2-ay1) - (ay2-ay1)*(bx2-ax1) AS d4
+                    FROM cand)
+                WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+                  AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))
+            SELECT ua AS user_a, ub AS user_b,
+                   CAST(count(*) AS BIGINT) AS n_crossings
+            FROM hit GROUP BY ua, ub
+            ORDER BY user_a, user_b
         """,
         "morans_i_cells": """
             WITH tpts AS (
