@@ -395,6 +395,36 @@ def _q_crossings(sf_dir):
             .reset_index(drop=True))
 
 
+def _q_hausdorff(sf_dir):
+    """Track-similarity join (joins/hausdorff_join.py): unordered user
+    pairs with symmetric Hausdorff² ≤ 12² (×8-integer units) over the
+    grid-enumerated tracks — ONE track-keyed exchange folds tracks to
+    a |users|-row track table, expanded-bbox prefilter (exact, both
+    engines), per-pair vectorized integer distance matrix. Oracle:
+    bbox self-join + two-directional min/max groupby, pure integers."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from cartwright_ray.joins.hausdorff_join import hausdorff_join
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], np.int64)
+        e = np.asarray(t["event_id"], np.int64)
+        y = (u // 60 % 40 - 20) * 8 + e * 7 % 19
+        x = (u % 60 - 30) * 8 + e * 3 % 23
+        t = t.append_column("x", pa.array(x))
+        return t.append_column("y", pa.array(y))
+
+    df = hausdorff_join(ds.map_batches(derive, batch_format="pyarrow"),
+                        threshold=12).to_pandas()
+    return (df.sort_values(["user_a", "user_b"])
+            .reset_index(drop=True))
+
+
 def _q_morans_i(sf_dir):
     """Global Moran's I (stages/hotspot.py:morans_i): queen-weight
     autocorrelation over the 1° grid with empty bbox cells as x=0
@@ -2505,6 +2535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train_docs": _q_bpe_train,
         "bpe_token_counts": _q_bpe_tokens,
         "track_crossings": _q_crossings,
+        "hausdorff_pairs": _q_hausdorff,
         "pagerank_docs": _q_pagerank,
         # shuffle plan at 2 iterations: proves the scale path at a
         # fifth of the per-iteration exchange cost in the driver window
@@ -3136,6 +3167,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT ua AS user_a, ub AS user_b,
                    CAST(count(*) AS BIGINT) AS n_crossings
             FROM hit GROUP BY ua, ub
+            ORDER BY user_a, user_b
+        """,
+        "hausdorff_pairs": """
+            WITH p AS (
+                SELECT user_id,
+                       ((user_id // 60) % 40 - 20) * 8
+                           + event_id * 7 % 19 AS y,
+                       (user_id % 60 - 30) * 8
+                           + event_id * 3 % 23 AS x
+                FROM events),
+            bb AS (SELECT user_id, min(x) AS xmin, max(x) AS xmax,
+                          min(y) AS ymin, max(y) AS ymax
+                   FROM p GROUP BY user_id),
+            cand AS (
+                SELECT a.user_id AS ua, b.user_id AS ub
+                FROM bb a JOIN bb b
+                  ON a.user_id < b.user_id
+                 AND a.xmin <= b.xmax + 12 AND a.xmax >= b.xmin - 12
+                 AND a.ymin <= b.ymax + 12 AND a.ymax >= b.ymin - 12),
+            dm AS (
+                SELECT ua, ub, dir, px, py, min(d2) AS dmin FROM (
+                    SELECT c.ua, c.ub, 0 AS dir, pa.x AS px, pa.y AS py,
+                           (pa.x - pb.x) * (pa.x - pb.x)
+                               + (pa.y - pb.y) * (pa.y - pb.y) AS d2
+                    FROM cand c
+                    JOIN p pa ON pa.user_id = c.ua
+                    JOIN p pb ON pb.user_id = c.ub
+                    UNION ALL
+                    SELECT c.ua, c.ub, 1 AS dir, pb.x AS px, pb.y AS py,
+                           (pa.x - pb.x) * (pa.x - pb.x)
+                               + (pa.y - pb.y) * (pa.y - pb.y) AS d2
+                    FROM cand c
+                    JOIN p pa ON pa.user_id = c.ua
+                    JOIN p pb ON pb.user_id = c.ub)
+                GROUP BY ua, ub, dir, px, py),
+            h AS (SELECT ua, ub, CAST(max(dmin) AS BIGINT) AS h2
+                  FROM dm GROUP BY ua, ub)
+            SELECT ua AS user_a, ub AS user_b, h2
+            FROM h WHERE h2 <= 144
             ORDER BY user_a, user_b
         """,
         "morans_i_cells": """
