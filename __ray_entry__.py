@@ -425,6 +425,36 @@ def _q_hausdorff(sf_dir):
             .reset_index(drop=True))
 
 
+def _q_colocation(sf_dir):
+    """Co-location join (joins/crossing_join.py:colocation_join):
+    unordered user pairs sharing a (1° cell, 1-hour bucket) slot, slot
+    counts per pair — per-block presence dedup (combiner), one hash
+    exchange on the slot key, m² integer-decode pair kernel, partials
+    + tiny groupby sum. Slots are disjoint, so no dedup exchange.
+    Oracle: DISTINCT presence + slot self-join + GROUP BY."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from cartwright_ray.joins.crossing_join import colocation_join
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], np.int64)
+        e = np.asarray(t["event_id"], np.int64)
+        y = (u // 60 % 40 - 20) * 8 + e * 7 % 19
+        x = (u % 60 - 30) * 8 + e * 3 % 23
+        t = t.append_column("x", pa.array(x))
+        return t.append_column("y", pa.array(y))
+
+    res = colocation_join(ds.map_batches(derive, batch_format="pyarrow"))
+    df = res.to_pandas()
+    return (df.sort_values(["user_a", "user_b"])
+            .reset_index(drop=True))
+
+
 def _q_morans_i(sf_dir):
     """Global Moran's I (stages/hotspot.py:morans_i): queen-weight
     autocorrelation over the 1° grid with empty bbox cells as x=0
@@ -2536,6 +2566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": _q_bpe_tokens,
         "track_crossings": _q_crossings,
         "hausdorff_pairs": _q_hausdorff,
+        "colocation_pairs": _q_colocation,
         "pagerank_docs": _q_pagerank,
         # shuffle plan at 2 iterations: proves the scale path at a
         # fifth of the per-iteration exchange cost in the driver window
@@ -3206,6 +3237,30 @@ def oracle_sql() -> dict[str, str]:
                   FROM dm GROUP BY ua, ub)
             SELECT ua AS user_a, ub AS user_b, h2
             FROM h WHERE h2 <= 144
+            ORDER BY user_a, user_b
+        """,
+        "colocation_pairs": """
+            WITH p AS (
+                SELECT user_id, ts,
+                       ((user_id // 60) % 40 - 20) * 8
+                           + event_id * 7 % 19 AS y,
+                       (user_id % 60 - 30) * 8
+                           + event_id * 3 % 23 AS x
+                FROM events),
+            pres AS (
+                SELECT DISTINCT user_id AS u,
+                       CAST(floor(x / 8.0) AS BIGINT) AS cx,
+                       CAST(floor(y / 8.0) AS BIGINT) AS cy,
+                       epoch_us(ts) // 3600000000 AS b
+                FROM p),
+            pairs AS (
+                SELECT a.u AS ua, b.u AS ub
+                FROM pres a JOIN pres b
+                  ON a.cx = b.cx AND a.cy = b.cy AND a.b = b.b
+                 AND a.u < b.u)
+            SELECT ua AS user_a, ub AS user_b,
+                   CAST(count(*) AS BIGINT) AS n_slots
+            FROM pairs GROUP BY ua, ub
             ORDER BY user_a, user_b
         """,
         "morans_i_cells": """

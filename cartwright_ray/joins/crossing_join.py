@@ -186,3 +186,84 @@ def crossing_join(points_ds, track_col: str = "user_id",
         return None
     return (clean.groupby(["user_a", "user_b"])
             .aggregate(Sum("n_crossings", alias_name="n_crossings")))
+
+
+def colocation_join(points_ds, bucket_us: int = 3_600_000_000,
+                    track_col: str = "user_id"):
+    """Co-location (contact) join: unordered user pairs observed in the
+    SAME 1° cell during the SAME time bucket (default 1 hour), with the
+    number of distinct co-located (cell, bucket) slots.
+
+    Scale shape: points dedup to (user, cell, bucket) presence rows
+    inside each block (combiner), one hash exchange co-locates each
+    (cell, bucket) slot, the within-slot pair expansion is the m²
+    integer-decode kernel, and the per-pair rollup is per-block
+    partials + one tiny groupby sum on a context-reset rebuild (see
+    module docstring). A pair meeting in k slots counts k — slots are
+    disjoint by construction, so no dedup exchange is needed.
+
+    → Dataset (user_a, user_b, n_slots)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..stages.partition import drop_empty_blocks
+
+    def presence(t: pa.Table) -> pa.Table:
+        u = np.asarray(t[track_col], np.int64)
+        cx = np.asarray(t["x"], np.int64) // 8
+        cy = np.asarray(t["y"], np.int64) // 8
+        ts = np.asarray(t["ts"].cast(pa.timestamp("us"))
+                        .cast(pa.int64()), np.int64)
+        b = ts // bucket_us
+        df = (pd.DataFrame({"u": u, "cx": cx, "cy": cy, "b": b})
+              .drop_duplicates())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pres = points_ds.map_batches(presence, batch_format="pyarrow")
+    buckets = hash_partitioned(pres, ["cx", "cy", "b"])
+    if buckets is None:
+        return None
+
+    def slot_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([pa.field("user_a", pa.int64()),
+                              pa.field("user_b", pa.int64()),
+                              pa.field("n_slots", pa.int64())]
+                             ).empty_table()
+        cx = np.asarray(t["cx"], np.int64)
+        cy = np.asarray(t["cy"], np.int64)
+        b = np.asarray(t["b"], np.int64)
+        u = np.asarray(t["u"], np.int64)
+        order = np.lexsort((u, b, cy, cx))
+        cx, cy, b, u = cx[order], cy[order], b[order], u[order]
+        # cross-block duplicate presences are impossible (hash exchange
+        # co-locates the slot; in-block dedup above) but same-slot
+        # same-user duplicates from different blocks are: drop them
+        same_prev = np.r_[False, (cx[1:] == cx[:-1]) & (cy[1:] == cy[:-1])
+                          & (b[1:] == b[:-1]) & (u[1:] == u[:-1])]
+        cx, cy, b, u = (cx[~same_prev], cy[~same_prev], b[~same_prev],
+                        u[~same_prev])
+        new = np.r_[True, (cx[1:] != cx[:-1]) | (cy[1:] != cy[:-1])
+                    | (b[1:] != b[:-1])]
+        starts = np.flatnonzero(new)
+        m = np.r_[starts[1:], len(u)] - starts
+        n2 = m * m
+        rep = np.repeat(np.arange(len(m)), n2)
+        tloc = np.arange(int(n2.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(n2) - n2, n2)
+        i = starts[rep] + tloc // m[rep]
+        j = starts[rep] + tloc % m[rep]
+        keep = u[i] < u[j]
+        i, j = i[keep], j[keep]
+        df = (pd.DataFrame({"user_a": u[i], "user_b": u[j], "n_slots": 1})
+              .groupby(["user_a", "user_b"], sort=False)
+              .sum().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = buckets.map_batches(slot_pairs, batch_format="pyarrow",
+                                   batch_size=None)
+    clean = drop_empty_blocks(partials)
+    if clean is None:
+        return None
+    return (clean.groupby(["user_a", "user_b"])
+            .aggregate(Sum("n_slots", alias_name="n_slots")))

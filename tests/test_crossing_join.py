@@ -61,6 +61,38 @@ def test_matches_brute_and_layout_invariant():
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_colocation_matches_brute():
+    from cartwright_ray.joins.crossing_join import colocation_join
+    rng = np.random.default_rng(59)
+    n = 500
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 10, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 20, n) * 3_600_000_000
+                             + rng.integers(0, 3_600_000_000, n),
+                             unit="us"),
+        "x": rng.integers(-20, 20, n).astype(np.int64),
+        "y": rng.integers(-20, 20, n).astype(np.int64)})
+    pres = set()
+    for _, r in df.iterrows():
+        b = (r["ts"].value // 1000) // 3_600_000_000
+        pres.add((int(r["user_id"]), int(r["x"]) // 8,
+                  int(r["y"]) // 8, int(b)))
+    counts = {}
+    for (u1, cx1, cy1, b1) in pres:
+        for (u2, cx2, cy2, b2) in pres:
+            if u1 < u2 and (cx1, cy1, b1) == (cx2, cy2, b2):
+                counts[(u1, u2)] = counts.get((u1, u2), 0) + 1
+    want = (pd.DataFrame([(a, b, c) for (a, b), c in sorted(counts.items())],
+                         columns=["user_a", "user_b", "n_slots"]))
+    assert len(want) > 10
+    for blocks in (1, 6):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        got = (colocation_join(ds).to_pandas()
+               .sort_values(["user_a", "user_b"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_proper_only_excludes_touch_and_collinear():
     z = np.int64
     # X-crossing: proper
