@@ -455,6 +455,34 @@ def _q_colocation(sf_dir):
             .reset_index(drop=True))
 
 
+def _q_hilbert(sf_dir):
+    """Hilbert-curve encoding (geo/hilbert.py): order-16 xy→d over the
+    derived track points — the locality-preserving partition key. The
+    level loop runs 16 numpy passes over the block (never over rows);
+    the oracle unrolls the same 16 rotate-and-accumulate levels as
+    chained CTEs — int64 bit ops end to end, bit-exact."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cartwright_ray.geo.hilbert import grid_coords, hilbert_xy2d
+    from cartwright_ray.pipelines.relational import derived_track_points
+
+    def encode(t: pa.Table) -> pa.Table:
+        lat = np.asarray(t["lat"], np.float64)
+        lon = np.asarray(t["lon"], np.float64)
+        gx, gy = grid_coords(lat, lon)
+        d = hilbert_xy2d(gx, gy)
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"],
+                         "gx": pa.array(gx), "gy": pa.array(gy),
+                         "hd": pa.array(d)})
+
+    df = (derived_track_points(sf_dir)
+          .map_batches(encode, batch_format="pyarrow").to_pandas())
+    return (df.sort_values(["user_id", "event_id"])
+            .reset_index(drop=True))
+
+
 def _q_morans_i(sf_dir):
     """Global Moran's I (stages/hotspot.py:morans_i): queen-weight
     autocorrelation over the 1° grid with empty bbox cells as x=0
@@ -2567,6 +2595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "track_crossings": _q_crossings,
         "hausdorff_pairs": _q_hausdorff,
         "colocation_pairs": _q_colocation,
+        "hilbert_encoded_points": _q_hilbert,
         "pagerank_docs": _q_pagerank,
         # shuffle plan at 2 iterations: proves the scale path at a
         # fifth of the per-iteration exchange cost in the driver window
@@ -5280,6 +5309,59 @@ def oracle_sql() -> dict[str, str]:
 
     out["bpe_train_docs"] = _bpe_sql(8)
     out["bpe_token_counts"] = _bpe_tokens_sql(8, 30)
+
+    # hilbert_encoded_points: the 16 rotate-and-accumulate levels of
+    # geo/hilbert.py:hilbert_xy2d unrolled as chained CTEs — same int64
+    # bit ops, same order, bit-exact.
+    def _hilbert_sql(order: int) -> str:
+        parts = [f"""
+        WITH pts AS (
+            SELECT user_id, event_id,
+                   CAST((user_id * 13 % 120) - 60.0
+                        + (event_id * 7 % 19) * 0.125
+                        + CASE WHEN event_id % 11 = 0 THEN 15.0
+                               ELSE 0.0 END AS DOUBLE) AS lat,
+                   CAST((user_id * 29 % 300) - 150.0
+                        + (event_id * 3 % 23) * 0.125 AS DOUBLE) AS lon
+            FROM events),
+        l{order} AS (
+            SELECT user_id, event_id,
+                   least(greatest(CAST(floor((lon + 180.0)
+                       * {float(1 << order)} / 360.0) AS BIGINT),
+                       0), {(1 << order) - 1}) AS x,
+                   least(greatest(CAST(floor((lat + 90.0)
+                       * {float(1 << order)} / 180.0) AS BIGINT),
+                       0), {(1 << order) - 1}) AS y,
+                   CAST(0 AS BIGINT) AS d
+            FROM pts),
+        g{order} AS (SELECT user_id, event_id, x AS gx, y AS gy
+                     FROM l{order})"""]
+        for lev in range(order - 1, -1, -1):
+            s = 1 << lev
+            parts.append(f""",
+        r{lev} AS (
+            SELECT user_id, event_id, x, y, d,
+                   CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+                   CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+            FROM l{lev + 1}),
+        l{lev} AS (
+            SELECT user_id, event_id,
+                   CASE WHEN ry = 0 THEN
+                        (CASE WHEN rx = 1 THEN {s - 1} - y ELSE y END)
+                        ELSE x END AS x,
+                   CASE WHEN ry = 0 THEN
+                        (CASE WHEN rx = 1 THEN {s - 1} - x ELSE x END)
+                        ELSE y END AS y,
+                   d + CAST({s * s} AS BIGINT) * xor(3 * rx, ry) AS d
+            FROM r{lev})""")
+        parts.append(f"""
+        SELECT l.user_id, l.event_id, g.gx, g.gy, l.d AS hd
+        FROM l0 l JOIN g{order} g
+          ON l.user_id = g.user_id AND l.event_id = g.event_id
+        ORDER BY l.user_id, l.event_id""")
+        return "".join(parts)
+
+    out["hilbert_encoded_points"] = _hilbert_sql(16)
 
     # hll_distinct_by_type: the SQL replays the INTEGER estimator of
     # stages/sketch.py:hll_distinct_by_key step for step. The linear-
