@@ -483,6 +483,19 @@ def _q_hilbert(sf_dir):
             .reset_index(drop=True))
 
 
+def _q_cms(sf_dir):
+    """Count-Min sketch point estimates (stages/sketch.py:cms_counts)
+    for user_ids 0..29 over events — 4×1024 int64 sketch, per-block
+    partials merged by SUM (the mergeable-sketch shape), double-Lehmer
+    row hashes. The oracle recomputes the identical sketch in SQL, so
+    the (upper-bound) estimates are bit-exact."""
+    import ray.data
+    from cartwright_ray.stages.sketch import cms_counts
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    return cms_counts(ds, "user_id", range(30))
+
+
 def _q_morans_i(sf_dir):
     """Global Moran's I (stages/hotspot.py:morans_i): queen-weight
     autocorrelation over the 1° grid with empty bbox cells as x=0
@@ -2596,6 +2609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hausdorff_pairs": _q_hausdorff,
         "colocation_pairs": _q_colocation,
         "hilbert_encoded_points": _q_hilbert,
+        "cms_user_counts": _q_cms,
         "pagerank_docs": _q_pagerank,
         # shuffle plan at 2 iterations: proves the scale path at a
         # fifth of the per-iteration exchange cost in the driver window
@@ -3291,6 +3305,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_slots
             FROM pairs GROUP BY ua, ub
             ORDER BY user_a, user_b
+        """,
+        "cms_user_counts": """
+            WITH rset AS (SELECT unnest(generate_series(0, 3)) AS r),
+            sk AS (
+                SELECT r,
+                       ((user_id + r * 1000003 + 1) * 48271
+                            % 2147483647) * 48271 % 2147483647
+                           % 1024 AS b,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events CROSS JOIN rset
+                GROUP BY r, b),
+            q AS (SELECT unnest(generate_series(0, 29)) AS value),
+            probe AS (
+                SELECT q.value, rset.r,
+                       ((q.value + rset.r * 1000003 + 1) * 48271
+                            % 2147483647) * 48271 % 2147483647
+                           % 1024 AS b
+                FROM q CROSS JOIN rset)
+            SELECT p.value,
+                   CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est
+            FROM probe p LEFT JOIN sk
+              ON sk.r = p.r AND sk.b = p.b
+            GROUP BY p.value
+            ORDER BY p.value
         """,
         "morans_i_cells": """
             WITH tpts AS (

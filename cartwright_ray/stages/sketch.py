@@ -264,3 +264,56 @@ def heavy_hitter_tokens(ds, col: str = "text", k: int = 10,
             f"raise capacity (currently {capacity})")
     return pa.table({"token": pa.array(exact["token"], pa.string()),
                      "n": pa.array(exact["n"].to_numpy(np.int64))})
+
+
+_CMS_SALT = 1_000_003
+
+
+def cms_counts(ds, col: str, query_values, rows: int = 4,
+               width: int = 1024):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) point estimates
+    for ``query_values`` over the int64 column ``col``.
+
+    The mergeable-sketch shape again: each block reduces to a
+    ``rows × width`` int64 count table (one ``np.add.at`` per hash
+    row), partials merge by elementwise SUM — associative, so the
+    groupby on (row, bucket) carries at most ``rows·width`` rows per
+    block regardless of input size; the final sketch is O(rows·width)
+    on the driver and answers each query with a min over ``rows``
+    bucket counts. Estimates are upper bounds (est ≥ true) with
+    ε ≈ e/width overcount at confidence 1 − e^−rows.
+
+    Row hashes are the SQL-replayable double-Lehmer ramp:
+    ``bucket_r(v) = lehmer2(v + r·1000003) mod width`` — the DuckDB
+    oracle recomputes the identical integers.
+
+    → pandas (value, est) sorted by value."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col], np.int64)
+        out_r, out_b, out_c = [], [], []
+        for r in range(rows):
+            b = lehmer2(v + r * _CMS_SALT) % width
+            counts = np.bincount(b, minlength=width)
+            nz = np.flatnonzero(counts)
+            out_r.append(np.full(len(nz), r, np.int64))
+            out_b.append(nz.astype(np.int64))
+            out_c.append(counts[nz].astype(np.int64))
+        return pa.table({"r": pa.array(np.concatenate(out_r)),
+                         "b": pa.array(np.concatenate(out_b)),
+                         "cnt": pa.array(np.concatenate(out_c))})
+
+    sk = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby(["r", "b"])
+          .aggregate(Sum("cnt", alias_name="cnt"))
+          .to_pandas())
+    table = np.zeros((rows, width), np.int64)
+    table[sk["r"].to_numpy(), sk["b"].to_numpy()] = sk["cnt"].to_numpy()
+    q = np.asarray(list(query_values), np.int64)
+    ests = np.full(len(q), np.iinfo(np.int64).max, np.int64)
+    for r in range(rows):
+        ests = np.minimum(ests, table[r, lehmer2(q + r * _CMS_SALT)
+                                      % width])
+    out = pd.DataFrame({"value": q, "est": ests})
+    return out.sort_values("value").reset_index(drop=True)

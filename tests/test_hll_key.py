@@ -79,3 +79,31 @@ def test_duplicates_are_free_and_merge_is_max():
     df3 = pd.DataFrame({"k": "x", "v": np.tile(vals, 3)})
     assert _run(df1)["est"].iloc[0] == _run(df3)["est"].iloc[0] \
         == _brute(vals)
+
+
+def test_cms_upper_bound_and_merge_invariance():
+    """CMS point estimates: always ≥ the true count, exact when no
+    collision, and identical at any block layout (sum-merge is
+    associative)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from cartwright_ray.stages.sketch import cms_counts
+
+    rng = np.random.default_rng(67)
+    vals = rng.zipf(1.5, 5000).astype(np.int64) % 200
+    df = pd.DataFrame({"v": vals})
+    true = pd.Series(vals).value_counts()
+    runs = []
+    for blocks in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        runs.append(cms_counts(ds, "v", range(50)))
+    pd.testing.assert_frame_equal(runs[0], runs[1])
+    est = dict(zip(runs[0]["value"], runs[0]["est"]))
+    over = 0
+    for v in range(50):
+        t = int(true.get(v, 0))
+        assert est[v] >= t            # CMS never undercounts
+        over += est[v] - t
+    # 4 rows x 1024 width over 200 keys: collisions are rare
+    assert over <= 4 * 5000 * 3 / 1024   # loose e/width-style bound
