@@ -483,6 +483,17 @@ def _q_hilbert(sf_dir):
             .reset_index(drop=True))
 
 
+def _q_mann_kendall(sf_dir):
+    """Emerging-hotspot trend (stages/hotspot.py:mann_kendall_cells):
+    per-cell Mann-Kendall S over dense daily event-count bins — (cell,
+    bin) partials + one cell-keyed exchange + B vector passes in the
+    block kernel. Integers end to end; the oracle densifies bins with
+    generate_series and replays S as a b<b' self-join sum(sign)."""
+    from cartwright_ray.pipelines.relational import derived_track_points
+    from cartwright_ray.stages.hotspot import mann_kendall_cells
+    return mann_kendall_cells(derived_track_points(sf_dir))
+
+
 def _q_cms(sf_dir):
     """Count-Min sketch point estimates (stages/sketch.py:cms_counts)
     for user_ids 0..29 over events — 4×1024 int64 sketch, per-block
@@ -2610,6 +2621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "colocation_pairs": _q_colocation,
         "hilbert_encoded_points": _q_hilbert,
         "cms_user_counts": _q_cms,
+        "mann_kendall_cells": _q_mann_kendall,
         "pagerank_docs": _q_pagerank,
         # shuffle plan at 2 iterations: proves the scale path at a
         # fifth of the per-iteration exchange cost in the driver window
@@ -3305,6 +3317,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_slots
             FROM pairs GROUP BY ua, ub
             ORDER BY user_a, user_b
+        """,
+        "mann_kendall_cells": """
+            WITH tpts AS (
+                SELECT ts,
+                       CAST((user_id * 13 % 120) - 60.0
+                            + (event_id * 7 % 19) * 0.125
+                            + CASE WHEN event_id % 11 = 0 THEN 15.0
+                                   ELSE 0.0 END AS DOUBLE) AS lat,
+                       CAST((user_id * 29 % 300) - 150.0
+                            + (event_id * 3 % 23) * 0.125 AS DOUBLE) AS lon
+                FROM events),
+            p AS (
+                SELECT CAST(floor(lon) AS BIGINT) AS cx,
+                       CAST(floor(lat) AS BIGINT) AS cy,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM tpts),
+            g AS (SELECT min(day) AS d0, max(day) AS d1 FROM p),
+            cb AS (SELECT cx, cy, day - (SELECT d0 FROM g) AS b,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM p GROUP BY 1, 2, 3),
+            cells AS (SELECT DISTINCT cx, cy FROM cb),
+            bins AS (SELECT unnest(generate_series(
+                         0, (SELECT d1 - d0 FROM g))) AS b),
+            dense AS (
+                SELECT c.cx, c.cy, bins.b, coalesce(cb.n, 0) AS n
+                FROM cells c CROSS JOIN bins
+                LEFT JOIN cb ON cb.cx = c.cx AND cb.cy = c.cy
+                            AND cb.b = bins.b),
+            s AS (SELECT a.cx, a.cy,
+                         CAST(sum(sign(b2.n - a.n)) AS BIGINT) AS s_stat
+                  FROM dense a JOIN dense b2
+                    ON a.cx = b2.cx AND a.cy = b2.cy AND a.b < b2.b
+                  GROUP BY a.cx, a.cy),
+            tot AS (SELECT cx, cy, CAST(sum(n) AS BIGINT) AS n_events
+                    FROM cb GROUP BY cx, cy)
+            SELECT s.cx, s.cy, tot.n_events, s.s_stat
+            FROM s JOIN tot USING (cx, cy)
+            ORDER BY s.cx, s.cy
         """,
         "cms_user_counts": """
             WITH rset AS (SELECT unnest(generate_series(0, 3)) AS r),

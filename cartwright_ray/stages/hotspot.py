@@ -200,3 +200,87 @@ def morans_i(ds, lat_col: str = "lat", lon_col: str = "lon"):
     i_val = (float(n) / float(w_tot)) * (num / den) if den > 0 else 0.0
     return pd.DataFrame([(n, w_tot, i_val)],
                         columns=["n_cells", "w_pairs", "morans_i"])
+
+
+def mann_kendall_cells(ds, lat_col: str = "lat", lon_col: str = "lon",
+                       ts_col: str = "ts",
+                       bin_us: int = 86_400_000_000):
+    """Emerging-hotspot trend: the Mann-Kendall S statistic (Mann 1945,
+    Kendall 1975) of each 1° cell's time-binned event counts — the
+    per-cell trend half of the classic space-time-cube "emerging hot
+    spot" analysis. S = Σ_{i<j} sign(c_j − c_i) over the DENSE bin
+    range (missing bins count 0 — a cell going quiet IS a trend).
+
+    Scale shape: per-block (cell, bin) count partials → groupby sum
+    (shuffle bounded by cells × bins per block); the global bin range
+    is one O(1) driver reduce; then ONE hash exchange on the cell key
+    and a whole-block kernel that scatters each cell's bins into a
+    dense (cells × B) matrix and accumulates S with B vector passes —
+    bins are bounded (B ≈ 30 days here), so the B² sign work is
+    B · one-numpy-op, never per-row Python.
+
+    All arithmetic is integer (counts, signs) — the DuckDB replay
+    (dense generate_series bins + b < b' self-join + sum(sign)) is
+    bit-exact. → pandas (cx, cy, n_events, s_stat) sorted."""
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    from .partition import hash_partitioned
+
+    def cb_partial(t: pa.Table) -> pa.Table:
+        cx = np.floor(np.asarray(t[lon_col], np.float64)).astype(np.int64)
+        cy = np.floor(np.asarray(t[lat_col], np.float64)).astype(np.int64)
+        ts = np.asarray(t[ts_col].cast(pa.timestamp("us"))
+                        .cast(pa.int64()), np.int64)
+        b = ts // bin_us
+        g = (pd.DataFrame({"cx": cx, "cy": cy, "b": b, "n": 1})
+             .groupby(["cx", "cy", "b"], sort=False).sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cb = (ds.map_batches(cb_partial, batch_format="pyarrow")
+          .groupby(["cx", "cy", "b"])
+          .aggregate(Sum("n", alias_name="n")))
+
+    rng = cb.map_batches(
+        lambda t: pa.table({"d0": [int(np.asarray(t["b"]).min())],
+                            "d1": [int(np.asarray(t["b"]).max())]}),
+        batch_format="pyarrow").to_pandas()
+    d0, d1 = int(rng["d0"].min()), int(rng["d1"].max())
+    nbins = d1 - d0 + 1
+
+    parted = hash_partitioned(cb, ["cx", "cy"])
+    if parted is None:
+        return pd.DataFrame(columns=["cx", "cy", "n_events", "s_stat"])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([pa.field("cx", pa.int64()),
+                              pa.field("cy", pa.int64()),
+                              pa.field("n_events", pa.int64()),
+                              pa.field("s_stat", pa.int64())]
+                             ).empty_table()
+        cx = np.asarray(t["cx"], np.int64)
+        cy = np.asarray(t["cy"], np.int64)
+        b = np.asarray(t["b"], np.int64) - d0
+        n = np.asarray(t["n"], np.int64)
+        order = np.lexsort((b, cy, cx))
+        cx, cy, b, n = cx[order], cy[order], b[order], n[order]
+        new = np.r_[True, (cx[1:] != cx[:-1]) | (cy[1:] != cy[:-1])]
+        cell_id = np.cumsum(new) - 1
+        ncell = int(cell_id[-1]) + 1
+        dense = np.zeros((ncell, nbins), np.int64)
+        dense[cell_id, b] = n
+        s = np.zeros(ncell, np.int64)
+        for j in range(1, nbins):
+            s += np.sign(dense[:, j, None] - dense[:, :j]).sum(axis=1)
+        starts = np.flatnonzero(new)
+        return pa.table({"cx": pa.array(cx[starts]),
+                         "cy": pa.array(cy[starts]),
+                         "n_events": pa.array(
+                             np.add.reduceat(n, starts)),
+                         "s_stat": pa.array(s)})
+
+    out = (parted.map_batches(kernel, batch_format="pyarrow",
+                              batch_size=None).to_pandas())
+    return out.sort_values(["cx", "cy"]).reset_index(drop=True)

@@ -119,3 +119,47 @@ def test_uniform_grid_zero_variance():
     assert len(out) == 16
     assert (out["x"] == 2).all()
     assert (out["gi_z"] == 0.0).all()
+
+
+def test_mann_kendall_matches_brute():
+    """Dense-bin Mann-Kendall S vs a per-cell double loop, including
+    zero bins; monotone-up cell hits the +max bound, flat cell 0."""
+    from cartwright_ray.stages.hotspot import mann_kendall_cells
+    rng = np.random.default_rng(71)
+    n = 1500
+    base = pd.Timestamp("2024-01-01").value // 1000
+    day = rng.integers(0, 10, n)
+    # cell (5,5): rising counts by day; cell (2,2): uniform; rest random
+    kind = rng.integers(0, 3, n)
+    day[kind == 0] = np.minimum((rng.integers(0, 10, (kind == 0).sum())
+                                 ** 2) // 10, 9)
+    lon = np.where(kind == 0, 5.5, np.where(kind == 1, 2.5,
+                   rng.uniform(0, 8, n)))
+    lat = np.where(kind == 0, 5.5, np.where(kind == 1, 2.5,
+                   rng.uniform(0, 8, n)))
+    df = pd.DataFrame({
+        "lat": lat, "lon": lon,
+        "ts": pd.to_datetime(base + day * 86_400_000_000
+                             + rng.integers(0, 86_400_000_000, n),
+                             unit="us")})
+    got = mann_kendall_cells(ray.data.from_pandas(df).repartition(5))
+
+    us = df["ts"].astype("datetime64[us]").astype("int64")
+    d = (us // 86_400_000_000).to_numpy()
+    d0, d1 = d.min(), d.max()
+    cx = np.floor(df["lon"]).astype(np.int64)
+    cy = np.floor(df["lat"]).astype(np.int64)
+    want_rows = []
+    for (a, b) in sorted(set(zip(cx, cy))):
+        sel = (cx == a) & (cy == b)
+        dense = np.zeros(d1 - d0 + 1, np.int64)
+        for dd in d[sel.to_numpy() if hasattr(sel, "to_numpy") else sel]:
+            dense[dd - d0] += 1
+        s = 0
+        for i in range(len(dense)):
+            for j in range(i + 1, len(dense)):
+                s += int(np.sign(dense[j] - dense[i]))
+        want_rows.append((a, b, int(dense.sum()), s))
+    want = pd.DataFrame(want_rows,
+                        columns=["cx", "cy", "n_events", "s_stat"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
