@@ -494,6 +494,32 @@ def _q_mann_kendall(sf_dir):
     return mann_kendall_cells(derived_track_points(sf_dir))
 
 
+def _q_ripley(sf_dir):
+    """Ripley's K at r ∈ {2,4,8} (stages/hotspot.py:ripley_k) over the
+    grid-enumerated points — home+ghost cell scatter co-locates every
+    ordered pair within range exactly once (cell edge ≥ max r), per-cell
+    mh×ma integer pairing, int64 partial counts, one float K per
+    radius. Oracle: the identical ghost-cover equi-join in SQL."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from cartwright_ray.stages.hotspot import ripley_k
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], np.int64)
+        e = np.asarray(t["event_id"], np.int64)
+        y = (u // 60 % 40 - 20) * 8 + e * 7 % 19
+        x = (u % 60 - 30) * 8 + e * 3 % 23
+        t = t.append_column("x", pa.array(x))
+        return t.append_column("y", pa.array(y))
+
+    return ripley_k(ds.map_batches(derive, batch_format="pyarrow"))
+
+
 def _q_cms(sf_dir):
     """Count-Min sketch point estimates (stages/sketch.py:cms_counts)
     for user_ids 0..29 over events — 4×1024 int64 sketch, per-block
@@ -2622,6 +2648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hilbert_encoded_points": _q_hilbert,
         "cms_user_counts": _q_cms,
         "mann_kendall_cells": _q_mann_kendall,
+        "ripley_k_points": _q_ripley,
         "pagerank_docs": _q_pagerank,
         # shuffle plan at 2 iterations: proves the scale path at a
         # fifth of the per-iteration exchange cost in the driver window
@@ -3355,6 +3382,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.cx, s.cy, tot.n_events, s.s_stat
             FROM s JOIN tot USING (cx, cy)
             ORDER BY s.cx, s.cy
+        """,
+        "ripley_k_points": """
+            WITH p AS (
+                SELECT event_id,
+                       ((user_id // 60) % 40 - 20) * 8
+                           + event_id * 7 % 19 AS y,
+                       (user_id % 60 - 30) * 8
+                           + event_id * 3 % 23 AS x
+                FROM events),
+            g AS (SELECT count(*) AS n,
+                         (max(x) - min(x)) * (max(y) - min(y)) AS area
+                  FROM p),
+            cov AS (
+                SELECT event_id, x, y,
+                       CAST(floor(x / 8.0) AS BIGINT) + dx.d AS cx,
+                       CAST(floor(y / 8.0) AS BIGINT) + dy.d AS cy,
+                       CASE WHEN dx.d = 0 AND dy.d = 0
+                            THEN 0 ELSE 1 END AS ghost
+                FROM p, (VALUES (-1), (0), (1)) dx(d),
+                        (VALUES (-1), (0), (1)) dy(d)),
+            pairs AS (
+                SELECT (h.x - a.x) * (h.x - a.x)
+                           + (h.y - a.y) * (h.y - a.y) AS d2
+                FROM cov h JOIN cov a
+                  ON h.cx = a.cx AND h.cy = a.cy
+                 AND h.ghost = 0 AND h.event_id <> a.event_id),
+            rr AS (SELECT unnest([2, 4, 8]) AS r),
+            pc AS (SELECT rr.r,
+                          CAST(sum(CASE WHEN d2 <= rr.r * rr.r
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                              AS n_pairs
+                   FROM pairs CROSS JOIN rr GROUP BY rr.r)
+            SELECT CAST(pc.r AS BIGINT) AS r, pc.n_pairs,
+                   CAST(g.area AS DOUBLE) * CAST(pc.n_pairs AS DOUBLE)
+                       / (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE))
+                       AS k_hat
+            FROM pc CROSS JOIN g
+            ORDER BY r
         """,
         "cms_user_counts": """
             WITH rset AS (SELECT unnest(generate_series(0, 3)) AS r),

@@ -284,3 +284,102 @@ def mann_kendall_cells(ds, lat_col: str = "lat", lon_col: str = "lon",
     out = (parted.map_batches(kernel, batch_format="pyarrow",
                               batch_size=None).to_pandas())
     return out.sort_values(["cx", "cy"]).reset_index(drop=True)
+
+
+def ripley_k(points_ds, radii=(2, 4, 8), id_col: str = "event_id"):
+    """Ripley's K function (Ripley 1976) at integer radii over ×8-int
+    coordinates, no edge correction (the raw estimator; documented —
+    matched exactly by the oracle): K̂(r) = A·P(r)/n², with P(r) the
+    ORDERED pair count at distance² ≤ r² and A the integer bbox area.
+
+    Pair counting is the home+ghost cell scatter: each point lands in
+    its own cell as HOME and in the 8 neighbors as GHOST; with the cell
+    edge (8) ≥ max radius, every ordered pair within range co-locates
+    exactly once as (home, home∪ghost) — no dedup pass. One hash
+    exchange on the cell key, per-cell mh×ma integer-decode pairing,
+    int64 partial counts per radius, O(radii) driver reduce. The
+    closing K is one shared float expression over exact integers.
+
+    → pandas (r, n_pairs, k_hat) sorted by r."""
+    import functools
+
+    from .partition import hash_partitioned
+
+    rmax = max(radii)
+    assert rmax <= 8, "cell edge (8) must be >= max radius"
+    r2s = sorted(int(r) * int(r) for r in radii)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        x = np.asarray(t["x"], np.int64)
+        y = np.asarray(t["y"], np.int64)
+        eid = np.asarray(t[id_col], np.int64)
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                outs.append(pa.table({
+                    "cx": pa.array(x // 8 + dx),
+                    "cy": pa.array(y // 8 + dy),
+                    "ghost": pa.array(np.full(
+                        len(x), 0 if (dx, dy) == (0, 0) else 1,
+                        np.int64)),
+                    "x": pa.array(x), "y": pa.array(y),
+                    "eid": pa.array(eid)}))
+        return pa.concat_tables(outs)
+
+    # bbox + n: O(1) driver reduce off the raw points
+    agg = points_ds.map_batches(
+        lambda t: pa.table({
+            "n": [t.num_rows],
+            "xmin": [int(np.asarray(t["x"], np.int64).min())],
+            "xmax": [int(np.asarray(t["x"], np.int64).max())],
+            "ymin": [int(np.asarray(t["y"], np.int64).min())],
+            "ymax": [int(np.asarray(t["y"], np.int64).max())]}),
+        batch_format="pyarrow").to_pandas()
+    n = int(agg["n"].sum())
+    area = (int(agg["xmax"].max()) - int(agg["xmin"].min())) \
+        * (int(agg["ymax"].max()) - int(agg["ymin"].min()))
+
+    parted = hash_partitioned(
+        points_ds.map_batches(scatter, batch_format="pyarrow"),
+        ["cx", "cy"])
+    if parted is None or n < 2:
+        return pd.DataFrame(columns=["r", "n_pairs", "k_hat"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"r2": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        cx = np.asarray(t["cx"], np.int64)
+        cy = np.asarray(t["cy"], np.int64)
+        gh = np.asarray(t["ghost"], np.int64)
+        order = np.lexsort((gh, cy, cx))      # home rows first per cell
+        cx, cy, gh = cx[order], cy[order], gh[order]
+        x = np.asarray(t["x"], np.int64)[order]
+        y = np.asarray(t["y"], np.int64)[order]
+        eid = np.asarray(t["eid"], np.int64)[order]
+        new = np.r_[True, (cx[1:] != cx[:-1]) | (cy[1:] != cy[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(cx)]
+        ma = ends - starts
+        cell_of = np.cumsum(new) - 1
+        mh = np.bincount(cell_of, weights=(gh == 0)).astype(np.int64)
+        n2 = mh * ma
+        rep = np.repeat(np.arange(len(ma)), n2)
+        tloc = np.arange(int(n2.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(n2) - n2, n2)
+        i = starts[rep] + tloc // ma[rep]     # home rows are the prefix
+        j = starts[rep] + tloc % ma[rep]
+        ok = eid[i] != eid[j]
+        d2 = (x[i] - x[j]) ** 2 + (y[i] - y[j]) ** 2
+        cnts = [int(((d2 <= r2) & ok).sum()) for r2 in r2s]
+        return pa.table({"r2": pa.array(r2s, pa.int64()),
+                         "cnt": pa.array(cnts, pa.int64())})
+
+    parts = parted.map_batches(pair_partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    rows = []
+    for r in sorted(int(r) for r in radii):
+        p = int(parts.loc[parts["r2"] == r * r, "cnt"].sum())
+        k = float(area) * float(p) / (float(n) * float(n))
+        rows.append((r, p, k))
+    return pd.DataFrame(rows, columns=["r", "n_pairs", "k_hat"])

@@ -163,3 +163,36 @@ def test_mann_kendall_matches_brute():
     want = pd.DataFrame(want_rows,
                         columns=["cx", "cy", "n_events", "s_stat"])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ripley_k_matches_brute():
+    """Ghost-scatter pair counting vs the O(n²) double loop, and the
+    CSR sanity: K(r) grows with r and clustered points exceed the
+    uniform expectation at small r."""
+    from cartwright_ray.stages.hotspot import ripley_k
+    rng = np.random.default_rng(73)
+    n = 400
+    x = np.r_[rng.integers(0, 60, n // 2),
+              rng.integers(20, 26, n // 2)].astype(np.int64)
+    y = np.r_[rng.integers(0, 60, n // 2),
+              rng.integers(20, 26, n // 2)].astype(np.int64)
+    df = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64),
+                       "x": x, "y": y})
+    dx = x[:, None] - x
+    dy = y[:, None] - y
+    d2 = dx * dx + dy * dy
+    np.fill_diagonal(d2, 10**9)
+    area = (x.max() - x.min()) * (y.max() - y.min())
+    want = []
+    for r in (2, 4, 8):
+        p = int((d2 <= r * r).sum())
+        want.append((r, p, float(area) * float(p)
+                     / (float(n) * float(n))))
+    want = pd.DataFrame(want, columns=["r", "n_pairs", "k_hat"])
+    for blocks in (1, 6):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        got = ripley_k(ds)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert want["n_pairs"].is_monotonic_increasing
+    # clustered half pushes K above the CSR expectation pi*r^2 at r=4
+    assert want.loc[1, "k_hat"] > np.pi * 16
