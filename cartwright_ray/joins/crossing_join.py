@@ -162,7 +162,12 @@ def crossing_join(points_ds, track_col: str = "user_id",
                          batch_format="pyarrow", batch_size=None))
     cov = segs.map_batches(
         lambda t: _scatter_cells(t, track_col), batch_format="pyarrow")
-    buckets = hash_partitioned(cov, ["cx", "cy"])
+    # pair work is QUADRATIC per cell, so partitions are sized far
+    # below the row-count default — 10k cover rows/partition keeps all
+    # cores busy (measured: the 100k default left 32 cores running 6
+    # tasks, 70 s for a 7 s workload)
+    buckets = hash_partitioned(cov, ["cx", "cy"],
+                               rows_per_partition=10_000)
     if buckets is None:
         return None
 
@@ -220,7 +225,8 @@ def colocation_join(points_ds, bucket_us: int = 3_600_000_000,
         return pa.Table.from_pandas(df, preserve_index=False)
 
     pres = points_ds.map_batches(presence, batch_format="pyarrow")
-    buckets = hash_partitioned(pres, ["cx", "cy", "b"])
+    buckets = hash_partitioned(pres, ["cx", "cy", "b"],
+                               rows_per_partition=10_000)
     if buckets is None:
         return None
 

@@ -339,9 +339,11 @@ def ripley_k(points_ds, radii=(2, 4, 8), id_col: str = "event_id"):
     area = (int(agg["xmax"].max()) - int(agg["xmin"].min())) \
         * (int(agg["ymax"].max()) - int(agg["ymin"].min()))
 
+    # quadratic per-cell pairing: size partitions by pair cost, not
+    # row count (see crossing_join)
     parted = hash_partitioned(
         points_ds.map_batches(scatter, batch_format="pyarrow"),
-        ["cx", "cy"])
+        ["cx", "cy"], rows_per_partition=10_000)
     if parted is None or n < 2:
         return pd.DataFrame(columns=["r", "n_pairs", "k_hat"])
 
