@@ -520,6 +520,19 @@ def _q_ripley(sf_dir):
     return ripley_k(ds.map_batches(derive, batch_format="pyarrow"))
 
 
+def _q_movement(sf_dir):
+    """Movement-analytics composite #4 (pipelines/movement.py): one
+    broadcast PIP pass feeds per-zone daily Mann-Kendall trends AND the
+    transition in/out degrees off the track-keyed lag exchange —
+    per-zone dashboard rows, integers end to end. Oracle: geofence CTE
+    chain + dense-bin sign self-join + degree GROUP BYs."""
+    from cartwright_ray.pipelines.movement import movement_dashboard
+    from cartwright_ray.pipelines.relational import derived_track_points
+    from cartwright_ray.sources.synth import ADMIN_POLYGONS
+    return movement_dashboard(derived_track_points(sf_dir),
+                              ADMIN_POLYGONS)
+
+
 def _q_cms(sf_dir):
     """Count-Min sketch point estimates (stages/sketch.py:cms_counts)
     for user_ids 0..29 over events — 4×1024 int64 sketch, per-block
@@ -2649,6 +2662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_user_counts": _q_cms,
         "mann_kendall_cells": _q_mann_kendall,
         "ripley_k_points": _q_ripley,
+        "movement_dashboard": _q_movement,
         "pagerank_docs": _q_pagerank,
         # shuffle plan at 2 iterations: proves the scale path at a
         # fifth of the per-iteration exchange cost in the driver window
@@ -3382,6 +3396,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.cx, s.cy, tot.n_events, s.s_stat
             FROM s JOIN tot USING (cx, cy)
             ORDER BY s.cx, s.cy
+        """,
+        "movement_dashboard": f"""
+            WITH tpts AS (
+                SELECT user_id, event_id, ts,
+                       CAST((user_id * 13 % 120) - 60.0
+                            + (event_id * 7 % 19) * 0.125
+                            + CASE WHEN event_id % 11 = 0 THEN 15.0
+                                   ELSE 0.0 END AS DOUBLE) AS lat,
+                       CAST((user_id * 29 % 300) - 150.0
+                            + (event_id * 3 % 23) * 0.125 AS DOUBLE) AS lon
+                FROM events),
+            {_pip_edges_values()},
+            inside AS (
+                SELECT p.user_id, p.event_id, e.pidx, e.admin_id
+                FROM tpts p CROSS JOIN edges e
+                WHERE ((e.yi > p.lat) <> (e.yj > p.lat))
+                  AND p.lon < (e.xj - e.xi) * (p.lat - e.yi)
+                      / (e.yj - e.yi) + e.xi
+                GROUP BY p.user_id, p.event_id, e.pidx, e.admin_id
+                HAVING count(*) % 2 = 1),
+            zone AS (
+                SELECT t.user_id, t.event_id, t.ts,
+                       coalesce(min(i.admin_id), 'none') AS z
+                FROM tpts t LEFT JOIN inside i
+                  ON t.user_id = i.user_id AND t.event_id = i.event_id
+                GROUP BY t.user_id, t.event_id, t.ts),
+            zd AS (SELECT z AS zone,
+                          epoch_us(ts) // 86400000000 AS b,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM zone GROUP BY 1, 2),
+            g AS (SELECT min(b) AS d0, max(b) AS d1 FROM zd),
+            zl AS (SELECT DISTINCT zone FROM zd),
+            bins AS (SELECT unnest(generate_series(
+                         (SELECT d0 FROM g), (SELECT d1 FROM g))) AS b),
+            dense AS (
+                SELECT zl.zone, bins.b, coalesce(zd.n, 0) AS n
+                FROM zl CROSS JOIN bins
+                LEFT JOIN zd ON zd.zone = zl.zone AND zd.b = bins.b),
+            s AS (SELECT a.zone,
+                         CAST(sum(sign(b2.n - a.n)) AS BIGINT) AS s_stat
+                  FROM dense a JOIN dense b2
+                    ON a.zone = b2.zone AND a.b < b2.b
+                  GROUP BY a.zone),
+            tot AS (SELECT zone, CAST(sum(n) AS BIGINT) AS n_events
+                    FROM zd GROUP BY zone),
+            seq AS (SELECT user_id, z,
+                           lag(z) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS pz
+                    FROM zone),
+            tr AS (SELECT pz AS from_zone, z AS to_zone
+                   FROM seq WHERE pz IS NOT NULL AND pz <> z),
+            din AS (SELECT to_zone AS zone,
+                           CAST(count(*) AS BIGINT) AS n_in
+                    FROM tr GROUP BY 1),
+            dout AS (SELECT from_zone AS zone,
+                            CAST(count(*) AS BIGINT) AS n_out
+                     FROM tr GROUP BY 1)
+            SELECT tot.zone, tot.n_events,
+                   CAST(coalesce(din.n_in, 0) AS BIGINT) AS n_in,
+                   CAST(coalesce(dout.n_out, 0) AS BIGINT) AS n_out,
+                   s.s_stat
+            FROM tot JOIN s USING (zone)
+            LEFT JOIN din USING (zone)
+            LEFT JOIN dout USING (zone)
+            ORDER BY zone
         """,
         "ripley_k_points": """
             WITH p AS (

@@ -141,3 +141,41 @@ def test_all_outside_emits_nothing():
         "lon": np.linspace(-50, 50, 6)})
     got = _run(df, poly, 2)
     assert len(got) == 0
+
+
+def test_movement_dashboard_composes():
+    """Dashboard rows must agree with independently computed pieces:
+    n_events sums to the point count, in/out degrees match a brute
+    transition rollup, and a zone with monotone-rising daily counts
+    carries the maximal possible S."""
+    from cartwright_ray.pipelines.movement import movement_dashboard
+    poly = [{"admin_id": "Z1", "name": "z1",
+             "ring_lat": [0.0, 0.0, 10.0, 10.0],
+             "ring_lon": [0.0, 10.0, 10.0, 0.0]}]
+    rng = np.random.default_rng(79)
+    n = 300
+    base = pd.Timestamp("2024-01-01").value // 1000
+    day = rng.integers(0, 5, n)
+    inside = rng.random(n) < (day + 1) / 6.0     # rising in-zone share
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 8, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(base + day * 86_400_000_000
+                             + rng.integers(0, 86_400_000_000, n),
+                             unit="us"),
+        "lat": np.where(inside, 5.0, 50.0),
+        "lon": np.where(inside, 5.0, 50.0)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = movement_dashboard(ds, poly)
+    assert set(out["zone"]) == {"Z1", "none"}
+    assert out["n_events"].sum() == n
+    # degrees match the brute transition list
+    bt = _brute(df, poly)
+    for z in ("Z1", "none"):
+        row = out.set_index("zone").loc[z]
+        assert row["n_in"] == (bt["to_zone"] == z).sum()
+        assert row["n_out"] == (bt["from_zone"] == z).sum()
+    # rising in-zone share: Z1 daily counts trend up, none trends down
+    z1 = out.set_index("zone").loc["Z1", "s_stat"]
+    nz = out.set_index("zone").loc["none", "s_stat"]
+    assert z1 > 0 and nz < 0
