@@ -109,3 +109,29 @@ def test_proper_only_excludes_touch_and_collinear():
     # parallel disjoint — no
     assert not _proper_intersect(z(0), z(0), z(4), z(0),
                                  z(0), z(1), z(4), z(1))
+
+
+def test_hot_cell_skew_still_exact():
+    """Adversarial skew: 60% of all segments live inside ONE cell (the
+    documented m² hot-cell surface). Result must stay exact — the
+    skew costs time, never correctness — and multi-cell long chords
+    crossing into the hot cell must still dedup to one count via the
+    owner-cell claim."""
+    rng = np.random.default_rng(83)
+    n = 300
+    hot = rng.random(n) < 0.6
+    x = np.where(hot, rng.integers(0, 8, n),
+                 rng.integers(-40, 40, n)).astype(np.int64)
+    y = np.where(hot, rng.integers(0, 8, n),
+                 rng.integers(-40, 40, n)).astype(np.int64)
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 6, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": rng.integers(0, 500, n).astype(np.int64),
+        "x": x, "y": y})
+    want = _brute(df)
+    assert len(want) > 3
+    got = (crossing_join(ray.data.from_pandas(df).repartition(5))
+           .to_pandas().sort_values(["user_a", "user_b"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
