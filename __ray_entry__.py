@@ -533,6 +533,33 @@ def _q_movement(sf_dir):
                               ADMIN_POLYGONS)
 
 
+def _q_triangles(sf_dir):
+    """Triangle count (stages/triangles.py) over the pagerank synthetic
+    link graph made undirected — wedge generation at the lowest vertex
+    (hash exchange + m² decode) closed by a keyed groupby carrying one
+    narrow row per wedge; never an adjacency lookup structure. Oracle:
+    DISTINCT least/greatest edges + two equi-joins."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cartwright_ray.stages.triangles import triangle_count
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+    n = docs.count()
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        d = np.repeat(np.asarray(t["doc_id"], np.int64), 3)
+        k = np.tile(np.arange(3, dtype=np.int64), t.num_rows)
+        dst = (d * 7 + 13 * k) % n
+        keep = dst != d
+        d, dst = d[keep], dst[keep]
+        return pa.table({"a": pa.array(np.minimum(d, dst)),
+                         "b": pa.array(np.maximum(d, dst))})
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return triangle_count(edges)
+
+
 def _q_cms(sf_dir):
     """Count-Min sketch point estimates (stages/sketch.py:cms_counts)
     for user_ids 0..29 over events — 4×1024 int64 sketch, per-block
@@ -2663,6 +2690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_kendall_cells": _q_mann_kendall,
         "ripley_k_points": _q_ripley,
         "movement_dashboard": _q_movement,
+        "triangle_count_docs": _q_triangles,
         "pagerank_docs": _q_pagerank,
         # shuffle plan at 2 iterations: proves the scale path at a
         # fifth of the per-iteration exchange cost in the driver window
@@ -3396,6 +3424,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.cx, s.cy, tot.n_events, s.s_stat
             FROM s JOIN tot USING (cx, cy)
             ORDER BY s.cx, s.cy
+        """,
+        "triangle_count_docs": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            e0 AS (
+                SELECT doc_id AS src,
+                       (doc_id * 7 + 13 * i) % (SELECT n FROM nn) AS dst
+                FROM documents, (VALUES (0), (1), (2)) t(i)),
+            e AS (SELECT DISTINCT least(src, dst) AS a,
+                                  greatest(src, dst) AS b
+                  FROM e0 WHERE src <> dst),
+            w AS (SELECT e1.b AS x, e2.b AS y
+                  FROM e e1 JOIN e e2
+                    ON e1.a = e2.a AND e1.b < e2.b),
+            tri AS (SELECT count(*) AS c
+                    FROM w JOIN e ON w.x = e.a AND w.y = e.b)
+            SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+                   CAST((SELECT count(*) FROM w) AS BIGINT) AS n_wedges,
+                   CAST((SELECT c FROM tri) AS BIGINT) AS n_triangles
         """,
         "movement_dashboard": f"""
             WITH tpts AS (
