@@ -70,7 +70,11 @@ def getis_ord_cells(ds, lat_col: str = "lat", lon_col: str = "lon"):
                                    lon_col=lon_col),
                  batch_format="pyarrow")
              .groupby(["cx", "cy"])
-             .aggregate(Sum("x", alias_name="x")))
+             .aggregate(Sum("x", alias_name="x"))
+             # PIN: consumed twice (global moments + scatter-9); the
+             # table is O(cells) — without materialize() the corpus
+             # read + groupby re-executes per consumer (measured 2x)
+             .materialize())
 
     # O(1) global moments over the occupied-cell table (tiny rows/key)
     agg = cells.map_batches(
@@ -149,7 +153,8 @@ def morans_i(ds, lat_col: str = "lat", lon_col: str = "lon"):
                                    lon_col=lon_col),
                  batch_format="pyarrow")
              .groupby(["cx", "cy"])
-             .aggregate(Sum("x", alias_name="x")))
+             .aggregate(Sum("x", alias_name="x"))
+             .materialize())          # PIN: two consumers (see above)
 
     agg = cells.map_batches(
         lambda t: pa.table({
@@ -240,7 +245,8 @@ def mann_kendall_cells(ds, lat_col: str = "lat", lon_col: str = "lon",
 
     cb = (ds.map_batches(cb_partial, batch_format="pyarrow")
           .groupby(["cx", "cy", "b"])
-          .aggregate(Sum("n", alias_name="n")))
+          .aggregate(Sum("n", alias_name="n"))
+          .materialize())             # PIN: range reduce + exchange
 
     rng = cb.map_batches(
         lambda t: pa.table({"d0": [int(np.asarray(t["b"]).min())],
