@@ -560,6 +560,34 @@ def _q_triangles(sf_dir):
     return triangle_count(edges)
 
 
+def _q_clustering_coeff(sf_dir):
+    """Local clustering coefficient per node (stages/triangles.py:
+    clustering_coefficient) over the undirected synthetic link graph:
+    wedges carry their lowest vertex, the (y,z)-keyed closure kernel
+    credits all three corners, T(v) and deg(v) reduce as narrow
+    groupbys, and c(v) = 2T/(d(d−1)) is one shared float expression.
+    Oracle: the same wedge/closure joins + per-corner UNION ALL."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cartwright_ray.stages.triangles import clustering_coefficient
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+    n = docs.count()
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        d = np.repeat(np.asarray(t["doc_id"], np.int64), 3)
+        k = np.tile(np.arange(3, dtype=np.int64), t.num_rows)
+        dst = (d * 7 + 13 * k) % n
+        keep = dst != d
+        d, dst = d[keep], dst[keep]
+        return pa.table({"a": pa.array(np.minimum(d, dst)),
+                         "b": pa.array(np.maximum(d, dst))})
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return clustering_coefficient(edges)
+
+
 def _q_cms(sf_dir):
     """Count-Min sketch point estimates (stages/sketch.py:cms_counts)
     for user_ids 0..29 over events — 4×1024 int64 sketch, per-block
@@ -2691,6 +2719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ripley_k_points": _q_ripley,
         "movement_dashboard": _q_movement,
         "triangle_count_docs": _q_triangles,
+        "clustering_coeff_docs": _q_clustering_coeff,
         "pagerank_docs": _q_pagerank,
         # shuffle plan at 2 iterations: proves the scale path at a
         # fifth of the per-iteration exchange cost in the driver window
@@ -3442,6 +3471,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
                    CAST((SELECT count(*) FROM w) AS BIGINT) AS n_wedges,
                    CAST((SELECT c FROM tri) AS BIGINT) AS n_triangles
+        """,
+        "clustering_coeff_docs": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            e0 AS (
+                SELECT doc_id AS src,
+                       (doc_id * 7 + 13 * i) % (SELECT n FROM nn) AS dst
+                FROM documents, (VALUES (0), (1), (2)) t(i)),
+            e AS (SELECT DISTINCT least(src, dst) AS a,
+                                  greatest(src, dst) AS b
+                  FROM e0 WHERE src <> dst),
+            deg AS (SELECT v AS node, CAST(count(*) AS BIGINT) AS deg
+                    FROM (SELECT a AS v FROM e
+                          UNION ALL SELECT b FROM e)
+                    GROUP BY v),
+            w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                  FROM e e1 JOIN e e2
+                    ON e1.a = e2.a AND e1.b < e2.b),
+            t3 AS (SELECT w.x, w.y, w.z
+                   FROM w JOIN e ON w.y = e.a AND w.z = e.b),
+            tn AS (SELECT v AS node, CAST(count(*) AS BIGINT) AS tri
+                   FROM (SELECT x AS v FROM t3
+                         UNION ALL SELECT y FROM t3
+                         UNION ALL SELECT z FROM t3)
+                   GROUP BY v)
+            SELECT deg.node, deg.deg,
+                   CAST(coalesce(tn.tri, 0) AS BIGINT) AS tri,
+                   CASE WHEN deg.deg < 2 THEN 0.0
+                        ELSE 2.0 * CAST(coalesce(tn.tri, 0) AS DOUBLE)
+                             / (CAST(deg.deg AS DOUBLE)
+                                * (CAST(deg.deg AS DOUBLE) - 1.0))
+                   END AS coeff
+            FROM deg LEFT JOIN tn USING (node)
+            ORDER BY deg.node
         """,
         "movement_dashboard": f"""
             WITH tpts AS (

@@ -72,3 +72,34 @@ def test_triangle_free_graph():
     ring = [(i, (i + 1) % 8) for i in range(8)]    # even cycle: no tri
     e, w, t = _run(ring, 2)
     assert (e, t) == (8, 0)
+
+
+def test_clustering_coefficient_matches_brute():
+    from cartwright_ray.stages.triangles import clustering_coefficient
+    rng = np.random.default_rng(97)
+    pairs = [(int(a), int(b)) for a, b in
+             rng.integers(0, 25, (250, 2)) if a != b]
+    es = {(min(a, b), max(a, b)) for a, b in pairs}
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = []
+    for v in sorted(adj):
+        nb = sorted(adj[v])
+        t = sum(1 for i, p in enumerate(nb) for q in nb[i + 1:]
+                if (min(p, q), max(p, q)) in es)
+        d = len(nb)
+        c = 0.0 if d < 2 else 2.0 * float(t) / (float(d) * (float(d) - 1.0))
+        rows.append((v, d, t, c))
+    want = pd.DataFrame(rows, columns=["node", "deg", "tri", "coeff"])
+    df = pd.DataFrame(list(es), columns=["a", "b"]).astype(np.int64)
+    for blocks in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        got = clustering_coefficient(ds)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # K5 corner case: every node fully clustered
+    k5 = pd.DataFrame([(i, j) for i in range(5) for j in range(i + 1, 5)],
+                      columns=["a", "b"]).astype(np.int64)
+    out = clustering_coefficient(ray.data.from_pandas(k5))
+    assert (out["coeff"] == 1.0).all() and (out["tri"] == 6).all()
