@@ -588,6 +588,72 @@ def _q_clustering_coeff(sf_dir):
     return clustering_coefficient(edges)
 
 
+def _q_zone_dwell(sf_dir):
+    """Time-in-zone accounting (stages/geofence.py:zone_dwell_time):
+    step-function interval attribution to the first ping's zone off
+    the broadcast PIP assign + one track-keyed exchange — exact int64
+    µs sums, tiny O(zones) groupby. Oracle: zone CTE + lead window."""
+    from cartwright_ray.pipelines.relational import derived_track_points
+    from cartwright_ray.sources.synth import ADMIN_POLYGONS
+    from cartwright_ray.stages.geofence import zone_dwell_time
+    df = zone_dwell_time(derived_track_points(sf_dir),
+                         ADMIN_POLYGONS).to_pandas()
+    return df.sort_values("zone").reset_index(drop=True)
+
+
+def _q_retention(sf_dir):
+    """Retention cohorts over events: cohort = a user's first activity
+    week, one row per (cohort_week, week_offset) with distinct active
+    users — per-block (user, week) presence dedup, first-week via
+    groupby min, per-cohort counts via narrow groupby. Oracle: min
+    window + DISTINCT + GROUP BY."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def presence(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t["ts"].cast(pa.timestamp("us"))
+                        .cast(pa.int64()), np.int64)
+        w = ts // (7 * 86_400_000_000)
+        df = (pd.DataFrame({"user_id": np.asarray(t["user_id"],
+                                                  np.int64), "w": w})
+              .drop_duplicates())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pres = (ds.map_batches(presence, batch_format="pyarrow")
+            .groupby(["user_id", "w"])
+            .aggregate(Min("w", alias_name="_m"))
+            .select_columns(["user_id", "w"]).materialize())
+    first = (pres.groupby("user_id")
+             .aggregate(Min("w", alias_name="w0")).to_pandas())
+    import ray
+    ref = ray.put(dict(zip(first["user_id"], first["w0"])))
+
+    def offs(t: pa.Table) -> pa.Table:
+        f = ray.get(ref)
+        u = np.asarray(t["user_id"], np.int64)
+        w = np.asarray(t["w"], np.int64)
+        w0 = pd.Series(u).map(f).to_numpy(np.int64)
+        g = (pd.DataFrame({"cohort_week": w0, "week_offset": w - w0,
+                           "n_users": 1})
+             .groupby(["cohort_week", "week_offset"], sort=False)
+             .sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (pres.map_batches(offs, batch_format="pyarrow")
+           .groupby(["cohort_week", "week_offset"])
+           .aggregate(Sum("n_users", alias_name="n_users"))
+           .to_pandas())
+    return (out.sort_values(["cohort_week", "week_offset"])
+            .reset_index(drop=True))
+
+
 def _q_cms(sf_dir):
     """Count-Min sketch point estimates (stages/sketch.py:cms_counts)
     for user_ids 0..29 over events — 4×1024 int64 sketch, per-block
@@ -2720,6 +2786,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "movement_dashboard": _q_movement,
         "triangle_count_docs": _q_triangles,
         "clustering_coeff_docs": _q_clustering_coeff,
+        "zone_dwell_time": _q_zone_dwell,
+        "retention_cohorts": _q_retention,
         "pagerank_docs": _q_pagerank,
         # shuffle plan at 2 iterations: proves the scale path at a
         # fifth of the per-iteration exchange cost in the driver window
@@ -3607,6 +3675,55 @@ def oracle_sql() -> dict[str, str]:
                        AS k_hat
             FROM pc CROSS JOIN g
             ORDER BY r
+        """,
+        "zone_dwell_time": f"""
+            WITH tpts AS (
+                SELECT user_id, event_id, ts,
+                       CAST((user_id * 13 % 120) - 60.0
+                            + (event_id * 7 % 19) * 0.125
+                            + CASE WHEN event_id % 11 = 0 THEN 15.0
+                                   ELSE 0.0 END AS DOUBLE) AS lat,
+                       CAST((user_id * 29 % 300) - 150.0
+                            + (event_id * 3 % 23) * 0.125 AS DOUBLE) AS lon
+                FROM events),
+            {_pip_edges_values()},
+            inside AS (
+                SELECT p.user_id, p.event_id, e.pidx, e.admin_id
+                FROM tpts p CROSS JOIN edges e
+                WHERE ((e.yi > p.lat) <> (e.yj > p.lat))
+                  AND p.lon < (e.xj - e.xi) * (p.lat - e.yi)
+                      / (e.yj - e.yi) + e.xi
+                GROUP BY p.user_id, p.event_id, e.pidx, e.admin_id
+                HAVING count(*) % 2 = 1),
+            zone AS (
+                SELECT t.user_id, t.event_id, t.ts,
+                       coalesce(min(i.admin_id), 'none') AS z
+                FROM tpts t LEFT JOIN inside i
+                  ON t.user_id = i.user_id AND t.event_id = i.event_id
+                GROUP BY t.user_id, t.event_id, t.ts),
+            seq AS (
+                SELECT z AS zone,
+                       epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id))
+                           - epoch_us(ts) AS dur
+                FROM zone)
+            SELECT zone, CAST(sum(dur) AS BIGINT) AS total_us,
+                   CAST(count(*) AS BIGINT) AS n_intervals
+            FROM seq WHERE dur IS NOT NULL
+            GROUP BY zone ORDER BY zone
+        """,
+        "retention_cohorts": """
+            WITH pres AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 604800000000 AS w
+                FROM events),
+            f AS (SELECT user_id, min(w) AS w0
+                  FROM pres GROUP BY user_id)
+            SELECT f.w0 AS cohort_week, pres.w - f.w0 AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM pres JOIN f USING (user_id)
+            GROUP BY 1, 2
+            ORDER BY cohort_week, week_offset
         """,
         "cms_user_counts": """
             WITH rset AS (SELECT unnest(generate_series(0, 3)) AS r),

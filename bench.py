@@ -164,7 +164,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "trend_by_event_type", "hotspot_cells_gi",
              "dwell_episodes_users", "morans_i_cells", "bpe_train_docs",
              "bpe_token_counts", "track_crossings", "hausdorff_pairs",
-             "colocation_pairs", "hilbert_encoded_points", "cms_user_counts", "mann_kendall_cells", "ripley_k_points", "movement_dashboard", "triangle_count_docs", "clustering_coeff_docs"]
+             "colocation_pairs", "hilbert_encoded_points", "cms_user_counts", "mann_kendall_cells", "ripley_k_points", "movement_dashboard", "triangle_count_docs", "clustering_coeff_docs",
+             "zone_dwell_time", "retention_cohorts"]
     out = {}
     for name in picks:
         t0 = time.time()

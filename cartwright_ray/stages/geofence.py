@@ -125,6 +125,50 @@ def geofence_transitions(points_ds, polygons: list[dict],
                            batch_size=None))
 
 
+def zone_dwell_time(points_ds, polygons: list[dict],
+                    track_col: str = "user_id",
+                    order_cols=("ts", "event_id")):
+    """Time-in-zone accounting: the interval between consecutive pings
+    of a track is attributed to the FIRST ping's zone (step-function
+    semantics; a track's last ping contributes nothing). → Dataset
+    (zone, total_us, n_intervals) — exact int64 µs sums.
+
+    Scale shape: broadcast zone assign (shared PIP index), ONE
+    track-keyed sort exchange, whole-block lag kernel, per-block
+    (zone, Σµs, n) partials, tiny O(zones) groupby sum."""
+    from ray.data.aggregate import Sum
+    ds = assign_zones(points_ds, polygons)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        if t.num_rows == 0:
+            return pa.schema([pa.field("zone", pa.string()),
+                              pa.field("total_us", pa.int64()),
+                              pa.field("n_intervals", pa.int64())]
+                             ).empty_table()
+        u = np.asarray(t[track_col], np.int64)
+        okeys = [np.asarray(t[c]) for c in order_cols]
+        order = np.lexsort(tuple(reversed(okeys)) + (u,))
+        u = u[order]
+        ts = np.asarray(t["ts"].cast(pa.timestamp("us"))
+                        .cast(pa.int64()), np.int64)[order]
+        z = np.asarray(t["zone"], dtype=object)[order]
+        same = u[1:] == u[:-1]
+        dur = (ts[1:] - ts[:-1])[same]
+        zz = z[:-1][same]
+        g = (pd.DataFrame({"zone": zz, "total_us": dur,
+                           "n_intervals": 1})
+             .groupby("zone", sort=False).sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.sort(track_col)
+            .map_batches(kernel, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby("zone")
+            .aggregate(Sum("total_us", alias_name="total_us"),
+                       Sum("n_intervals", alias_name="n_intervals")))
+
+
 def od_matrix(points_ds, polygons: list[dict],
               track_col: str = "user_id", order_cols=("ts", "event_id"),
               cover_res: int = DEFAULT_COVER_RES):

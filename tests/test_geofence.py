@@ -179,3 +179,41 @@ def test_movement_dashboard_composes():
     z1 = out.set_index("zone").loc["Z1", "s_stat"]
     nz = out.set_index("zone").loc["none", "s_stat"]
     assert z1 > 0 and nz < 0
+
+
+def test_zone_dwell_time_matches_brute():
+    from cartwright_ray.stages.geofence import zone_dwell_time
+    poly = [{"admin_id": "Z1", "name": "z1",
+             "ring_lat": [0.0, 0.0, 10.0, 10.0],
+             "ring_lon": [0.0, 10.0, 10.0, 0.0]}]
+    rng = np.random.default_rng(101)
+    n = 200
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 6, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, n) * 1_000_000,
+                             unit="us"),
+        "lat": rng.uniform(-5, 15, n),
+        "lon": rng.uniform(-5, 15, n)})
+    # brute: per user ordered, interval -> first ping's zone
+    zones = []
+    for lat, lon in zip(df["lat"], df["lon"]):
+        zones.append("Z1" if _crossing_inside(
+            lat, lon, poly[0]["ring_lat"], poly[0]["ring_lon"])
+            else NO_ZONE)
+    bd = df.assign(zone=zones)
+    acc = {}
+    for _, g in bd.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        z = g["zone"].to_numpy()
+        for k in range(len(z) - 1):
+            tot, cnt = acc.get(z[k], (0, 0))
+            acc[z[k]] = (tot + int(ts[k + 1] - ts[k]), cnt + 1)
+    want = (pd.DataFrame([(z, t, c) for z, (t, c) in sorted(acc.items())],
+                         columns=["zone", "total_us", "n_intervals"]))
+    for blocks in (1, 5):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        got = (zone_dwell_time(ds, poly).to_pandas()
+               .sort_values("zone").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
