@@ -654,6 +654,18 @@ def _q_retention(sf_dir):
             .reset_index(drop=True))
 
 
+def _q_resample(sf_dir):
+    """Time-regular track resampling (stages/tracks.py:
+    resample_tracks): hourly linear interpolation per track — one
+    track-keyed exchange, searchsorted per track over its grid, shared
+    lerp expression. Oracle: lead window + interval join + identical
+    expression."""
+    from cartwright_ray.pipelines.relational import derived_track_points
+    from cartwright_ray.stages.tracks import resample_tracks
+    df = resample_tracks(derived_track_points(sf_dir)).to_pandas()
+    return (df.sort_values(["user_id", "h"]).reset_index(drop=True))
+
+
 def _q_cms(sf_dir):
     """Count-Min sketch point estimates (stages/sketch.py:cms_counts)
     for user_ids 0..29 over events — 4×1024 int64 sketch, per-block
@@ -2787,6 +2799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count_docs": _q_triangles,
         "clustering_coeff_docs": _q_clustering_coeff,
         "zone_dwell_time": _q_zone_dwell,
+        "resample_tracks_hourly": _q_resample,
         "retention_cohorts": _q_retention,
         "pagerank_docs": _q_pagerank,
         # shuffle plan at 2 iterations: proves the scale path at a
@@ -3675,6 +3688,45 @@ def oracle_sql() -> dict[str, str]:
                        AS k_hat
             FROM pc CROSS JOIN g
             ORDER BY r
+        """,
+        "resample_tracks_hourly": """
+            WITH pts AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                       CAST((user_id * 13 % 120) - 60.0
+                            + (event_id * 7 % 19) * 0.125
+                            + CASE WHEN event_id % 11 = 0 THEN 15.0
+                                   ELSE 0.0 END AS DOUBLE) AS lat,
+                       CAST((user_id * 29 % 300) - 150.0
+                            + (event_id * 3 % 23) * 0.125 AS DOUBLE) AS lon
+                FROM events),
+            o AS (
+                SELECT user_id, ts_us, lat, lon,
+                       lead(ts_us) OVER w AS nts,
+                       lead(lat) OVER w AS nlat,
+                       lead(lon) OVER w AS nlon
+                FROM pts
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts_us, event_id)),
+            bounds AS (SELECT user_id, min(ts_us) AS t0,
+                              max(ts_us) AS t1
+                       FROM pts GROUP BY user_id),
+            epochs AS (
+                SELECT user_id, unnest(generate_series(
+                    (t0 + 3599999999) // 3600000000,
+                    (t1 - 1) // 3600000000)) AS h
+                FROM bounds)
+            SELECT e.user_id, e.h,
+                   o.lat + (o.nlat - o.lat)
+                       * (CAST(e.h * 3600000000 - o.ts_us AS DOUBLE)
+                          / CAST(o.nts - o.ts_us AS DOUBLE)) AS lat,
+                   o.lon + (o.nlon - o.lon)
+                       * (CAST(e.h * 3600000000 - o.ts_us AS DOUBLE)
+                          / CAST(o.nts - o.ts_us AS DOUBLE)) AS lon
+            FROM epochs e JOIN o
+              ON o.user_id = e.user_id
+             AND o.ts_us <= e.h * 3600000000
+             AND e.h * 3600000000 < o.nts
+            ORDER BY e.user_id, e.h
         """,
         "zone_dwell_time": f"""
             WITH tpts AS (

@@ -288,3 +288,70 @@ def dwell_episodes(ds, min_pings: int = 3, track_col: str = "user_id",
     return (ds.sort(track_col)
               .map_batches(kernel, batch_format="pyarrow",
                            batch_size=None))
+
+
+def resample_tracks(ds, step_us: int = 3_600_000_000,
+                    track_col: str = "user_id",
+                    order_cols=("ts", "event_id")):
+    """Time-regular track resampling: linear interpolation of each
+    track's position at every ``step_us`` grid instant q with
+    ``ts_first ≤ q < ts_last`` — the canonical trajectory-alignment
+    preprocessing (comparable tracks need comparable clocks).
+
+    Bracketing is the step-partition rule: consecutive pings (in
+    (ts, event_id) order) partition the track's span into [t_i, t_i+1)
+    intervals; q interpolates inside its interval with ONE shared float
+    expression ``v1 + (v2−v1)·((q−t1)/(t2−t1))`` (exact-int diffs cast
+    to double), so the DuckDB replay (lead window + interval join +
+    the same expression) is bit-exact. Duplicate-ts pings yield empty
+    intervals and are skipped identically in both engines.
+
+    Scale shape: ONE track-keyed sort exchange; within the block the
+    per-track work is a grid-count computation (vectorized) plus one
+    ``searchsorted`` per TRACK (the track-not-row loop precedent of
+    ``track_extent``), each vectorized over that track's grid points.
+
+    → Dataset (track, h, lat, lon) where h = q / step_us."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([pa.field(track_col, pa.int64()),
+                                pa.field("h", pa.int64()),
+                                pa.field("lat", pa.float64()),
+                                pa.field("lon", pa.float64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        u = np.asarray(t[track_col], np.int64)
+        okeys = [np.asarray(t[c]) for c in order_cols]
+        order = np.lexsort(tuple(reversed(okeys)) + (u,))
+        u = u[order]
+        ts = np.asarray(t["ts"].cast(pa.timestamp("us"))
+                        .cast(pa.int64()), np.int64)[order]
+        lat = np.asarray(t["lat"], np.float64)[order]
+        lon = np.asarray(t["lon"], np.float64)[order]
+        starts, _ = key_segments(u)
+        ends = np.r_[starts[1:], len(u)]
+        out_u, out_h, out_lat, out_lon = [], [], [], []
+        for s, e in zip(starts, ends):
+            t0, t1 = ts[s], ts[e - 1]
+            h0 = (t0 + step_us - 1) // step_us
+            h1 = (t1 - 1) // step_us
+            if h1 < h0:
+                continue
+            q = np.arange(h0, h1 + 1, dtype=np.int64) * step_us
+            i = np.searchsorted(ts[s:e], q, side="right") - 1 + s
+            f = (q - ts[i]).astype(np.float64) \
+                / (ts[i + 1] - ts[i]).astype(np.float64)
+            out_u.append(np.full(len(q), u[s], np.int64))
+            out_h.append(q // step_us)
+            out_lat.append(lat[i] + (lat[i + 1] - lat[i]) * f)
+            out_lon.append(lon[i] + (lon[i + 1] - lon[i]) * f)
+        if not out_u:
+            return out_schema.empty_table()
+        return pa.table({track_col: pa.array(np.concatenate(out_u)),
+                         "h": pa.array(np.concatenate(out_h)),
+                         "lat": pa.array(np.concatenate(out_lat)),
+                         "lon": pa.array(np.concatenate(out_lon))})
+
+    return (ds.sort(track_col)
+            .map_batches(kernel, batch_format="pyarrow",
+                         batch_size=None))

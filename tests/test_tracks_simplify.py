@@ -113,3 +113,56 @@ def test_tie_splits_at_smallest_index():
     assert keep.tolist() == [True, True, True, True]
     keep2 = douglas_peucker_keep(x, y, eps=1.5)
     assert keep2.tolist() == [True, False, False, True]
+
+
+def test_resample_tracks_matches_brute():
+    """Hourly lerp vs a per-epoch Python loop, incl. duplicate-ts
+    pings (empty intervals skipped, last duplicate wins as the left
+    bracket) and a track shorter than one step (no output)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from cartwright_ray.stages.tracks import resample_tracks
+
+    H = 3_600_000_000
+    rng = np.random.default_rng(103)
+    rows = []
+    eid = 0
+    for u in range(6):
+        n = rng.integers(2, 40)
+        ts = np.sort(rng.integers(0, 30 * H, n))
+        if u == 3:
+            ts[1] = ts[0]                       # duplicate timestamp
+        if u == 5:
+            ts = ts[:2]; ts[1] = ts[0] + 100    # sub-step track
+        for k in range(len(ts)):
+            rows.append((u, eid, ts[k], rng.uniform(-50, 50),
+                         rng.uniform(-100, 100)))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["user_id", "event_id", "ts_us",
+                                     "lat", "lon"])
+    df["ts"] = pd.to_datetime(df["ts_us"], unit="us")
+
+    want = []
+    for u, g in df.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        ts = g["ts_us"].to_numpy(np.int64)
+        la = g["lat"].to_numpy()
+        lo = g["lon"].to_numpy()
+        for h in range((int(ts[0]) + H - 1) // H,
+                       (int(ts[-1]) - 1) // H + 1):
+            q = h * H
+            i = int(np.searchsorted(ts, q, side="right")) - 1
+            f = float(q - ts[i]) / float(ts[i + 1] - ts[i])
+            want.append((u, h, la[i] + (la[i + 1] - la[i]) * f,
+                         lo[i] + (lo[i + 1] - lo[i]) * f))
+    want = pd.DataFrame(want, columns=["user_id", "h", "lat", "lon"])
+    assert len(want) > 50
+    for blocks in (1, 4):
+        ds = ray.data.from_pandas(
+            df[["user_id", "event_id", "ts", "lat", "lon"]]
+        ).repartition(blocks)
+        got = (resample_tracks(ds).to_pandas()
+               .sort_values(["user_id", "h"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert not (want["user_id"] == 5).any()     # sub-step: nothing
