@@ -666,6 +666,71 @@ def _q_resample(sf_dir):
     return (df.sort_values(["user_id", "h"]).reset_index(drop=True))
 
 
+def _q_od_probs(sf_dir):
+    """Markov next-zone transition estimates: the od_matrix rolled to
+    row-conditional probabilities p = n_trips / Σ_row (one float
+    division of exact integers — the zone-pair table is O(zones²), so
+    the normalize is a driver frame op). Oracle: the OD CTE + a window
+    sum + the same division."""
+    from cartwright_ray.pipelines.relational import derived_track_points
+    from cartwright_ray.sources.synth import ADMIN_POLYGONS
+    from cartwright_ray.stages.geofence import od_matrix
+    df = od_matrix(derived_track_points(sf_dir), ADMIN_POLYGONS).to_pandas()
+    tot = df.groupby("from_zone")["n_trips"].transform("sum")
+    df["p"] = df["n_trips"].astype(float) / tot.astype(float)
+    return (df.sort_values(["from_zone", "to_zone"])
+            .reset_index(drop=True))
+
+
+def _q_cusum(sf_dir):
+    """Integer CUSUM change-point per event_type over dense daily
+    counts: cp = argmin-k of the first maximal |B·prefix_k − k·total|
+    (ties → smallest k), an all-integer rescaling of the classic CUSUM
+    statistic — exact in both engines. Per-key daily counts come from
+    per-block partials + one narrow groupby; the per-key scan is over
+    B ≈ 30 bins on the driver-side O(keys × B) frame."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t["ts"].cast(pa.timestamp("us"))
+                        .cast(pa.int64()), np.int64)
+        g = (pd.DataFrame({"event_type": t["event_type"].to_numpy(
+                               zero_copy_only=False),
+                           "b": ts // 86_400_000_000, "n": 1})
+             .groupby(["event_type", "b"], sort=False)
+             .sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    kb = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby(["event_type", "b"])
+          .aggregate(Sum("n", alias_name="n"))
+          .to_pandas())                          # O(keys × days)
+    d0, d1 = int(kb["b"].min()), int(kb["b"].max())
+    nbins = d1 - d0 + 1
+    rows = []
+    for k, g in kb.groupby("event_type"):
+        dense = np.zeros(nbins, np.int64)
+        dense[g["b"].to_numpy() - d0] = g["n"].to_numpy()
+        total = int(dense.sum())
+        pref = np.cumsum(dense)
+        # k ranges over split points 1..B-1 (prefix of length k)
+        kk = np.arange(1, nbins, dtype=np.int64)
+        stat = np.abs(nbins * pref[:-1] - kk * total)
+        cp = int(np.argmax(stat)) + 1            # first max, smallest k
+        rows.append((k, cp, int(stat[cp - 1]), total))
+    return (pd.DataFrame(rows, columns=["event_type", "cp_bin",
+                                        "stat", "total"])
+            .sort_values("event_type").reset_index(drop=True))
+
+
 def _q_cms(sf_dir):
     """Count-Min sketch point estimates (stages/sketch.py:cms_counts)
     for user_ids 0..29 over events — 4×1024 int64 sketch, per-block
@@ -2800,6 +2865,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff_docs": _q_clustering_coeff,
         "zone_dwell_time": _q_zone_dwell,
         "resample_tracks_hourly": _q_resample,
+        "od_transition_probs": _q_od_probs,
+        "cusum_change_points": _q_cusum,
         "retention_cohorts": _q_retention,
         "pagerank_docs": _q_pagerank,
         # shuffle plan at 2 iterations: proves the scale path at a
@@ -3688,6 +3755,84 @@ def oracle_sql() -> dict[str, str]:
                        AS k_hat
             FROM pc CROSS JOIN g
             ORDER BY r
+        """,
+        "od_transition_probs": f"""
+            WITH tpts AS (
+                SELECT user_id, event_id, ts,
+                       CAST((user_id * 13 % 120) - 60.0
+                            + (event_id * 7 % 19) * 0.125
+                            + CASE WHEN event_id % 11 = 0 THEN 15.0
+                                   ELSE 0.0 END AS DOUBLE) AS lat,
+                       CAST((user_id * 29 % 300) - 150.0
+                            + (event_id * 3 % 23) * 0.125 AS DOUBLE) AS lon
+                FROM events),
+            {_pip_edges_values()},
+            inside AS (
+                SELECT p.user_id, p.event_id, e.pidx, e.admin_id
+                FROM tpts p CROSS JOIN edges e
+                WHERE ((e.yi > p.lat) <> (e.yj > p.lat))
+                  AND p.lon < (e.xj - e.xi) * (p.lat - e.yi)
+                      / (e.yj - e.yi) + e.xi
+                GROUP BY p.user_id, p.event_id, e.pidx, e.admin_id
+                HAVING count(*) % 2 = 1),
+            zone AS (
+                SELECT t.user_id, t.event_id, t.ts,
+                       coalesce(min(i.admin_id), 'none') AS z
+                FROM tpts t LEFT JOIN inside i
+                  ON t.user_id = i.user_id AND t.event_id = i.event_id
+                GROUP BY t.user_id, t.event_id, t.ts),
+            seq AS (
+                SELECT user_id, z,
+                       lag(z) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS pz
+                FROM zone),
+            od AS (SELECT pz AS from_zone, z AS to_zone,
+                          CAST(count(*) AS BIGINT) AS n_trips
+                   FROM seq WHERE pz IS NOT NULL AND pz <> z
+                   GROUP BY pz, z)
+            SELECT from_zone, to_zone, n_trips,
+                   CAST(n_trips AS DOUBLE)
+                       / CAST(sum(n_trips) OVER (PARTITION BY from_zone)
+                              AS DOUBLE) AS p
+            FROM od ORDER BY from_zone, to_zone
+        """,
+        "cusum_change_points": """
+            WITH kb AS (SELECT event_type,
+                               epoch_us(ts) // 86400000000 AS b,
+                               CAST(count(*) AS BIGINT) AS n
+                        FROM events GROUP BY 1, 2),
+            g AS (SELECT min(b) AS d0, max(b) AS d1,
+                         max(b) - min(b) + 1 AS nb FROM kb),
+            keys AS (SELECT DISTINCT event_type FROM kb),
+            bins AS (SELECT unnest(generate_series(
+                         (SELECT d0 FROM g), (SELECT d1 FROM g))) AS b),
+            dense AS (
+                SELECT keys.event_type, bins.b, coalesce(kb.n, 0) AS n
+                FROM keys CROSS JOIN bins
+                LEFT JOIN kb ON kb.event_type = keys.event_type
+                            AND kb.b = bins.b),
+            pref AS (
+                SELECT event_type, b,
+                       sum(n) OVER (PARTITION BY event_type
+                                    ORDER BY b) AS pf,
+                       sum(n) OVER (PARTITION BY event_type) AS total
+                FROM dense),
+            stat AS (
+                SELECT event_type,
+                       b - (SELECT d0 FROM g) + 1 AS k,
+                       abs((SELECT nb FROM g) * pf
+                           - (b - (SELECT d0 FROM g) + 1) * total)
+                           AS stat,
+                       total
+                FROM pref WHERE b < (SELECT d1 FROM g)),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY event_type
+                      ORDER BY stat DESC, k) AS rn
+                  FROM stat)
+            SELECT event_type, CAST(k AS BIGINT) AS cp_bin,
+                   CAST(stat AS BIGINT) AS stat,
+                   CAST(total AS BIGINT) AS total
+            FROM r WHERE rn = 1 ORDER BY event_type
         """,
         "resample_tracks_hourly": """
             WITH pts AS (

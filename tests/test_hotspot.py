@@ -196,3 +196,39 @@ def test_ripley_k_matches_brute():
     assert want["n_pairs"].is_monotonic_increasing
     # clustered half pushes K above the CSR expectation pi*r^2 at r=4
     assert want.loc[1, "k_hat"] > np.pi * 16
+
+
+def test_cusum_change_point_detects_planted_shift():
+    """CUSUM argmax lands on a planted level shift and the statistic
+    is the exact integer |B·prefix − k·total| at that k."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import importlib
+    m = importlib.import_module("__ray_entry__")
+    import pandas as pd
+    import tempfile, os
+    # synth: type 'a' jumps from 2/day to 20/day at day 10 of 20
+    rows = []
+    base = pd.Timestamp("2024-01-01").value // 1000
+    eid = 0
+    for d in range(20):
+        for _ in range(2 if d < 10 else 20):
+            rows.append(("a", base + d * 86_400_000_000 + eid))
+            eid += 1
+        rows.append(("b", base + d * 86_400_000_000 + 500))
+    df = pd.DataFrame(rows, columns=["event_type", "ts_us"])
+    df["ts"] = pd.to_datetime(df["ts_us"], unit="us")
+    df["event_id"] = range(len(df))
+    df["user_id"] = 0
+    df["value"] = 0.0
+    df["props"] = ""
+    with tempfile.TemporaryDirectory() as td:
+        df[["event_id", "ts", "user_id", "event_type", "value",
+            "props"]].to_parquet(os.path.join(td, "events.parquet"))
+        out = m.queries()["cusum_change_points"](td)
+    a = out.set_index("event_type").loc["a"]
+    assert a["cp_bin"] == 10               # split right at the shift
+    # exact integer statistic: B=20, prefix_10=20, total=220
+    assert a["stat"] == abs(20 * 20 - 10 * 220)
+    b = out.set_index("event_type").loc["b"]
+    assert b["stat"] == 0                  # perfectly flat series
