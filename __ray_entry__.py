@@ -2813,9 +2813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # global aggregate)
         "llm_corpus_prep": _q_llm_prep,
         "chunk_docs_overlap": _q_chunk_docs,
-        "winsorize_events": _q_winsorize,
         "normalize_text_docs": _q_text_norm,
-        "vocab_coverage_docs": _q_vocab_coverage,
         "matryoshka_ann_topk": _q_matryoshka_ann,
         "rerank_ann_topk": _q_rerank_ann,
         # round-5 composite #3 (never driver-verified — must sit in the
@@ -2868,6 +2866,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_transition_probs": _q_od_probs,
         "cusum_change_points": _q_cusum,
         "retention_cohorts": _q_retention,
+        "winsorize_events": _q_winsorize,
+        "vocab_coverage_docs": _q_vocab_coverage,
         "pagerank_docs": _q_pagerank,
         # shuffle plan at 2 iterations: proves the scale path at a
         # fifth of the per-iteration exchange cost in the driver window
