@@ -2066,6 +2066,16 @@ def _q_decontam(sf_dir):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_dup_spans(sf_dir):
+    """Corpus-internal duplicate-substring stats (Lee et al. 2022 class):
+    per doc, word-8-gram windows whose gram repeats anywhere in the
+    corpus, plus the exact token coverage of those windows
+    (stages/dup_spans — gram-hash exchange + integer gaps-and-islands)."""
+    from cartwright_ray.stages.dup_spans import duplicate_gram_stats
+    df = duplicate_gram_stats(_docs(sf_dir), n=8).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_media_captions(sf_dir):
     """Caption pairing over the interleaved corpus: each media span +
     the text of its nearest preceding text span, coordinates redacted
@@ -2827,6 +2837,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_orders_join": _q_lineitem_orders_join,
         "ivf_ann_pruned": _q_ivf_ann_pruned,
         # text / dedup / ANN
+        # round-5 late addition (never driver-verified — in the window)
+        "dup_gram_spans_docs": _q_dup_spans,
         "quality_filter_docs": _q_quality_filter,
         "incremental_dedup_docs": _q_incremental_dedup,
         "mixture_sample_docs": _q_mixture_sample,
@@ -5823,6 +5835,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(nh, 0) AS BIGINT) AS n_hits,
                    CAST(coalesce(nh, 0) > 0 AS BIGINT) AS contaminated
             FROM words LEFT JOIN hits ON words.doc_id = hits.doc_id
+            ORDER BY words.doc_id
+        """,
+        "dup_gram_spans_docs": r"""
+            WITH words AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(
+                                  lower(text), '\s+'), x -> x <> '') w
+                           FROM documents),
+            grams AS (SELECT doc_id, i, array_to_string(w[i:i+7], ' ') g
+                      FROM (SELECT doc_id, w,
+                                   unnest(generate_series(1, len(w)-7)) i
+                            FROM words WHERE len(w) >= 8)),
+            dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+            flagged AS (SELECT doc_id, i FROM grams JOIN dupg USING (g)),
+            cov AS (SELECT doc_id, count(DISTINCT i + u) nc
+                    FROM flagged CROSS JOIN
+                         (SELECT unnest(generate_series(0, 7)) AS u)
+                    GROUP BY doc_id),
+            cnt AS (SELECT doc_id, count(*) ng FROM flagged
+                    GROUP BY doc_id)
+            SELECT words.doc_id,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(ng, 0) AS BIGINT) AS n_dup_grams,
+                   CAST(coalesce(nc, 0) AS BIGINT) AS n_dup_tokens
+            FROM words LEFT JOIN cnt USING (doc_id)
+                       LEFT JOIN cov USING (doc_id)
             ORDER BY words.doc_id
         """,
         "lsh_ann_topk": _lsh_ann_oracle_sql(),

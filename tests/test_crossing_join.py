@@ -135,3 +135,34 @@ def test_hot_cell_skew_still_exact():
            .to_pandas().sort_values(["user_a", "user_b"])
            .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # and with the quadtree refinement FORCED onto the hot cell
+    # (threshold 50 < its ~180 segments): identical result
+    got_r = (crossing_join(ray.data.from_pandas(df).repartition(5),
+                           hot_cell_rows=50)
+             .to_pandas().sort_values(["user_a", "user_b"])
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_r, want, check_dtype=False)
+
+
+def test_refinement_exact_at_any_threshold_and_factor():
+    """Quadtree hot-cell refinement is a physical-plan property only:
+    forcing EVERY cell hot (threshold 0) at each refine factor, at two
+    block layouts, must reproduce the brute result bit-for-bit —
+    including long chords whose clipped bboxes span many subcells."""
+    rng = np.random.default_rng(131)
+    n = 250
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 7, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": rng.integers(0, 800, n).astype(np.int64),
+        "x": rng.integers(-24, 24, n).astype(np.int64),
+        "y": rng.integers(-24, 24, n).astype(np.int64)})
+    want = _brute(df)
+    assert len(want) > 5
+    for refine in (2, 4, 8):
+        for blocks in (1, 9):
+            ds = ray.data.from_pandas(df).repartition(blocks)
+            got = (crossing_join(ds, hot_cell_rows=0, refine=refine)
+                   .to_pandas().sort_values(["user_a", "user_b"])
+                   .reset_index(drop=True))
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
