@@ -455,6 +455,47 @@ def _q_colocation(sf_dir):
             .reset_index(drop=True))
 
 
+def _q_convoy(sf_dir):
+    """Convoy detection (joins/crossing_join.py:convoy_pairs): user
+    pairs co-located in ≥3 CONSECUTIVE hour buckets (cells may change
+    bucket to bucket) — colocation's slot exchange + one pair-keyed
+    exchange + whole-block gaps-and-islands (two reduceat levels).
+    The real event timestamps never co-locate a pair in adjacent hours
+    (measured: every colocation pair has max_run = 1), so the bucket is
+    DERIVED (event_id % 6 hours) like x/y are — the oracle replays it.
+    Oracle: DISTINCT pair-bucket rows + DENSE_RANK islands."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from cartwright_ray.joins.crossing_join import convoy_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], np.int64)
+        e = np.asarray(t["event_id"], np.int64)
+        y = (u // 60 % 40 - 20) * 8 + e * 7 % 19
+        x = (u % 60 - 30) * 8 + e * 3 % 23
+        ts = pa.array(e % 6 * 3_600_000_000).cast(pa.timestamp("us"))
+        t = t.append_column("x", pa.array(x))
+        t = t.append_column("y", pa.array(y))
+        return t.append_column("ts", ts)
+
+    res = convoy_pairs(ds.map_batches(derive, batch_format="pyarrow"),
+                       min_len=3)
+    df = res.to_pandas() if res is not None else None
+    if df is None or df.empty:
+        return pd.DataFrame({"user_a": pd.Series([], dtype=np.int64),
+                             "user_b": pd.Series([], dtype=np.int64),
+                             "max_run": pd.Series([], dtype=np.int64),
+                             "n_buckets": pd.Series([], dtype=np.int64)})
+    return (df.sort_values(["user_a", "user_b"])
+            .reset_index(drop=True))
+
+
 def _q_hilbert(sf_dir):
     """Hilbert-curve encoding (geo/hilbert.py): order-16 xy→d over the
     derived track points — the locality-preserving partition key. The
@@ -2076,6 +2117,54 @@ def _q_dup_spans(sf_dir):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_pii_redact(sf_dir):
+    """PII detection + redaction (stages/pii.py): deterministic PII
+    (email / NANP phone / IPv4) is INJECTED per doc_id residue class —
+    the synthetic corpus has none — then counted and redacted with RE2
+    Arrow kernels. Oracle replays the injection as SQL concat and the
+    patterns through DuckDB's own RE2 (identical leftmost
+    non-overlapping semantics), so the hash compare is byte-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cartwright_ray.stages.pii import count_pii_array, \
+        redact_pii_array
+
+    def inject(t: pa.Table) -> pa.Table:
+        import numpy as np
+        did = np.asarray(t["doc_id"], np.int64)
+        s = lambda a: pa.array(a.astype("U"))
+        cat = pc.binary_join_element_wise
+        empty = pa.scalar("", pa.string())
+        email = pc.if_else(pa.array(did % 3 == 0),
+                           cat(" contact u", s(did), "@example.com",
+                               ""), empty)
+        phone = pc.if_else(pa.array(did % 5 == 0),
+                           cat(" call 555-", s(did % 900 + 100), "-",
+                               s(did % 9000 + 1000), ""), empty)
+        ip = pc.if_else(pa.array(did % 7 == 0),
+                        cat(" from 10.", s(did % 256), ".",
+                            s(did % 100), ".", s(did % 200), ""),
+                        empty)
+        text = cat(t["text"], email, phone, ip, "")
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    def signals_and_redact(t: pa.Table) -> pa.Table:
+        counts = count_pii_array(t["text"])
+        n_email = pc.cast(counts["email"], pa.int64())
+        n_ipv4 = pc.cast(counts["ipv4"], pa.int64())
+        n_phone = pc.cast(counts["phone"], pa.int64())
+        total = pc.add(pc.add(n_email, n_ipv4), n_phone)
+        return pa.table({"doc_id": t["doc_id"], "n_email": n_email,
+                         "n_ipv4": n_ipv4, "n_phone": n_phone,
+                         "has_pii": pc.greater(total, 0),
+                         "text_redacted": redact_pii_array(t["text"])})
+
+    ds = _docs(sf_dir).map_batches(inject, batch_format="pyarrow") \
+        .map_batches(signals_and_redact, batch_format="pyarrow")
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_media_captions(sf_dir):
     """Caption pairing over the interleaved corpus: each media span +
     the text of its nearest preceding text span, coordinates redacted
@@ -2821,30 +2910,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational surface (groupby / broadcast join / window / top-k /
         # global aggregate)
+        # round-5 composites + queries whose code paths were REWRITTEN
+        # in round 5 (rank-attach auto-plan, axis-kernel clustering,
+        # per-key join salting, chunk int64 offsets, dedup-store cache,
+        # component-anchored URL normalization, JPEG fill bytes, MJPEG
+        # marker walk) — kept/promoted for driver re-verification per
+        # the rotation discipline
         "llm_corpus_prep": _q_llm_prep,
         "chunk_docs_overlap": _q_chunk_docs,
-        "normalize_text_docs": _q_text_norm,
-        "matryoshka_ann_topk": _q_matryoshka_ann,
-        "rerank_ann_topk": _q_rerank_ann,
-        # round-5 composite #3 (never driver-verified — must sit in the
-        # window), plus the spatial-resolution pair whose axis kernel was
-        # REWRITTEN this round (tolerance-clustered grouping) — promoted
-        # back for driver re-verification per the r4 rotation discipline
         "retrieval_pipeline": _q_retrieval_pipeline,
         "spatial_resolution_grid": _q_spatial_resolution,
         "spatial_resolution_table": _q_spatial_resolution_table,
-        "label_centroids": _q_label_centroids,
         "lineitem_orders_join": _q_lineitem_orders_join,
-        "ivf_ann_pruned": _q_ivf_ann_pruned,
-        # text / dedup / ANN
-        # round-5 late addition (never driver-verified — in the window)
-        "dup_gram_spans_docs": _q_dup_spans,
-        "quality_filter_docs": _q_quality_filter,
         "incremental_dedup_docs": _q_incremental_dedup,
-        "mixture_sample_docs": _q_mixture_sample,
-        "source_quota_docs": _q_source_quota,
-        "heavy_hitter_tokens": _q_heavy_hitters,
-        "exact_dedup_docs": _q_exact_dedup,
+        "url_dedup_docs": _q_url_dedup,
+        "media_features_jpeg": _q_media_jpeg,
+        # never driver-verified — must sit in the window
+        "dup_gram_spans_docs": _q_dup_spans,
+        "pii_redact_docs": _q_pii_redact,
+        "convoy_pairs_users": _q_convoy,
+        "media_features_jpeg_progressive": _q_media_jpeg_progressive,
+        "pagerank_docs": _q_pagerank,
+        # shuffle plan at 2 iterations: proves the scale path at a
+        # fifth of the per-iteration exchange cost in the driver window
+        "pagerank_docs_shuffle": lambda sf: _q_pagerank(
+            sf, plan="shuffle", iters=2),
+        "grid_dbscan_points": _q_grid_dbscan,
+        "dbscan_cluster_stats": _q_dbscan_cluster_stats,
+        "cusum_change_points": _q_cusum,
+        "retention_cohorts": _q_retention,
         "line_dedup_docs": _q_line_dedup,
         "lm_score_docs": _q_lm_score,
         "pps_sample_docs": _q_pps_sample,
@@ -2876,15 +2970,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_dwell_time": _q_zone_dwell,
         "resample_tracks_hourly": _q_resample,
         "od_transition_probs": _q_od_probs,
-        "cusum_change_points": _q_cusum,
-        "retention_cohorts": _q_retention,
         "winsorize_events": _q_winsorize,
         "vocab_coverage_docs": _q_vocab_coverage,
-        "pagerank_docs": _q_pagerank,
-        # shuffle plan at 2 iterations: proves the scale path at a
-        # fifth of the per-iteration exchange cost in the driver window
-        "pagerank_docs_shuffle": lambda sf: _q_pagerank(
-            sf, plan="shuffle", iters=2),
         "ann_topk": _q_ann,
         "hamming_ann_topk": _q_hamming_ann,
         "kmeans_centroids": _q_kmeans,
@@ -2904,20 +2991,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spatial pipeline + the full spatial-join family (verified in
         # r03; the family representatives stay in-window)
         "encoded_points": _q_encoded_points,
-        "grid_dbscan_points": _q_grid_dbscan,
-        "dbscan_cluster_stats": _q_dbscan_cluster_stats,
         "pip_join_counts": _q_pip_join_counts,
         "pip_join_counts_shuffle": _q_pip_join_counts_shuffle,
         "pip_join_boxes": _q_pip_join_boxes,
         "admin_polygon_areas": _q_polygon_areas,
         "redacted_spans": _q_redacted_spans,
         "media_resized": _q_media_resized,
-        "media_features_jpeg": _q_media_jpeg,
-        "media_features_jpeg_progressive": _q_media_jpeg_progressive,
         "audio_features_wav": _q_audio_wav,
-        "video_frames_mjpeg": _q_video_mjpeg,
         "video_frames_gif": _q_video_gif,
-        "url_dedup_docs": _q_url_dedup,
         "knn_join_sample": _q_knn,
         "knn_join_table": _q_knn_join_table,
         "knn_join_shuffle": _q_knn_join_shuffle,
@@ -2934,7 +3015,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # make window slots for media_features_jpeg + the three
         # round-4 layout ops
         # r4-green, untouched in r5 — demoted for the r5 promotions
-        # (retrieval_pipeline + the spatial-resolution pair)
+        # (never-verified late-round operators + rewritten-path
+        # re-verifications; the repo-side check_oracles gate still
+        # covers every demoted entry at sf0.01 and sf0.1)
+        "normalize_text_docs": _q_text_norm,
+        # (r4-green; the round-5 MJPEG marker-walk fix carries its own
+        # pytest — demoted to fit convoy_pairs_users in the window)
+        "video_frames_mjpeg": _q_video_mjpeg,
+        "matryoshka_ann_topk": _q_matryoshka_ann,
+        "rerank_ann_topk": _q_rerank_ann,
+        "label_centroids": _q_label_centroids,
+        "ivf_ann_pruned": _q_ivf_ann_pruned,
+        "exact_dedup_docs": _q_exact_dedup,
+        "quality_filter_docs": _q_quality_filter,
+        "mixture_sample_docs": _q_mixture_sample,
+        "source_quota_docs": _q_source_quota,
+        "heavy_hitter_tokens": _q_heavy_hitters,
         "jsonl_roundtrip_docs": _q_jsonl_roundtrip,
         "training_prep_docs": _q_training_prep,
         "zscore_events": _q_zscore,
@@ -5861,6 +5957,81 @@ def oracle_sql() -> dict[str, str]:
             FROM words LEFT JOIN cnt USING (doc_id)
                        LEFT JOIN cov USING (doc_id)
             ORDER BY words.doc_id
+        """,
+        "convoy_pairs_users": """
+            WITH p AS (
+                SELECT user_id,
+                       ((user_id // 60) % 40 - 20) * 8
+                           + event_id * 7 % 19 AS y,
+                       (user_id % 60 - 30) * 8
+                           + event_id * 3 % 23 AS x,
+                       event_id % 6 AS b
+                FROM events),
+            pres AS (
+                SELECT DISTINCT user_id AS u,
+                       CAST(floor(x / 8.0) AS BIGINT) AS cx,
+                       CAST(floor(y / 8.0) AS BIGINT) AS cy,
+                       b
+                FROM p),
+            pb AS (
+                SELECT DISTINCT a.u AS ua, b.u AS ub, a.b AS b
+                FROM pres a JOIN pres b
+                  ON a.cx = b.cx AND a.cy = b.cy AND a.b = b.b
+                 AND a.u < b.u),
+            runs AS (
+                SELECT ua, ub, b,
+                       b - DENSE_RANK() OVER
+                           (PARTITION BY ua, ub ORDER BY b) AS g
+                FROM pb),
+            rl AS (
+                SELECT ua, ub, g, count(*) AS len
+                FROM runs GROUP BY ua, ub, g)
+            SELECT ua AS user_a, ub AS user_b,
+                   CAST(max(len) AS BIGINT) AS max_run,
+                   CAST(sum(len) AS BIGINT) AS n_buckets
+            FROM rl GROUP BY ua, ub
+            HAVING max(len) >= 3
+            ORDER BY user_a, user_b
+        """,
+        "pii_redact_docs": r"""
+            WITH injected AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0
+                          THEN ' contact u' || doc_id || '@example.com'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                          THEN ' call 555-' || (100 + doc_id % 900)
+                               || '-' || (1000 + doc_id % 9000)
+                          ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                          THEN ' from 10.' || (doc_id % 256) || '.'
+                               || (doc_id % 100) || '.' || (doc_id % 200)
+                          ELSE '' END AS t
+                FROM documents),
+            counted AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(t,
+                           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'
+                           )) AS BIGINT) AS n_email,
+                       CAST(len(regexp_extract_all(t,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'
+                           )) AS BIGINT) AS n_ipv4,
+                       CAST(len(regexp_extract_all(t,
+                           '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'
+                           )) AS BIGINT) AS n_phone,
+                       regexp_replace(regexp_replace(regexp_replace(t,
+                           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '[IP]', 'g'),
+                           '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b',
+                           '[PHONE]', 'g') AS text_redacted
+                FROM injected)
+            SELECT doc_id, n_email, n_ipv4, n_phone,
+                   (n_email + n_ipv4 + n_phone) > 0 AS has_pii,
+                   text_redacted
+            FROM counted ORDER BY doc_id
         """,
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "ivf_ann_topk": _ivf_ann_oracle_sql(),

@@ -167,7 +167,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "colocation_pairs", "hilbert_encoded_points", "cms_user_counts", "mann_kendall_cells", "ripley_k_points", "movement_dashboard", "triangle_count_docs", "clustering_coeff_docs",
              "zone_dwell_time", "retention_cohorts",
              "resample_tracks_hourly", "od_transition_probs",
-             "cusum_change_points", "dup_gram_spans_docs"]
+             "cusum_change_points", "dup_gram_spans_docs",
+             "pii_redact_docs", "convoy_pairs_users"]
     out = {}
     for name in picks:
         t0 = time.time()

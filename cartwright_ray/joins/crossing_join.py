@@ -463,3 +463,126 @@ def colocation_join(points_ds, bucket_us: int = 3_600_000_000,
         return None
     return (clean.groupby(["user_a", "user_b"])
             .aggregate(Sum("n_slots", alias_name="n_slots")))
+
+
+def convoy_pairs(points_ds, bucket_us: int = 3_600_000_000,
+                 min_len: int = 3, track_col: str = "user_id"):
+    """Convoy (travelling-companion) detection: unordered user pairs
+    co-located — same 1° cell, same time bucket — in at least
+    ``min_len`` CONSECUTIVE buckets, the sequential strengthening of
+    :func:`colocation_join` (a pair meeting once an hour at random
+    never forms a convoy; a pair moving together does). The shared
+    cell may CHANGE bucket to bucket — consecutiveness is a property
+    of the pair's bucket set, not of any one cell.
+
+    Scale shape: the colocation presence combiner + ONE slot-keyed
+    exchange emit (user_a, user_b, bucket) rows (deduped in-block —
+    a pair sharing k cells in one bucket collapses before the next
+    exchange, k ≤ the pair's per-bucket cell fan-out, tiny for point
+    data); ONE pair-keyed exchange then sorts each pair's buckets and
+    the longest consecutive run is a whole-block vectorized
+    gaps-and-islands (two ``reduceat`` levels: runs within pair, max
+    over runs). Narrow int64 rows end to end; no driver collection.
+
+    → Dataset (user_a, user_b, max_run, n_buckets), pairs with
+    ``max_run >= min_len``.
+    """
+    import pandas as pd
+
+    from ..stages.partition import drop_empty_blocks
+
+    def presence(t: pa.Table) -> pa.Table:
+        u = np.asarray(t[track_col], np.int64)
+        cx = np.asarray(t["x"], np.int64) // 8
+        cy = np.asarray(t["y"], np.int64) // 8
+        ts = np.asarray(t["ts"].cast(pa.timestamp("us"))
+                        .cast(pa.int64()), np.int64)
+        b = ts // bucket_us
+        df = (pd.DataFrame({"u": u, "cx": cx, "cy": cy, "b": b})
+              .drop_duplicates())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pres = points_ds.map_batches(presence, batch_format="pyarrow")
+    slots = hash_partitioned(pres, ["cx", "cy", "b"],
+                             rows_per_partition=10_000)
+    if slots is None:
+        return None
+
+    pair_schema = pa.schema([pa.field("ua", pa.int64()),
+                             pa.field("ub", pa.int64()),
+                             pa.field("b", pa.int64())])
+
+    def slot_pair_buckets(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        cx = np.asarray(t["cx"], np.int64)
+        cy = np.asarray(t["cy"], np.int64)
+        b = np.asarray(t["b"], np.int64)
+        u = np.asarray(t["u"], np.int64)
+        order = np.lexsort((u, b, cy, cx))
+        cx, cy, b, u = cx[order], cy[order], b[order], u[order]
+        same_prev = np.r_[False, (cx[1:] == cx[:-1]) & (cy[1:] == cy[:-1])
+                          & (b[1:] == b[:-1]) & (u[1:] == u[:-1])]
+        cx, cy, b, u = (cx[~same_prev], cy[~same_prev], b[~same_prev],
+                        u[~same_prev])
+        new = np.r_[True, (cx[1:] != cx[:-1]) | (cy[1:] != cy[:-1])
+                    | (b[1:] != b[:-1])]
+        starts = np.flatnonzero(new)
+        m = np.r_[starts[1:], len(u)] - starts
+        n2 = m * m
+        rep = np.repeat(np.arange(len(m)), n2)
+        tloc = np.arange(int(n2.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(n2) - n2, n2)
+        i = starts[rep] + tloc // m[rep]
+        j = starts[rep] + tloc % m[rep]
+        keep = u[i] < u[j]
+        i, j = i[keep], j[keep]
+        df = (pd.DataFrame({"ua": u[i], "ub": u[j], "b": b[i]})
+              .drop_duplicates())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = slots.map_batches(slot_pair_buckets, batch_format="pyarrow",
+                             batch_size=None)
+    clean = drop_empty_blocks(cand)
+    if clean is None:
+        return None
+    pairs = hash_partitioned(clean, ["ua", "ub"])
+    if pairs is None:
+        return None
+
+    out_schema = pa.schema([pa.field("user_a", pa.int64()),
+                            pa.field("user_b", pa.int64()),
+                            pa.field("max_run", pa.int64()),
+                            pa.field("n_buckets", pa.int64())])
+
+    def runs_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ua = np.asarray(t["ua"], np.int64)
+        ub = np.asarray(t["ub"], np.int64)
+        b = np.asarray(t["b"], np.int64)
+        order = np.lexsort((b, ub, ua))
+        ua, ub, b = ua[order], ub[order], b[order]
+        # cross-block duplicate (pair, bucket) rows: in-block dedup
+        # upstream ran per slot-exchange block, the same pair+bucket can
+        # arrive from two cells in different blocks
+        dup = np.r_[False, (ua[1:] == ua[:-1]) & (ub[1:] == ub[:-1])
+                    & (b[1:] == b[:-1])]
+        ua, ub, b = ua[~dup], ub[~dup], b[~dup]
+        newp = np.r_[True, (ua[1:] != ua[:-1]) | (ub[1:] != ub[:-1])]
+        newrun = newp | np.r_[True, b[1:] != b[:-1] + 1]
+        run_starts = np.flatnonzero(newrun)
+        run_len = np.r_[run_starts[1:], len(b)] - run_starts
+        # runs are contiguous per pair: reduce run lengths by pair
+        pair_first = np.flatnonzero(newp)            # row index
+        pair_run0 = np.searchsorted(run_starts, pair_first)
+        max_run = np.maximum.reduceat(run_len, pair_run0)
+        n_buckets = np.add.reduceat(run_len, pair_run0)
+        keep = max_run >= min_len
+        return pa.table({"user_a": pa.array(ua[pair_first][keep]),
+                         "user_b": pa.array(ub[pair_first][keep]),
+                         "max_run": pa.array(max_run[keep]),
+                         "n_buckets": pa.array(n_buckets[keep])})
+
+    return pairs.map_batches(runs_kernel, batch_format="pyarrow",
+                             batch_size=None)
