@@ -561,6 +561,35 @@ def _q_ripley(sf_dir):
     return ripley_k(ds.map_batches(derive, batch_format="pyarrow"))
 
 
+def _q_semivariogram(sf_dir):
+    """Empirical Matheron semivariogram at 2-unit distance bins
+    (stages/hotspot.py:semivariogram) over the grid-enumerated points
+    with integer values v = event_id % 97 — home+ghost ordered pairs
+    halved exactly to the unordered estimator, int64 bin sums, one
+    closing float division per bin. Oracle: the identical ghost-cover
+    join with h.event_id < a.event_id (unordered directly)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from cartwright_ray.stages.hotspot import semivariogram
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], np.int64)
+        e = np.asarray(t["event_id"], np.int64)
+        y = (u // 60 % 40 - 20) * 8 + e * 7 % 19
+        x = (u % 60 - 30) * 8 + e * 3 % 23
+        t = t.append_column("x", pa.array(x))
+        t = t.append_column("y", pa.array(y))
+        return t.append_column("v", pa.array(e % 97))
+
+    df = semivariogram(ds.map_batches(derive, batch_format="pyarrow"))
+    return df.reset_index(drop=True)
+
+
 def _q_movement(sf_dir):
     """Movement-analytics composite #4 (pipelines/movement.py): one
     broadcast PIP pass feeds per-zone daily Mann-Kendall trends AND the
@@ -2924,9 +2953,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_orders_join": _q_lineitem_orders_join,
         "incremental_dedup_docs": _q_incremental_dedup,
         "url_dedup_docs": _q_url_dedup,
-        "media_features_jpeg": _q_media_jpeg,
         # never driver-verified — must sit in the window
         "dup_gram_spans_docs": _q_dup_spans,
+        "semivariogram_points": _q_semivariogram,
         "pii_redact_docs": _q_pii_redact,
         "convoy_pairs_users": _q_convoy,
         "media_features_jpeg_progressive": _q_media_jpeg_progressive,
@@ -3019,9 +3048,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # re-verifications; the repo-side check_oracles gate still
         # covers every demoted entry at sf0.01 and sf0.1)
         "normalize_text_docs": _q_text_norm,
-        # (r4-green; the round-5 MJPEG marker-walk fix carries its own
-        # pytest — demoted to fit convoy_pairs_users in the window)
+        # (r4-green; the round-5 MJPEG marker-walk and JPEG fill-byte
+        # fixes carry their own pytest regressions, and the in-window
+        # progressive-JPEG query exercises the same decoder — demoted
+        # to fit convoy_pairs_users + semivariogram_points)
         "video_frames_mjpeg": _q_video_mjpeg,
+        "media_features_jpeg": _q_media_jpeg,
         "matryoshka_ann_topk": _q_matryoshka_ann,
         "rerank_ann_topk": _q_rerank_ann,
         "label_centroids": _q_label_centroids,
@@ -5957,6 +5989,45 @@ def oracle_sql() -> dict[str, str]:
             FROM words LEFT JOIN cnt USING (doc_id)
                        LEFT JOIN cov USING (doc_id)
             ORDER BY words.doc_id
+        """,
+        "semivariogram_points": """
+            WITH p AS (
+                SELECT event_id,
+                       ((user_id // 60) % 40 - 20) * 8
+                           + event_id * 7 % 19 AS y,
+                       (user_id % 60 - 30) * 8
+                           + event_id * 3 % 23 AS x,
+                       event_id % 97 AS v
+                FROM events),
+            cov AS (
+                SELECT event_id, x, y, v,
+                       CAST(floor(x / 8.0) AS BIGINT) + dx.d AS cx,
+                       CAST(floor(y / 8.0) AS BIGINT) + dy.d AS cy,
+                       CASE WHEN dx.d = 0 AND dy.d = 0
+                            THEN 0 ELSE 1 END AS ghost
+                FROM p, (VALUES (-1), (0), (1)) dx(d),
+                        (VALUES (-1), (0), (1)) dy(d)),
+            pairs AS (
+                SELECT (h.x - a.x) * (h.x - a.x)
+                           + (h.y - a.y) * (h.y - a.y) AS d2,
+                       (h.v - a.v) * (h.v - a.v) AS sq
+                FROM cov h JOIN cov a
+                  ON h.cx = a.cx AND h.cy = a.cy
+                 AND h.ghost = 0 AND h.event_id < a.event_id),
+            binned AS (
+                SELECT CASE WHEN d2 < 4 THEN 0
+                            WHEN d2 < 16 THEN 1
+                            WHEN d2 < 36 THEN 2
+                            ELSE 3 END AS bin,
+                       sq
+                FROM pairs WHERE d2 < 64)
+            SELECT CAST(bin * 2 AS BIGINT) AS h_lo,
+                   CAST((bin + 1) * 2 AS BIGINT) AS h_hi,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(sq) AS DOUBLE)
+                       / (2 * CAST(count(*) AS DOUBLE)) AS gamma
+            FROM binned GROUP BY bin
+            ORDER BY h_lo
         """,
         "convoy_pairs_users": """
             WITH p AS (

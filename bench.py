@@ -168,7 +168,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "zone_dwell_time", "retention_cohorts",
              "resample_tracks_hourly", "od_transition_probs",
              "cusum_change_points", "dup_gram_spans_docs",
-             "pii_redact_docs", "convoy_pairs_users"]
+             "pii_redact_docs", "convoy_pairs_users",
+             "semivariogram_points"]
     out = {}
     for name in picks:
         t0 = time.time()

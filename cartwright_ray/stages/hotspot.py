@@ -391,3 +391,110 @@ def ripley_k(points_ds, radii=(2, 4, 8), id_col: str = "event_id"):
         k = float(area) * float(p) / (float(n) * float(n))
         rows.append((r, p, k))
     return pd.DataFrame(rows, columns=["r", "n_pairs", "k_hat"])
+
+
+def semivariogram(points_ds, bin_w: int = 2, n_bins: int = 4,
+                  value_col: str = "v", id_col: str = "event_id"):
+    """Empirical (Matheron) semivariogram over ×8-integer coordinates
+    and INTEGER point values, at distance bins ``[k·w, (k+1)·w)``:
+    γ(k) = Σ(vᵢ−vⱼ)² / (2·N) over unordered point pairs in the bin.
+
+    Integer values are the exactness contract (the winsorize/OLS
+    stance): squared diffs and bin sums stay int64, so the engine and
+    the SQL oracle agree bit-exactly; γ is ONE closing float division
+    per bin. Float-valued columns work but lose the bit-exact oracle.
+
+    Pair discipline is :func:`ripley_k`'s home+ghost scatter (cell
+    edge 8 ≥ max distance ``n_bins·bin_w``): every ORDERED pair within
+    range co-locates exactly once, the symmetric sums halve to the
+    unordered estimator exactly (both are even integers). Bin index is
+    an int64 ``searchsorted`` on the squared boundaries — no sqrt
+    anywhere. Per-block partials are (bin, cnt, sumsq); the driver
+    reduce is O(bins × blocks). Bins with no pairs are omitted
+    (documented; the SQL GROUP BY mirrors this).
+
+    → pandas (h_lo, h_hi, n_pairs, gamma) sorted by h_lo."""
+    from .partition import hash_partitioned
+
+    rmax = n_bins * bin_w
+    assert rmax <= 8, "cell edge (8) must be >= max bin distance"
+    bounds2 = np.array([(k * bin_w) ** 2 for k in range(n_bins + 1)],
+                       np.int64)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        x = np.asarray(t["x"], np.int64)
+        y = np.asarray(t["y"], np.int64)
+        eid = np.asarray(t[id_col], np.int64)
+        v = np.asarray(t[value_col], np.int64)
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                outs.append(pa.table({
+                    "cx": pa.array(x // 8 + dx),
+                    "cy": pa.array(y // 8 + dy),
+                    "ghost": pa.array(np.full(
+                        len(x), 0 if (dx, dy) == (0, 0) else 1,
+                        np.int64)),
+                    "x": pa.array(x), "y": pa.array(y),
+                    "eid": pa.array(eid), "v": pa.array(v)}))
+        return pa.concat_tables(outs)
+
+    parted = hash_partitioned(
+        points_ds.map_batches(scatter, batch_format="pyarrow"),
+        ["cx", "cy"], rows_per_partition=10_000)
+    if parted is None:
+        return pd.DataFrame(columns=["h_lo", "h_hi", "n_pairs",
+                                     "gamma"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bin": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64()),
+                          "sumsq": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        cx = np.asarray(t["cx"], np.int64)
+        cy = np.asarray(t["cy"], np.int64)
+        gh = np.asarray(t["ghost"], np.int64)
+        order = np.lexsort((gh, cy, cx))      # home rows first per cell
+        cx, cy, gh = cx[order], cy[order], gh[order]
+        x = np.asarray(t["x"], np.int64)[order]
+        y = np.asarray(t["y"], np.int64)[order]
+        eid = np.asarray(t["eid"], np.int64)[order]
+        v = np.asarray(t["v"], np.int64)[order]
+        new = np.r_[True, (cx[1:] != cx[:-1]) | (cy[1:] != cy[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(cx)]
+        ma = ends - starts
+        cell_of = np.cumsum(new) - 1
+        mh = np.bincount(cell_of, weights=(gh == 0)).astype(np.int64)
+        n2 = mh * ma
+        rep = np.repeat(np.arange(len(ma)), n2)
+        tloc = np.arange(int(n2.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(n2) - n2, n2)
+        i = starts[rep] + tloc // ma[rep]     # home rows are the prefix
+        j = starts[rep] + tloc % ma[rep]
+        d2 = (x[i] - x[j]) ** 2 + (y[i] - y[j]) ** 2
+        ok = (eid[i] != eid[j]) & (d2 < bounds2[-1])
+        b = np.searchsorted(bounds2, d2[ok], side="right") - 1
+        cnt = np.bincount(b, minlength=n_bins).astype(np.int64)
+        sq = (v[i][ok] - v[j][ok]) ** 2
+        sums = np.zeros(n_bins, np.int64)
+        np.add.at(sums, b, sq)
+        return pa.table({"bin": pa.array(np.arange(n_bins, dtype=np.int64)),
+                         "cnt": pa.array(cnt), "sumsq": pa.array(sums)})
+
+    parts = parted.map_batches(pair_partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    rows = []
+    for k in range(n_bins):
+        sel = parts[parts["bin"] == k]
+        n_o = int(sel["cnt"].sum())
+        s_o = int(sel["sumsq"].sum())
+        if n_o == 0:
+            continue
+        # ordered → unordered: both sums are exactly even
+        n_u, s_u = n_o // 2, s_o // 2
+        rows.append((k * bin_w, (k + 1) * bin_w, n_u,
+                     float(s_u) / (2.0 * float(n_u))))
+    return pd.DataFrame(rows, columns=["h_lo", "h_hi", "n_pairs",
+                                       "gamma"])
