@@ -561,6 +561,106 @@ def _q_ripley(sf_dir):
     return ripley_k(ds.map_batches(derive, batch_format="pyarrow"))
 
 
+def _snap_roads():
+    """Deterministic 22-segment road grid spanning the derived-point
+    domain (x ∈ [−240, 256], y ∈ [−160, 171]): 8 horizontals, 8
+    verticals, 6 slope-2 diagonals. Rendered identically into the
+    engine table and the oracle's VALUES list."""
+    segs = []
+    for i in range(8):
+        segs.append((i, -240, (i * 5 - 18) * 8 + 1,
+                     256, (i * 5 - 18) * 8 + 1))
+    for i in range(8):
+        segs.append((8 + i, (i * 7 - 25) * 8 + 2, -170,
+                     (i * 7 - 25) * 8 + 2, 170))
+    for i in range(6):
+        segs.append((16 + i, -240 + i * 80, -160, -80 + i * 80, 160))
+    return segs
+
+
+def _q_snap_roads(sf_dir):
+    """Snap-to-segment map matching (joins/snap_join.py): each derived
+    point joins its nearest road segment within radius 8 — broadcast
+    dilated passage-cell index, exact rational distance² closed by one
+    float64 division, (d², road_id) tie-break. Oracle: CROSS JOIN of
+    the same VALUES road table with the identical CASE branches and a
+    ROW_NUMBER argmin."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from cartwright_ray.joins.snap_join import snap_to_segments
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], np.int64)
+        e = np.asarray(t["event_id"], np.int64)
+        y = (u // 60 % 40 - 20) * 8 + e * 7 % 19
+        x = (u % 60 - 30) * 8 + e * 3 % 23
+        t = t.append_column("x", pa.array(x))
+        return t.append_column("y", pa.array(y))
+
+    segs = _snap_roads()
+    st = pa.table({"road_id": pa.array([s[0] for s in segs], pa.int64()),
+                   "x1": pa.array([s[1] for s in segs], pa.int64()),
+                   "y1": pa.array([s[2] for s in segs], pa.int64()),
+                   "x2": pa.array([s[3] for s in segs], pa.int64()),
+                   "y2": pa.array([s[4] for s in segs], pa.int64())})
+    res = snap_to_segments(ds.map_batches(derive, batch_format="pyarrow"),
+                           st, rmax=8)
+    df = res.to_pandas()
+    if df.empty:
+        import pandas as pd
+        return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                             "road_id": pd.Series([], dtype=np.int64),
+                             "snap_d2": pd.Series([], dtype=np.float64)})
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+def _snap_oracle_sql() -> str:
+    vals = ", ".join(f"({r}, {x1}, {y1}, {x2}, {y2})"
+                     for r, x1, y1, x2, y2 in _snap_roads())
+    return f"""
+        WITH p AS (
+            SELECT event_id,
+                   ((user_id // 60) % 40 - 20) * 8
+                       + event_id * 7 % 19 AS y,
+                   (user_id % 60 - 30) * 8
+                       + event_id * 3 % 23 AS x
+            FROM events),
+        roads(road_id, x1, y1, x2, y2) AS (VALUES {vals}),
+        cand AS (
+            SELECT p.event_id, roads.road_id,
+                   (p.x - x1) * (x2 - x1) + (p.y - y1) * (y2 - y1)
+                       AS dot,
+                   (x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)
+                       AS len2,
+                   (p.x - x1) * (p.x - x1) + (p.y - y1) * (p.y - y1)
+                       AS ap2,
+                   (p.x - x2) * (p.x - x2) + (p.y - y2) * (p.y - y2)
+                       AS bp2
+            FROM p CROSS JOIN roads),
+        dist AS (
+            SELECT event_id, road_id,
+                   CASE WHEN dot > 0 AND dot < len2
+                        THEN CAST(ap2 * len2 - dot * dot AS DOUBLE)
+                             / CAST(len2 AS DOUBLE)
+                        WHEN dot <= 0 THEN CAST(ap2 AS DOUBLE)
+                        ELSE CAST(bp2 AS DOUBLE) END AS snap_d2
+            FROM cand),
+        ranked AS (
+            SELECT event_id, road_id, snap_d2,
+                   ROW_NUMBER() OVER (PARTITION BY event_id
+                                      ORDER BY snap_d2, road_id) AS rn
+            FROM dist WHERE snap_d2 <= 64)
+        SELECT event_id, road_id, snap_d2
+        FROM ranked WHERE rn = 1
+        ORDER BY event_id
+    """
+
+
 def _q_semivariogram(sf_dir):
     """Empirical Matheron semivariogram at 2-unit distance bins
     (stages/hotspot.py:semivariogram) over the grid-enumerated points
@@ -2946,7 +3046,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # marker walk) — kept/promoted for driver re-verification per
         # the rotation discipline
         "llm_corpus_prep": _q_llm_prep,
-        "chunk_docs_overlap": _q_chunk_docs,
         "retrieval_pipeline": _q_retrieval_pipeline,
         "spatial_resolution_grid": _q_spatial_resolution,
         "spatial_resolution_table": _q_spatial_resolution_table,
@@ -2956,6 +3055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never driver-verified — must sit in the window
         "dup_gram_spans_docs": _q_dup_spans,
         "semivariogram_points": _q_semivariogram,
+        "snap_to_roads": _q_snap_roads,
         "pii_redact_docs": _q_pii_redact,
         "convoy_pairs_users": _q_convoy,
         "media_features_jpeg_progressive": _q_media_jpeg_progressive,
@@ -3054,6 +3154,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # to fit convoy_pairs_users + semivariogram_points)
         "video_frames_mjpeg": _q_video_mjpeg,
         "media_features_jpeg": _q_media_jpeg,
+        # (r4-green; the round-5 int64-offset chunk fix has its own
+        # pytest — demoted to fit snap_to_roads)
+        "chunk_docs_overlap": _q_chunk_docs,
         "matryoshka_ann_topk": _q_matryoshka_ann,
         "rerank_ann_topk": _q_rerank_ann,
         "label_centroids": _q_label_centroids,
@@ -5990,6 +6093,7 @@ def oracle_sql() -> dict[str, str]:
                        LEFT JOIN cov USING (doc_id)
             ORDER BY words.doc_id
         """,
+        "snap_to_roads": _snap_oracle_sql(),
         "semivariogram_points": """
             WITH p AS (
                 SELECT event_id,
