@@ -661,6 +661,32 @@ def _snap_oracle_sql() -> str:
     """
 
 
+def _q_kde_cells(sf_dir):
+    """KDE hotspot surface (stages/hotspot.py:kde_cells): per-cell
+    Epanechnikov-shape weight sums max(0, 64 − d²) from points within
+    8 of each cell center — all-int64 scatter-9 + one cell groupby,
+    bit-exact oracle (3×3 VALUES cross join, same max expression)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from cartwright_ray.stages.hotspot import kde_cells
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], np.int64)
+        e = np.asarray(t["event_id"], np.int64)
+        y = (u // 60 % 40 - 20) * 8 + e * 7 % 19
+        x = (u % 60 - 30) * 8 + e * 3 % 23
+        return pa.table({"x": pa.array(x), "y": pa.array(y)})
+
+    res = kde_cells(ds.map_batches(derive, batch_format="pyarrow"))
+    return (res.to_pandas().sort_values(["cx", "cy"])
+            .reset_index(drop=True))
+
+
 def _q_semivariogram(sf_dir):
     """Empirical Matheron semivariogram at 2-unit distance bins
     (stages/hotspot.py:semivariogram) over the grid-enumerated points
@@ -3051,11 +3077,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_resolution_table": _q_spatial_resolution_table,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "incremental_dedup_docs": _q_incremental_dedup,
-        "url_dedup_docs": _q_url_dedup,
         # never driver-verified — must sit in the window
         "dup_gram_spans_docs": _q_dup_spans,
         "semivariogram_points": _q_semivariogram,
         "snap_to_roads": _q_snap_roads,
+        "kde_heatmap_cells": _q_kde_cells,
         "pii_redact_docs": _q_pii_redact,
         "convoy_pairs_users": _q_convoy,
         "media_features_jpeg_progressive": _q_media_jpeg_progressive,
@@ -3154,9 +3180,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # to fit convoy_pairs_users + semivariogram_points)
         "video_frames_mjpeg": _q_video_mjpeg,
         "media_features_jpeg": _q_media_jpeg,
-        # (r4-green; the round-5 int64-offset chunk fix has its own
-        # pytest — demoted to fit snap_to_roads)
+        # (r4-green; the round-5 int64-offset chunk fix and the
+        # URL-normalization rewrite each have pytest regressions —
+        # demoted to fit snap_to_roads + kde_heatmap_cells)
         "chunk_docs_overlap": _q_chunk_docs,
+        "url_dedup_docs": _q_url_dedup,
         "matryoshka_ann_topk": _q_matryoshka_ann,
         "rerank_ann_topk": _q_rerank_ann,
         "label_centroids": _q_label_centroids,
@@ -6094,6 +6122,30 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY words.doc_id
         """,
         "snap_to_roads": _snap_oracle_sql(),
+        "kde_heatmap_cells": """
+            WITH p AS (
+                SELECT ((user_id // 60) % 40 - 20) * 8
+                           + event_id * 7 % 19 AS y,
+                       (user_id % 60 - 30) * 8
+                           + event_id * 3 % 23 AS x
+                FROM events),
+            sc AS (
+                SELECT CAST(floor(x / 8.0) AS BIGINT) + dx.d AS cx,
+                       CAST(floor(y / 8.0) AS BIGINT) + dy.d AS cy,
+                       x, y
+                FROM p, (VALUES (-1), (0), (1)) dx(d),
+                        (VALUES (-1), (0), (1)) dy(d)),
+            w AS (
+                SELECT cx, cy,
+                       64 - ((x - (cx * 8 + 4)) * (x - (cx * 8 + 4))
+                             + (y - (cy * 8 + 4)) * (y - (cy * 8 + 4)))
+                           AS kde
+                FROM sc)
+            SELECT cx, cy, CAST(sum(kde) AS BIGINT) AS kde_w
+            FROM w WHERE kde > 0
+            GROUP BY cx, cy
+            ORDER BY cx, cy
+        """,
         "semivariogram_points": """
             WITH p AS (
                 SELECT event_id,

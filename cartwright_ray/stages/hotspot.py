@@ -498,3 +498,58 @@ def semivariogram(points_ds, bin_w: int = 2, n_bins: int = 4,
                      float(s_u) / (2.0 * float(n_u))))
     return pd.DataFrame(rows, columns=["h_lo", "h_hi", "n_pairs",
                                        "gamma"])
+
+
+def kde_cells(points_ds, h: int = 8):
+    """Kernel-density heatmap over 1° grid cells: each cell center
+    (8c+4, 8c'+4) accumulates the finite-support Epanechnikov-shape
+    weight ``max(0, h² − d²)`` from every point within ``h`` — the
+    standard KDE hotspot surface, UNNORMALIZED (the 2/(πh⁴) constant
+    and any per-n scaling are presentation, not data; all arithmetic
+    stays int64 so the oracle is bit-exact with no float anywhere).
+
+    ``h`` ≤ 8 is required: a cell two steps away has its center ≥ 12
+    units from any point of the home cell, so the 3×3 scatter is a
+    complete cover. Scale shape is the Gi* scatter-9: each point emits
+    ≤ 9 weighted rows (zero-weight rows dropped in-block), per-block
+    partial sums per cell, ONE cell-keyed groupby sum — shuffle volume
+    ≤ 9×|points| of narrow int64 rows, no pair enumeration at all.
+
+    → Dataset (cx, cy, kde_w) for cells with kde_w > 0."""
+    from ray.data.aggregate import Sum
+
+    assert h <= 8, "3x3 scatter requires h <= cell edge (8)"
+    h2 = np.int64(h * h)
+
+    def scatter_w(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cx": pa.array([], pa.int64()),
+                             "cy": pa.array([], pa.int64()),
+                             "kde_w": pa.array([], pa.int64())})
+        x = np.asarray(t["x"], np.int64)
+        y = np.asarray(t["y"], np.int64)
+        cx0 = x // 8
+        cy0 = y // 8
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cx = cx0 + dx
+                cy = cy0 + dy
+                d2 = (x - (cx * 8 + 4)) ** 2 + (y - (cy * 8 + 4)) ** 2
+                w = h2 - d2
+                keep = w > 0
+                if keep.any():
+                    outs.append(pd.DataFrame({"cx": cx[keep],
+                                              "cy": cy[keep],
+                                              "kde_w": w[keep]}))
+        if not outs:
+            return pa.table({"cx": pa.array([], pa.int64()),
+                             "cy": pa.array([], pa.int64()),
+                             "kde_w": pa.array([], pa.int64())})
+        df = (pd.concat(outs).groupby(["cx", "cy"], sort=False)
+              .sum().reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = points_ds.map_batches(scatter_w, batch_format="pyarrow")
+    return (parts.groupby(["cx", "cy"])
+            .aggregate(Sum("kde_w", alias_name="kde_w")))
