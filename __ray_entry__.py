@@ -661,6 +661,34 @@ def _snap_oracle_sql() -> str:
     """
 
 
+def _q_knox(sf_dir):
+    """Knox space-time interaction (stages/hotspot.py:knox_statistic)
+    at s=4, τ=1h over the grid-enumerated points with REAL event
+    timestamps — one home+ghost cell exchange carries both the space
+    and space-time counts, a 1D τ-bucket exchange carries the time
+    count, all int64 ordered counts halved exactly, one closing float
+    ratio. Oracle: the identical cover joins in SQL."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from cartwright_ray.stages.hotspot import knox_statistic
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], np.int64)
+        e = np.asarray(t["event_id"], np.int64)
+        y = (u // 60 % 40 - 20) * 8 + e * 7 % 19
+        x = (u % 60 - 30) * 8 + e * 3 % 23
+        t = t.append_column("x", pa.array(x))
+        return t.append_column("y", pa.array(y))
+
+    df = knox_statistic(ds.map_batches(derive, batch_format="pyarrow"))
+    return df.reset_index(drop=True)
+
+
 def _q_kde_cells(sf_dir):
     """KDE hotspot surface (stages/hotspot.py:kde_cells): per-cell
     Epanechnikov-shape weight sums max(0, 64 − d²) from points within
@@ -3076,12 +3104,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_resolution_grid": _q_spatial_resolution,
         "spatial_resolution_table": _q_spatial_resolution_table,
         "lineitem_orders_join": _q_lineitem_orders_join,
-        "incremental_dedup_docs": _q_incremental_dedup,
         # never driver-verified — must sit in the window
         "dup_gram_spans_docs": _q_dup_spans,
         "semivariogram_points": _q_semivariogram,
         "snap_to_roads": _q_snap_roads,
         "kde_heatmap_cells": _q_kde_cells,
+        "knox_space_time": _q_knox,
         "pii_redact_docs": _q_pii_redact,
         "convoy_pairs_users": _q_convoy,
         "media_features_jpeg_progressive": _q_media_jpeg_progressive,
@@ -3185,6 +3213,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # demoted to fit snap_to_roads + kde_heatmap_cells)
         "chunk_docs_overlap": _q_chunk_docs,
         "url_dedup_docs": _q_url_dedup,
+        # (r4-green ×2 incl. r3; the auto-plan equi-join path is
+        # re-verified by the in-window lineitem_orders_join — demoted
+        # to fit knox_space_time)
+        "incremental_dedup_docs": _q_incremental_dedup,
         "matryoshka_ann_topk": _q_matryoshka_ann,
         "rerank_ann_topk": _q_rerank_ann,
         "label_centroids": _q_label_centroids,
@@ -6122,6 +6154,56 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY words.doc_id
         """,
         "snap_to_roads": _snap_oracle_sql(),
+        "knox_space_time": """
+            WITH p AS (
+                SELECT event_id, epoch_us(ts) AS tus,
+                       ((user_id // 60) % 40 - 20) * 8
+                           + event_id * 7 % 19 AS y,
+                       (user_id % 60 - 30) * 8
+                           + event_id * 3 % 23 AS x
+                FROM events),
+            n AS (SELECT count(*) AS n,
+                         count(*) * (count(*) - 1) // 2 AS npairs
+                  FROM p),
+            cov AS (
+                SELECT event_id, x, y, tus,
+                       CAST(floor(x / 8.0) AS BIGINT) + dx.d AS cx,
+                       CAST(floor(y / 8.0) AS BIGINT) + dy.d AS cy,
+                       CASE WHEN dx.d = 0 AND dy.d = 0
+                            THEN 0 ELSE 1 END AS ghost
+                FROM p, (VALUES (-1), (0), (1)) dx(d),
+                        (VALUES (-1), (0), (1)) dy(d)),
+            sp AS (
+                SELECT CAST(count(*) AS BIGINT) AS sp,
+                       CAST(sum(CASE WHEN abs(h.tus - a.tus)
+                                          <= 3600000000
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS st
+                FROM cov h JOIN cov a
+                  ON h.cx = a.cx AND h.cy = a.cy
+                 AND h.ghost = 0 AND h.event_id < a.event_id
+                WHERE (h.x - a.x) * (h.x - a.x)
+                      + (h.y - a.y) * (h.y - a.y) <= 16),
+            tcov AS (
+                SELECT event_id, tus,
+                       tus // 3600000000 + db.d AS tb,
+                       CASE WHEN db.d = 0 THEN 0 ELSE 1 END AS ghost
+                FROM p, (VALUES (-1), (0), (1)) db(d)),
+            tp AS (
+                SELECT CAST(count(*) AS BIGINT) AS tp
+                FROM tcov h JOIN tcov a
+                  ON h.tb = a.tb
+                 AND h.ghost = 0 AND h.event_id < a.event_id
+                WHERE abs(h.tus - a.tus) <= 3600000000)
+            SELECT CAST(n.n AS BIGINT) AS n_points,
+                   sp.st AS n_pairs_st,
+                   sp.sp AS n_pairs_s,
+                   tp.tp AS n_pairs_t,
+                   CAST(sp.st AS DOUBLE) * CAST(n.npairs AS DOUBLE)
+                       / (CAST(sp.sp AS DOUBLE)
+                          * CAST(tp.tp AS DOUBLE)) AS knox_ratio
+            FROM n, sp, tp
+        """,
         "kde_heatmap_cells": """
             WITH p AS (
                 SELECT ((user_id // 60) % 40 - 20) * 8

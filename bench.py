@@ -169,7 +169,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "resample_tracks_hourly", "od_transition_probs",
              "cusum_change_points", "dup_gram_spans_docs",
              "pii_redact_docs", "convoy_pairs_users",
-             "semivariogram_points", "snap_to_roads"]
+             "semivariogram_points", "snap_to_roads",
+             "kde_heatmap_cells", "knox_space_time"]
     out = {}
     for name in picks:
         t0 = time.time()

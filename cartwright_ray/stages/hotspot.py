@@ -553,3 +553,147 @@ def kde_cells(points_ds, h: int = 8):
     parts = points_ds.map_batches(scatter_w, batch_format="pyarrow")
     return (parts.groupby(["cx", "cy"])
             .aggregate(Sum("kde_w", alias_name="kde_w")))
+
+
+def knox_statistic(points_ds, s: int = 4, tau_us: int = 3_600_000_000,
+                   id_col: str = "event_id"):
+    """Knox space-time interaction statistic (Knox 1964): the count of
+    point pairs close in BOTH space (d² ≤ s²) and time (|Δt| ≤ τ),
+    with the space-only and time-only marginal pair counts and the
+    Mantel-style clustering ratio X·n(n−1) / (n_s·n_t) (> 1 ⇒ space
+    and time proximity co-occur more than independence predicts;
+    permutation inference is out of scope, documented).
+
+    Pair counting is exact and shuffle-light:
+
+    - SPACE and SPACE-TIME counts share ONE :func:`ripley_k`-style
+      home+ghost cell exchange (s ≤ 8 = cell edge): per-cell ordered
+      pairs evaluate both masks in the same kernel.
+    - TIME count is the SAME discipline in 1D: each point lands in its
+      τ-bucket as home and the two neighbor buckets as ghost —
+      |Δt| ≤ τ implies bucket distance ≤ 1, so every ordered pair
+      co-locates exactly once. A single calendar-hot bucket is the
+      documented skew surface (the ripley hot-cell story, 1D).
+    - All counts are int64 ordered-pair counts halved exactly; the
+      ratio is ONE closing float expression over exact integers.
+
+    → pandas single row (n_points, n_pairs_st, n_pairs_s, n_pairs_t,
+    knox_ratio)."""
+    from .partition import hash_partitioned
+
+    assert s <= 8, "cell edge (8) must be >= s"
+    s2 = np.int64(s * s)
+    tau = np.int64(tau_us)
+
+    def scatter_xy(t: pa.Table) -> pa.Table:
+        x = np.asarray(t["x"], np.int64)
+        y = np.asarray(t["y"], np.int64)
+        eid = np.asarray(t[id_col], np.int64)
+        ts = np.asarray(t["ts"].cast(pa.timestamp("us"))
+                        .cast(pa.int64()), np.int64)
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                outs.append(pa.table({
+                    "cx": pa.array(x // 8 + dx),
+                    "cy": pa.array(y // 8 + dy),
+                    "ghost": pa.array(np.full(
+                        len(x), 0 if (dx, dy) == (0, 0) else 1,
+                        np.int64)),
+                    "x": pa.array(x), "y": pa.array(y),
+                    "eid": pa.array(eid), "tus": pa.array(ts)}))
+        return pa.concat_tables(outs)
+
+    def pair_xy(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"st": pa.array([], pa.int64()),
+                             "sp": pa.array([], pa.int64())})
+        cx = np.asarray(t["cx"], np.int64)
+        cy = np.asarray(t["cy"], np.int64)
+        gh = np.asarray(t["ghost"], np.int64)
+        order = np.lexsort((gh, cy, cx))
+        cx, cy, gh = cx[order], cy[order], gh[order]
+        x = np.asarray(t["x"], np.int64)[order]
+        y = np.asarray(t["y"], np.int64)[order]
+        eid = np.asarray(t["eid"], np.int64)[order]
+        tus = np.asarray(t["tus"], np.int64)[order]
+        new = np.r_[True, (cx[1:] != cx[:-1]) | (cy[1:] != cy[:-1])]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(cx)]
+        ma = ends - starts
+        cell_of = np.cumsum(new) - 1
+        mh = np.bincount(cell_of, weights=(gh == 0)).astype(np.int64)
+        n2 = mh * ma
+        rep = np.repeat(np.arange(len(ma)), n2)
+        tloc = np.arange(int(n2.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(n2) - n2, n2)
+        i = starts[rep] + tloc // ma[rep]
+        j = starts[rep] + tloc % ma[rep]
+        ok = eid[i] != eid[j]
+        near = ok & ((x[i] - x[j]) ** 2 + (y[i] - y[j]) ** 2 <= s2)
+        both = near & (np.abs(tus[i] - tus[j]) <= tau)
+        return pa.table({"st": pa.array([int(both.sum())]),
+                         "sp": pa.array([int(near.sum())])})
+
+    def scatter_t(t: pa.Table) -> pa.Table:
+        eid = np.asarray(t[id_col], np.int64)
+        ts = np.asarray(t["ts"].cast(pa.timestamp("us"))
+                        .cast(pa.int64()), np.int64)
+        outs = []
+        for db in (-1, 0, 1):
+            outs.append(pa.table({
+                "tb": pa.array(ts // tau + db),
+                "ghost": pa.array(np.full(
+                    len(ts), 0 if db == 0 else 1, np.int64)),
+                "eid": pa.array(eid), "tus": pa.array(ts)}))
+        return pa.concat_tables(outs)
+
+    def pair_t(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"tp": pa.array([], pa.int64())})
+        tb = np.asarray(t["tb"], np.int64)
+        gh = np.asarray(t["ghost"], np.int64)
+        order = np.lexsort((gh, tb))
+        tb, gh = tb[order], gh[order]
+        eid = np.asarray(t["eid"], np.int64)[order]
+        tus = np.asarray(t["tus"], np.int64)[order]
+        new = np.r_[True, tb[1:] != tb[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(tb)]
+        ma = ends - starts
+        cell_of = np.cumsum(new) - 1
+        mh = np.bincount(cell_of, weights=(gh == 0)).astype(np.int64)
+        n2 = mh * ma
+        rep = np.repeat(np.arange(len(ma)), n2)
+        tloc = np.arange(int(n2.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(n2) - n2, n2)
+        i = starts[rep] + tloc // ma[rep]
+        j = starts[rep] + tloc % ma[rep]
+        ok = (eid[i] != eid[j]) & (np.abs(tus[i] - tus[j]) <= tau)
+        return pa.table({"tp": pa.array([int(ok.sum())])})
+
+    n = points_ds.count()
+    if n < 2:
+        return pd.DataFrame(columns=["n_points", "n_pairs_st",
+                                     "n_pairs_s", "n_pairs_t",
+                                     "knox_ratio"])
+    parted = hash_partitioned(
+        points_ds.map_batches(scatter_xy, batch_format="pyarrow"),
+        ["cx", "cy"], rows_per_partition=10_000)
+    xy = parted.map_batches(pair_xy, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    tparted = hash_partitioned(
+        points_ds.map_batches(scatter_t, batch_format="pyarrow"),
+        ["tb"], rows_per_partition=10_000)
+    tp = tparted.map_batches(pair_t, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    st_o, sp_o = int(xy["st"].sum()), int(xy["sp"].sum())
+    tp_o = int(tp["tp"].sum())
+    st_u, sp_u, tp_u = st_o // 2, sp_o // 2, tp_o // 2
+    npairs = n * (n - 1) // 2
+    ratio = (float(st_u) * float(npairs)
+             / (float(sp_u) * float(tp_u))) \
+        if sp_u and tp_u else float("nan")
+    return pd.DataFrame([(n, st_u, sp_u, tp_u, ratio)],
+                        columns=["n_points", "n_pairs_st", "n_pairs_s",
+                                 "n_pairs_t", "knox_ratio"])
