@@ -661,6 +661,46 @@ def _snap_oracle_sql() -> str:
     """
 
 
+def _q_track_clusters(sf_dir):
+    """Trajectory clustering composite: hausdorff_join (track pairs
+    with symmetric Hausdorff² ≤ 12²) chained into the large/small-star
+    connected-components clusterer (stages/dedup.py:1146) — the
+    spatial-join × graph cross-family composition; each clustered
+    track is labelled with its component's min user_id. Singleton
+    tracks (no similar pair) don't surface (documented — the SQL
+    closure sees only edge nodes too). Oracle: the hausdorff_pairs
+    CTE + WITH RECURSIVE transitive closure + min-label GROUP BY."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from cartwright_ray.joins.hausdorff_join import hausdorff_join
+    from cartwright_ray.stages.dedup import connected_components
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], np.int64)
+        e = np.asarray(t["event_id"], np.int64)
+        y = (u // 60 % 40 - 20) * 8 + e * 7 % 19
+        x = (u % 60 - 30) * 8 + e * 3 % 23
+        t = t.append_column("x", pa.array(x))
+        return t.append_column("y", pa.array(y))
+
+    pairs = hausdorff_join(ds.map_batches(derive, batch_format="pyarrow"),
+                           threshold=12)
+    cc = connected_components(pairs, a_col="user_a", b_col="user_b",
+                              id_col="user_id",
+                              cluster_col="cluster_id")
+    df = cc.to_pandas() if cc is not None else None
+    if df is None or df.empty:
+        return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                             "cluster_id": pd.Series([], dtype=np.int64)})
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
 def _q_knox(sf_dir):
     """Knox space-time interaction (stages/hotspot.py:knox_statistic)
     at s=4, τ=1h over the grid-enumerated points with REAL event
@@ -3102,7 +3142,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_corpus_prep": _q_llm_prep,
         "retrieval_pipeline": _q_retrieval_pipeline,
         "spatial_resolution_grid": _q_spatial_resolution,
-        "spatial_resolution_table": _q_spatial_resolution_table,
         "lineitem_orders_join": _q_lineitem_orders_join,
         # never driver-verified — must sit in the window
         "dup_gram_spans_docs": _q_dup_spans,
@@ -3110,6 +3149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snap_to_roads": _q_snap_roads,
         "kde_heatmap_cells": _q_kde_cells,
         "knox_space_time": _q_knox,
+        "track_clusters": _q_track_clusters,
         "pii_redact_docs": _q_pii_redact,
         "convoy_pairs_users": _q_convoy,
         "media_features_jpeg_progressive": _q_media_jpeg_progressive,
@@ -3217,6 +3257,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # re-verified by the in-window lineitem_orders_join — demoted
         # to fit knox_space_time)
         "incremental_dedup_docs": _q_incremental_dedup,
+        # (green r01+r02; the rewritten axis kernel is re-verified by
+        # the in-window spatial_resolution_grid, which shares it —
+        # demoted to fit track_clusters)
+        "spatial_resolution_table": _q_spatial_resolution_table,
         "matryoshka_ann_topk": _q_matryoshka_ann,
         "rerank_ann_topk": _q_rerank_ann,
         "label_centroids": _q_label_centroids,
@@ -6154,6 +6198,55 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY words.doc_id
         """,
         "snap_to_roads": _snap_oracle_sql(),
+        "track_clusters": """
+            WITH RECURSIVE p AS (
+                SELECT user_id,
+                       ((user_id // 60) % 40 - 20) * 8
+                           + event_id * 7 % 19 AS y,
+                       (user_id % 60 - 30) * 8
+                           + event_id * 3 % 23 AS x
+                FROM events),
+            bb AS (SELECT user_id, min(x) AS xmin, max(x) AS xmax,
+                          min(y) AS ymin, max(y) AS ymax
+                   FROM p GROUP BY user_id),
+            cand AS (
+                SELECT a.user_id AS ua, b.user_id AS ub
+                FROM bb a JOIN bb b
+                  ON a.user_id < b.user_id
+                 AND a.xmin <= b.xmax + 12 AND a.xmax >= b.xmin - 12
+                 AND a.ymin <= b.ymax + 12 AND a.ymax >= b.ymin - 12),
+            dm AS (
+                SELECT ua, ub, dir, px, py, min(d2) AS dmin FROM (
+                    SELECT c.ua, c.ub, 0 AS dir, pa.x AS px, pa.y AS py,
+                           (pa.x - pb.x) * (pa.x - pb.x)
+                               + (pa.y - pb.y) * (pa.y - pb.y) AS d2
+                    FROM cand c
+                    JOIN p pa ON pa.user_id = c.ua
+                    JOIN p pb ON pb.user_id = c.ub
+                    UNION ALL
+                    SELECT c.ua, c.ub, 1 AS dir, pb.x AS px, pb.y AS py,
+                           (pa.x - pb.x) * (pa.x - pb.x)
+                               + (pa.y - pb.y) * (pa.y - pb.y) AS d2
+                    FROM cand c
+                    JOIN p pa ON pa.user_id = c.ua
+                    JOIN p pb ON pb.user_id = c.ub)
+                GROUP BY ua, ub, dir, px, py),
+            hd AS (SELECT ua, ub FROM (
+                       SELECT ua, ub, max(dmin) AS h2
+                       FROM dm GROUP BY ua, ub)
+                   WHERE h2 <= 144),
+            edges AS (SELECT ua AS u, ub AS v FROM hd
+                      UNION SELECT ub, ua FROM hd),
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+            SELECT u AS user_id, CAST(min(v) AS BIGINT) AS cluster_id
+            FROM (SELECT u, v FROM reach
+                  UNION ALL SELECT DISTINCT u, u FROM edges)
+            GROUP BY u
+            ORDER BY user_id
+        """,
         "knox_space_time": """
             WITH p AS (
                 SELECT event_id, epoch_us(ts) AS tus,

@@ -170,7 +170,7 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "cusum_change_points", "dup_gram_spans_docs",
              "pii_redact_docs", "convoy_pairs_users",
              "semivariogram_points", "snap_to_roads",
-             "kde_heatmap_cells", "knox_space_time"]
+             "kde_heatmap_cells", "knox_space_time", "track_clusters"]
     out = {}
     for name in picks:
         t0 = time.time()
