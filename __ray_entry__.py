@@ -852,6 +852,105 @@ def _q_clustering_coeff(sf_dir):
     return clustering_coefficient(edges)
 
 
+def _q_bfs_hops(sf_dir, plan="auto", iters=4):
+    """Multi-source BFS hop distances (stages/bfs.py) over the directed
+    both-ways synthetic link graph, seeds = doc_id % 97 == 0, exactly
+    ``iters`` relaxation rounds. The engine relaxes only the frontier
+    (min-idempotence makes that provably equal to relaxing all of d_t);
+    the oracle unrolls ``iters`` full min-plus rounds."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cartwright_ray.stages.bfs import bfs_hops
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+    n = docs.count()
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        d = np.repeat(np.asarray(t["doc_id"], np.int64), 3)
+        k = np.tile(np.arange(3, dtype=np.int64), t.num_rows)
+        dst = (d * 7 + 13 * k) % n
+        keep = dst != d
+        d, dst = d[keep], dst[keep]
+        return pa.table({"src": pa.array(np.concatenate([d, dst])),
+                         "dst": pa.array(np.concatenate([dst, d]))})
+
+    def mk_seeds(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["doc_id"], np.int64)
+        return pa.table({"node": pa.array(d[d % 97 == 0])})
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    seeds = docs.map_batches(mk_seeds, batch_format="pyarrow")
+    return bfs_hops(edges, seeds, iters=iters, plan=plan)
+
+
+def _q_kcore(sf_dir, plan="auto", rounds=3, k=5):
+    """k-core peeling (stages/kcore.py) over the canonical undirected
+    synthetic link graph: ``rounds`` synchronous degree-threshold peels
+    (k=5 bites on the ~6-regular graph), output (node, deg) in the
+    surviving subgraph. Oracle: the same rounds unrolled as
+    degree-HAVING + double semi-join CTEs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cartwright_ray.stages.kcore import kcore
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+    n = docs.count()
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        d = np.repeat(np.asarray(t["doc_id"], np.int64), 3)
+        kk = np.tile(np.arange(3, dtype=np.int64), t.num_rows)
+        dst = (d * 7 + 13 * kk) % n
+        keep = dst != d
+        d, dst = d[keep], dst[keep]
+        return pa.table({"a": pa.array(np.minimum(d, dst)),
+                         "b": pa.array(np.maximum(d, dst))})
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return kcore(edges, k=k, rounds=rounds, plan=plan)
+
+
+def _q_skyline(sf_dir):
+    """Skyline / Pareto frontier (stages/skyline.py) over events,
+    maximizing (ts, value) — 'the undominated most-recent-highest-value
+    events'. Per-block local frontiers union into one final kernel pass
+    (partial-skyline property); int64 µs + raw doubles, no arithmetic,
+    so the window-function oracle hashes bit-exactly."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from cartwright_ray.stages.skyline import skyline_max
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "value": t["value"],
+            "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64())})
+
+    out = skyline_max(ds.map_batches(prep, batch_format="pyarrow"),
+                      "ts_us", "value").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_mad_outliers(sf_dir):
+    """Robust per-type outlier stats (stages/normalize.py:
+    mad_outliers_by_key): integer-cent lower-median + MAD + Hampel
+    count, one narrow (key, value) exchange. Oracle: row_number()
+    rank at (n+1)//2, twice."""
+    import ray.data
+
+    from cartwright_ray.stages.normalize import mad_outliers_by_key
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    return mad_outliers_by_key(ds, "event_type", "value")
+
+
 def _q_zone_dwell(sf_dir):
     """Time-in-zone accounting (stages/geofence.py:zone_dwell_time):
     step-function interval attribution to the first ping's zone off
@@ -3144,6 +3243,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_resolution_grid": _q_spatial_resolution,
         "lineitem_orders_join": _q_lineitem_orders_join,
         # never driver-verified — must sit in the window
+        "bfs_hops_docs": _q_bfs_hops,
+        # shuffle plan at 2 relax rounds: proves the scale path at a
+        # fraction of the per-round exchange cost in the driver window
+        "bfs_hops_docs_shuffle": lambda sf: _q_bfs_hops(
+            sf, plan="shuffle", iters=2),
+        "kcore_docs": _q_kcore,
+        # shuffle plan at 1 peel round: two equi_join_shuffle exchanges
+        # prove the scale path at half the 2-round cost
+        "kcore_docs_shuffle": lambda sf: _q_kcore(
+            sf, plan="shuffle", rounds=1),
+        "skyline_events": _q_skyline,
+        "mad_outliers_events": _q_mad_outliers,
         "dup_gram_spans_docs": _q_dup_spans,
         "semivariogram_points": _q_semivariogram,
         "snap_to_roads": _q_snap_roads,
@@ -6666,4 +6777,120 @@ def oracle_sql() -> dict[str, str]:
         SELECT eusers.event_type, est_users, est_events
         FROM eusers JOIN eevents USING (event_type)
         ORDER BY event_type""")
+
+    # bfs_hops_docs: unrolled min-plus relaxation (stages/bfs.py is the
+    # spec) — each round joins the FULL d_t table; the engine joins only
+    # the frontier, provably identical under min-idempotence.
+    def _bfs_sql(iters: int) -> str:
+        parts = ["""
+        WITH n AS (SELECT count(*) AS n FROM documents),
+        e0 AS (SELECT doc_id AS src,
+                      (doc_id * 7 + 13 * i) % (SELECT n FROM n) AS dst
+               FROM documents, (VALUES (0), (1), (2)) t(i)),
+        e AS (SELECT src, dst FROM e0 WHERE src <> dst
+              UNION ALL SELECT dst, src FROM e0 WHERE src <> dst),
+        d0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist
+               FROM documents WHERE doc_id % 97 = 0)"""]
+        for it in range(1, iters + 1):
+            parts.append(f""",
+        d{it} AS (SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d{it - 1}
+                UNION ALL
+                SELECT e.dst AS node, d{it - 1}.dist + 1 AS dist
+                FROM e JOIN d{it - 1} ON e.src = d{it - 1}.node)
+            GROUP BY node)""")
+        parts.append(f"""
+        SELECT node, CAST(dist AS BIGINT) AS dist
+        FROM d{iters} ORDER BY node""")
+        return "".join(parts)
+
+    out["bfs_hops_docs"] = _bfs_sql(4)
+    out["bfs_hops_docs_shuffle"] = _bfs_sql(2)
+
+    # kcore_docs: unrolled synchronous peels (stages/kcore.py is the
+    # spec) — degree-HAVING node filter + double semi-join per round.
+    def _kcore_sql(rounds: int, k: int = 5) -> str:
+        parts = ["""
+        WITH n AS (SELECT count(*) AS n FROM documents),
+        e0 AS (SELECT doc_id AS src,
+                      (doc_id * 7 + 13 * i) % (SELECT n FROM n) AS dst
+               FROM documents, (VALUES (0), (1), (2)) t(i)),
+        f0 AS (SELECT DISTINCT least(src, dst) AS a,
+                               greatest(src, dst) AS b
+               FROM e0 WHERE src <> dst)"""]
+        for it in range(1, rounds + 1):
+            parts.append(f""",
+        g{it} AS (SELECT v AS node
+                FROM (SELECT a AS v FROM f{it - 1}
+                      UNION ALL SELECT b FROM f{it - 1})
+                GROUP BY v HAVING count(*) >= {k}),
+        f{it} AS (SELECT f.a, f.b FROM f{it - 1} f
+                JOIN g{it} x ON f.a = x.node
+                JOIN g{it} y ON f.b = y.node)""")
+        parts.append(f"""
+        SELECT v AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT a AS v FROM f{rounds}
+              UNION ALL SELECT b FROM f{rounds})
+        GROUP BY v ORDER BY node""")
+        return "".join(parts)
+
+    out["kcore_docs"] = _kcore_sql(3)
+    out["kcore_docs_shuffle"] = _kcore_sql(1)
+
+    # skyline_events: O(n log n) window-function replay of two-dim
+    # max-max dominance — per-distinct-ts max value, kept iff it
+    # strictly beats the running max over strictly-later timestamps;
+    # value ties at the group head all survive (same tie semantics as
+    # stages/skyline._frontier_mask).
+    out["skyline_events"] = """
+        WITH ev AS (SELECT event_id, value, epoch_us(ts) AS ts_us
+                    FROM events),
+        g AS (SELECT ts_us, max(value) AS gmax FROM ev GROUP BY ts_us),
+        gg AS (SELECT ts_us, gmax,
+                      max(gmax) OVER (ORDER BY ts_us DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS premax
+               FROM g)
+        SELECT ev.event_id, ev.value, ev.ts_us
+        FROM ev JOIN gg USING (ts_us)
+        WHERE ev.value = gg.gmax
+          AND (gg.premax IS NULL OR gg.gmax > gg.premax)
+        ORDER BY ev.event_id
+    """
+
+    # mad_outliers_events: integer-cent lower medians via row_number
+    # rank at (n+1)//2 — same order statistic as the engine's sorted
+    # index, so median/MAD/outlier counts are bit-exact int64s.
+    out["mad_outliers_events"] = """
+        WITH c AS (SELECT event_type,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+                   FROM events),
+        r AS (SELECT event_type, c,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY c) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM c),
+        med AS (SELECT event_type, c AS med, n
+                FROM r WHERE rn = (n + 1) // 2),
+        d AS (SELECT c.event_type, abs(c.c - med.med) AS dev
+              FROM c JOIN med USING (event_type)),
+        r2 AS (SELECT event_type, dev,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY dev) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM d),
+        mad AS (SELECT event_type, dev AS mad
+                FROM r2 WHERE rn = (n + 1) // 2),
+        o AS (SELECT d.event_type,
+                     CAST(sum(CASE WHEN d.dev > 3 * mad.mad
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_outliers
+              FROM d JOIN mad USING (event_type)
+              GROUP BY d.event_type)
+        SELECT med.event_type, CAST(med.n AS BIGINT) AS n,
+               med.med AS median_cents, mad.mad AS mad_cents,
+               o.n_outliers
+        FROM med JOIN mad USING (event_type) JOIN o USING (event_type)
+        ORDER BY med.event_type
+    """
     return out

@@ -118,3 +118,45 @@ def winsorize_by_key(ds, key_col: str, val_col: str,
                                                    his[idx]), pa.float64()))
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def mad_outliers_by_key(ds, key_col: str, val_col: str,
+                        n_mads: int = 3) -> pd.DataFrame:
+    """Per-key robust outlier statistics via median / MAD — the
+    median-absolute-deviation rule (Hampel identifier), all-integer for
+    cross-engine exactness.
+
+    Values quantize to cents (``floor(v*100+0.5)``, same as
+    ``zscore_by_key``); the median is the LOWER median — the k-th
+    smallest with 1-based ``k = (n+1)//2`` (an existing value, no
+    interpolation), MAD is the lower median of ``|c - med|``, and a row
+    is an outlier iff ``|c - med| > n_mads * MAD`` — pure int64
+    comparisons a SQL ``row_number()`` rank replays bit-exactly.
+
+    One narrow (key, value) exchange; each key's rows land in one
+    ``map_groups`` task (same shape and the same documented
+    high-cardinality boundary as ``winsorize_by_key``: beyond ~1e8 rows
+    per key, swap in the mergeable quantile sketch and accept
+    approximate medians). Output: one row per key —
+    (key, n, median_cents, mad_cents, n_outliers) — sorted by key.
+    """
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        c = np.sort(_cents(g[val_col].to_numpy(dtype=np.float64)))
+        n = len(c)
+        med = int(c[(n + 1) // 2 - 1])
+        dev = np.sort(np.abs(c - med))
+        mad = int(dev[(n + 1) // 2 - 1])
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]],
+                             "n": [n],
+                             "median_cents": [med],
+                             "mad_cents": [mad],
+                             "n_outliers": [int((dev > n_mads * mad)
+                                                .sum())]})
+
+    narrow = ds.select_columns([key_col, val_col])
+    out = narrow.groupby(key_col) \
+        .map_groups(per_key, batch_format="pandas").to_pandas()
+    out = out.sort_values(key_col).reset_index(drop=True)
+    for col in ("n", "median_cents", "mad_cents", "n_outliers"):
+        out[col] = out[col].astype("int64")
+    return out

@@ -1,0 +1,115 @@
+"""BFS hop distances and k-core peeling — plan equivalence against
+one-loop numpy/Python brute-force specs, over random graphs at several
+block layouts, including unreachable nodes, empty frontiers (iters
+beyond the diameter) and full-graph peels."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from cartwright_ray.stages.bfs import bfs_hops
+from cartwright_ray.stages.kcore import kcore
+
+
+def _digraph(seed=11, n=120, m=500):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({"src": rng.integers(0, n, m).astype(np.int64),
+                         "dst": rng.integers(0, n, m).astype(np.int64)})
+
+
+def bfs_brute(edges: pd.DataFrame, seeds, iters: int) -> pd.DataFrame:
+    dist = {int(s): 0 for s in seeds}
+    adj = {}
+    for s, d in zip(edges["src"], edges["dst"]):
+        adj.setdefault(int(s), set()).add(int(d))
+    frontier = set(dist)
+    for t in range(iters):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = t + 1
+                    nxt.add(v)
+        frontier = nxt
+    ks = sorted(dist)
+    return pd.DataFrame({"node": np.array(ks, np.int64),
+                         "dist": np.array([dist[k] for k in ks],
+                                          np.int64)})
+
+
+def kcore_brute(edges: pd.DataFrame, k: int, rounds: int) -> pd.DataFrame:
+    e = {(int(a), int(b)) for a, b in zip(edges["a"], edges["b"])}
+    for _ in range(rounds):
+        deg = {}
+        for a, b in e:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        e = {(a, b) for a, b in e if deg[a] >= k and deg[b] >= k}
+    deg = {}
+    for a, b in e:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    ks = sorted(deg)
+    return pd.DataFrame({"node": np.array(ks, np.int64),
+                         "deg": np.array([deg[k] for k in ks], np.int64)})
+
+
+@pytest.mark.parametrize("iters", [0, 2, 40])
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_bfs_plans_match_brute(ray_session, iters, blocks):
+    edges = _digraph()
+    seeds = np.array([0, 3, 119], np.int64)
+    want = bfs_brute(edges, seeds, iters)
+    e_ds = ray.data.from_pandas(edges).repartition(blocks)
+    s_ds = ray.data.from_pandas(pd.DataFrame({"node": seeds}))
+    for plan in ("broadcast", "shuffle"):
+        got = bfs_hops(e_ds, s_ds, iters=iters, plan=plan).to_pandas()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bfs_isolated_seed(ray_session):
+    # a seed with no out-edges still appears at dist 0
+    edges = pd.DataFrame({"src": [1], "dst": [2]})
+    seeds = pd.DataFrame({"node": [99]})
+    got = bfs_hops(ray.data.from_pandas(edges),
+                   ray.data.from_pandas(seeds), iters=3,
+                   plan="broadcast").to_pandas()
+    assert got["node"].tolist() == [99] and got["dist"].tolist() == [0]
+
+
+@pytest.mark.parametrize("k,rounds", [(3, 1), (4, 3), (50, 2)])
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_kcore_plans_match_brute(ray_session, k, rounds, blocks):
+    rng = np.random.default_rng(7)
+    n, m = 90, 420
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    keep = a != b
+    edges = pd.DataFrame({"a": np.minimum(a, b)[keep].astype(np.int64),
+                          "b": np.maximum(a, b)[keep].astype(np.int64)})
+    want = kcore_brute(edges.drop_duplicates(), k, rounds)
+    e_ds = ray.data.from_pandas(edges).repartition(blocks)
+    for plan in ("broadcast", "shuffle"):
+        got = kcore(e_ds, k=k, rounds=rounds, plan=plan).to_pandas()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True),
+            check_dtype=False)
+
+
+def test_kcore_converged_extra_rounds_noop(ray_session):
+    # once converged, extra rounds change nothing (monotone peeling)
+    rng = np.random.default_rng(3)
+    n, m = 60, 300
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    keep = a != b
+    edges = pd.DataFrame({"a": np.minimum(a, b)[keep].astype(np.int64),
+                          "b": np.maximum(a, b)[keep].astype(np.int64)})
+    e_ds = ray.data.from_pandas(edges)
+    r4 = kcore(e_ds, k=5, rounds=4, plan="broadcast").to_pandas()
+    r9 = kcore(e_ds, k=5, rounds=9, plan="broadcast").to_pandas()
+    if len(r4) and kcore_brute(edges.drop_duplicates(), 5, 4).equals(
+            kcore_brute(edges.drop_duplicates(), 5, 9)):
+        pd.testing.assert_frame_equal(r4, r9, check_dtype=False)
