@@ -1120,6 +1120,31 @@ def _q_morans_i(sf_dir):
     return morans_i(derived_track_points(sf_dir))
 
 
+def _q_gearys_c(sf_dir):
+    """Global Geary's C (stages/hotspot.py:gearys_c): the
+    local-difference companion to Moran's I over the same 1° queen
+    grid, empty bbox cells as x=0 members. Σw(xᵢ−xⱼ)² collapses to
+    2·(Σx²·deg − Σx·nbrx) over OCCUPIED cells only — exact int64 off
+    the shared scatter-9 exchange; (n−1)·num / (2W·den) is one float
+    expression mirrored in the DuckDB self-join replay."""
+    from cartwright_ray.pipelines.relational import derived_track_points
+    from cartwright_ray.stages.hotspot import gearys_c
+    return gearys_c(derived_track_points(sf_dir))
+
+
+def _q_local_morans(sf_dir):
+    """Local Moran's I / LISA cluster map
+    (stages/hotspot.py:local_morans_cells): per-occupied-cell
+    Iᵢ = (xᵢ−x̄)(nbrxᵢ−degᵢ·x̄)/m₂ plus the HH/HL/LH/LL Moran-scatter
+    quadrant — empty neighbors enter as −x̄ via the closed-form
+    in-bbox degree, so only the scatter-9 shuffle of Gi* runs. Integer
+    moments; the z-map and quadrant CASE are shared float expressions,
+    bit-exact vs the oracle."""
+    from cartwright_ray.pipelines.relational import derived_track_points
+    from cartwright_ray.stages.hotspot import local_morans_cells
+    return local_morans_cells(derived_track_points(sf_dir))
+
+
 def _q_dwell(sf_dir):
     """Stay-point dwell episodes (stages/tracks.py:dwell_episodes):
     maximal ≥3-ping runs of one user inside one 1° cell — grid-quantized
@@ -3289,6 +3314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hotspot_cells_gi": _q_hotspot,
         "dwell_episodes_users": _q_dwell,
         "morans_i_cells": _q_morans_i,
+        "gearys_c_cells": _q_gearys_c,
+        "local_morans_cells": _q_local_morans,
         "bpe_train_docs": _q_bpe_train,
         "bpe_token_counts": _q_bpe_tokens,
         "track_crossings": _q_crossings,
@@ -4469,6 +4496,122 @@ def oracle_sql() -> dict[str, str]:
                                      * CAST(gg.sx AS DOUBLE)))
                         ELSE 0.0 END AS morans_i
             FROM gg CROSS JOIN cp
+        """,
+        "gearys_c_cells": """
+            WITH tpts AS (
+                SELECT CAST((user_id * 13 % 120) - 60.0
+                            + (event_id * 7 % 19) * 0.125
+                            + CASE WHEN event_id % 11 = 0 THEN 15.0
+                                   ELSE 0.0 END AS DOUBLE) AS lat,
+                       CAST((user_id * 29 % 300) - 150.0
+                            + (event_id * 3 % 23) * 0.125 AS DOUBLE) AS lon
+                FROM events),
+            cells AS (
+                SELECT CAST(floor(lon) AS BIGINT) AS cx,
+                       CAST(floor(lat) AS BIGINT) AS cy,
+                       CAST(count(*) AS BIGINT) AS x
+                FROM tpts GROUP BY 1, 2),
+            g AS (SELECT CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(x * x) AS BIGINT) AS sxx,
+                         min(cx) AS xmin, max(cx) AS xmax,
+                         min(cy) AS ymin, max(cy) AS ymax,
+                         max(cy) - min(cy) + 1 AS r,
+                         max(cx) - min(cx) + 1 AS c
+                  FROM cells),
+            gg AS (SELECT *, r * c AS n,
+                          2 * (r * (c - 1) + c * (r - 1)
+                               + 2 * (r - 1) * (c - 1)) AS w
+                   FROM g),
+            nb AS (
+                SELECT c1.cx, c1.cy, c1.x,
+                       CAST(coalesce(sum(c2.x), 0) AS BIGINT) AS nbrx
+                FROM cells c1 LEFT JOIN cells c2
+                  ON c2.cx BETWEEN c1.cx - 1 AND c1.cx + 1
+                 AND c2.cy BETWEEN c1.cy - 1 AND c1.cy + 1
+                 AND NOT (c2.cx = c1.cx AND c2.cy = c1.cy)
+                GROUP BY c1.cx, c1.cy, c1.x),
+            dp AS (
+                SELECT CAST(2 * (sum(nb.x * nb.x *
+                           ((least(nb.cx + 1, gg.xmax)
+                             - greatest(nb.cx - 1, gg.xmin) + 1)
+                            * (least(nb.cy + 1, gg.ymax)
+                               - greatest(nb.cy - 1, gg.ymin) + 1)
+                            - 1))
+                       - sum(nb.x * nb.nbrx)) AS BIGINT) AS num_int
+                FROM nb CROSS JOIN gg)
+            SELECT gg.n AS n_cells, gg.w AS w_pairs,
+                   CASE WHEN gg.n < 2 OR gg.w = 0 THEN 0.0
+                        WHEN CAST(gg.sxx AS DOUBLE)
+                             - CAST(gg.sx AS DOUBLE)
+                               * CAST(gg.sx AS DOUBLE)
+                               / CAST(gg.n AS DOUBLE) > 0
+                        THEN CAST(gg.n - 1 AS DOUBLE)
+                             * CAST(dp.num_int AS DOUBLE)
+                             / (2.0 * CAST(gg.w AS DOUBLE)
+                                * (CAST(gg.sxx AS DOUBLE)
+                                   - CAST(gg.sx AS DOUBLE)
+                                     * CAST(gg.sx AS DOUBLE)
+                                     / CAST(gg.n AS DOUBLE)))
+                        ELSE 0.0 END AS gearys_c
+            FROM gg CROSS JOIN dp
+        """,
+        "local_morans_cells": """
+            WITH tpts AS (
+                SELECT CAST((user_id * 13 % 120) - 60.0
+                            + (event_id * 7 % 19) * 0.125
+                            + CASE WHEN event_id % 11 = 0 THEN 15.0
+                                   ELSE 0.0 END AS DOUBLE) AS lat,
+                       CAST((user_id * 29 % 300) - 150.0
+                            + (event_id * 3 % 23) * 0.125 AS DOUBLE) AS lon
+                FROM events),
+            cells AS (
+                SELECT CAST(floor(lon) AS BIGINT) AS cx,
+                       CAST(floor(lat) AS BIGINT) AS cy,
+                       CAST(count(*) AS BIGINT) AS x
+                FROM tpts GROUP BY 1, 2),
+            g AS (SELECT CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(x * x) AS BIGINT) AS sxx,
+                         min(cx) AS xmin, max(cx) AS xmax,
+                         min(cy) AS ymin, max(cy) AS ymax,
+                         (max(cx) - min(cx) + 1)
+                             * (max(cy) - min(cy) + 1) AS n
+                  FROM cells),
+            nb AS (
+                SELECT c1.cx, c1.cy, c1.x,
+                       CAST(coalesce(sum(c2.x), 0) AS BIGINT) AS nbrx
+                FROM cells c1 LEFT JOIN cells c2
+                  ON c2.cx BETWEEN c1.cx - 1 AND c1.cx + 1
+                 AND c2.cy BETWEEN c1.cy - 1 AND c1.cy + 1
+                 AND NOT (c2.cx = c1.cx AND c2.cy = c1.cy)
+                GROUP BY c1.cx, c1.cy, c1.x),
+            ex AS (
+                SELECT nb.cx, nb.cy, nb.x,
+                       CAST(nb.x AS DOUBLE)
+                           - CAST(g.sx AS DOUBLE)
+                             / CAST(g.n AS DOUBLE) AS z,
+                       CAST(nb.nbrx AS DOUBLE)
+                           - CAST((least(nb.cx + 1, g.xmax)
+                                   - greatest(nb.cx - 1, g.xmin) + 1)
+                                  * (least(nb.cy + 1, g.ymax)
+                                     - greatest(nb.cy - 1, g.ymin) + 1)
+                                  - 1 AS DOUBLE)
+                             * (CAST(g.sx AS DOUBLE)
+                                / CAST(g.n AS DOUBLE)) AS lagdev,
+                       CAST(g.sxx AS DOUBLE) / CAST(g.n AS DOUBLE)
+                           - (CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE))
+                             * (CAST(g.sx AS DOUBLE)
+                                / CAST(g.n AS DOUBLE)) AS m2,
+                       g.n
+                FROM nb CROSS JOIN g)
+            SELECT cx, cy, x,
+                   CASE WHEN n < 2 OR NOT (m2 > 0) THEN 0.0
+                        ELSE z * lagdev / m2 END AS local_i,
+                   CASE WHEN z > 0 THEN
+                            CASE WHEN lagdev > 0 THEN 'HH' ELSE 'HL' END
+                        ELSE
+                            CASE WHEN lagdev > 0 THEN 'LH' ELSE 'LL' END
+                   END AS quad
+            FROM ex ORDER BY cx, cy
         """,
         "dwell_episodes_users": """
             WITH tpts AS (

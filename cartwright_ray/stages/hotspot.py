@@ -697,3 +697,161 @@ def knox_statistic(points_ds, s: int = 4, tau_us: int = 3_600_000_000,
     return pd.DataFrame([(n, st_u, sp_u, tp_u, ratio)],
                         columns=["n_points", "n_pairs_st", "n_pairs_s",
                                  "n_pairs_t", "knox_ratio"])
+
+
+def gearys_c(ds, lat_col: str = "lat", lon_col: str = "lon"):
+    """Global Geary's C (Geary 1954, "The Contiguity Ratio and
+    Statistical Mapping") over the 1° cell grid, binary queen weights
+    (w_ii = 0), study region = the occupied-cell bbox with empty cells
+    as x = 0 members — the same conventions as :func:`morans_i`, whose
+    local-difference counterpart this is (C weighs (xᵢ−xⱼ)² where I
+    weighs cross-products).
+
+    Empty cells are never materialized: with binary symmetric weights,
+    Σᵢⱼ wᵢⱼ (xᵢ−xⱼ)² = 2·(Σᵢ xᵢ²·degᵢ − Σᵢ xᵢ·nbrxᵢ), and both sums
+    vanish on empty cells (x = 0), so they reduce over OCCUPIED cells
+    only; deg (in-bbox queen degree) is edge-aware closed-form and
+    nbrx (neighbor sum excluding self) falls out of the same scatter-9
+    exchange as :func:`getis_ord_cells`. The denominator's
+    Σᵢ(xᵢ−x̄)² over ALL n bbox cells is sxx − sx²/n. Every Σ is exact
+    int64; the closing C = (n−1)·num / (2W·den) is ONE float
+    expression mirrored token-for-token in the DuckDB oracle.
+
+    → pandas single row (n_cells, w_pairs, gearys_c)."""
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    cells = (ds.map_batches(
+                 functools.partial(_cells_partial, lat_col=lat_col,
+                                   lon_col=lon_col),
+                 batch_format="pyarrow")
+             .groupby(["cx", "cy"])
+             .aggregate(Sum("x", alias_name="x"))
+             .materialize())          # PIN: two consumers (see Gi*)
+
+    agg = cells.map_batches(
+        lambda t: pa.table({
+            "sx": [int(np.asarray(t["x"], np.int64).sum())],
+            "sxx": [int((np.asarray(t["x"], np.int64) ** 2).sum())],
+            "xmin": [int(np.asarray(t["cx"], np.int64).min())],
+            "xmax": [int(np.asarray(t["cx"], np.int64).max())],
+            "ymin": [int(np.asarray(t["cy"], np.int64).min())],
+            "ymax": [int(np.asarray(t["cy"], np.int64).max())]}),
+        batch_format="pyarrow").to_pandas()
+    sx, sxx = int(agg["sx"].sum()), int(agg["sxx"].sum())
+    xmin, xmax = int(agg["xmin"].min()), int(agg["xmax"].max())
+    ymin, ymax = int(agg["ymin"].min()), int(agg["ymax"].max())
+    rows, cols = ymax - ymin + 1, xmax - xmin + 1
+    n = rows * cols
+    w_tot = 2 * (rows * (cols - 1) + cols * (rows - 1)
+                 + 2 * (rows - 1) * (cols - 1))
+
+    nb = (cells.map_batches(_scatter9, batch_format="pyarrow")
+          .groupby(["cx", "cy"])
+          .aggregate(Sum("wsum", alias_name="wsum"),
+                     Sum("own", alias_name="own")))
+
+    def diff_partial(t: pa.Table) -> pa.Table:
+        own = np.asarray(t["own"], np.int64)
+        keep = own > 0
+        cx = np.asarray(t["cx"], np.int64)[keep]
+        cy = np.asarray(t["cy"], np.int64)[keep]
+        x = own[keep]
+        nbrx = np.asarray(t["wsum"], np.int64)[keep] - x
+        deg = ((np.minimum(cx + 1, xmax) - np.maximum(cx - 1, xmin) + 1)
+               * (np.minimum(cy + 1, ymax) - np.maximum(cy - 1, ymin)
+                  + 1) - 1)
+        return pa.table({"xxdeg": [int((x * x * deg).sum())],
+                         "xnbr": [int((x * nbrx).sum())]})
+
+    dp = nb.map_batches(diff_partial, batch_format="pyarrow").to_pandas()
+    num_int = 2 * (int(dp["xxdeg"].sum()) - int(dp["xnbr"].sum()))
+
+    if n < 2 or w_tot == 0:
+        return pd.DataFrame([(n, w_tot, 0.0)],
+                            columns=["n_cells", "w_pairs", "gearys_c"])
+    den = float(sxx) - float(sx) * float(sx) / float(n)
+    c_val = (float(n - 1) * float(num_int)
+             / (2.0 * float(w_tot) * den)) if den > 0 else 0.0
+    return pd.DataFrame([(n, w_tot, c_val)],
+                        columns=["n_cells", "w_pairs", "gearys_c"])
+
+
+def local_morans_cells(ds, lat_col: str = "lat", lon_col: str = "lon"):
+    """Local Moran's I — the LISA statistic (Anselin 1995, "Local
+    Indicators of Spatial Association") per occupied 1° cell, binary
+    queen weights (w_ii = 0), empty-bbox-cells-as-zero study region:
+
+        Iᵢ = (xᵢ − x̄)·(nbrxᵢ − degᵢ·x̄) / m₂,   m₂ = Σ(x−x̄)²/n
+
+    (Σⱼ wᵢⱼ(xⱼ − x̄) collapses to nbrx − deg·x̄ because empty neighbors
+    contribute exactly −x̄ each.) Each cell also gets its Moran-scatter
+    quadrant label: HH/LL cluster cores, HL/LH outliers, decided by the
+    signs of (x − x̄) and the neighbor-mean deviation — the standard
+    LISA cluster map. Same single scatter-9 exchange as
+    :func:`getis_ord_cells`; moments are exact int64, the closing Iᵢ is
+    one shared float expression and the quadrant CASE uses the same
+    float comparisons in both engines.
+
+    → pandas (cx, cy, x, local_i, quad) sorted by (cx, cy)."""
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    cells = (ds.map_batches(
+                 functools.partial(_cells_partial, lat_col=lat_col,
+                                   lon_col=lon_col),
+                 batch_format="pyarrow")
+             .groupby(["cx", "cy"])
+             .aggregate(Sum("x", alias_name="x"))
+             .materialize())          # PIN: two consumers (see Gi*)
+
+    agg = cells.map_batches(
+        lambda t: pa.table({
+            "sx": [int(np.asarray(t["x"], np.int64).sum())],
+            "sxx": [int((np.asarray(t["x"], np.int64) ** 2).sum())],
+            "xmin": [int(np.asarray(t["cx"], np.int64).min())],
+            "xmax": [int(np.asarray(t["cx"], np.int64).max())],
+            "ymin": [int(np.asarray(t["cy"], np.int64).min())],
+            "ymax": [int(np.asarray(t["cy"], np.int64).max())]}),
+        batch_format="pyarrow").to_pandas()
+    sx, sxx = int(agg["sx"].sum()), int(agg["sxx"].sum())
+    xmin, xmax = int(agg["xmin"].min()), int(agg["xmax"].max())
+    ymin, ymax = int(agg["ymin"].min()), int(agg["ymax"].max())
+    n = (xmax - xmin + 1) * (ymax - ymin + 1)
+
+    nb = (cells.map_batches(_scatter9, batch_format="pyarrow")
+          .groupby(["cx", "cy"])
+          .aggregate(Sum("wsum", alias_name="wsum"),
+                     Sum("own", alias_name="own")))
+
+    def lisa_map(t: pa.Table) -> pa.Table:
+        own = np.asarray(t["own"], np.int64)
+        keep = own > 0
+        cx = np.asarray(t["cx"], np.int64)[keep]
+        cy = np.asarray(t["cy"], np.int64)[keep]
+        x = own[keep]
+        nbrx = (np.asarray(t["wsum"], np.int64)[keep] - x) \
+            .astype(np.float64)
+        deg = ((np.minimum(cx + 1, xmax) - np.maximum(cx - 1, xmin) + 1)
+               * (np.minimum(cy + 1, ymax) - np.maximum(cy - 1, ymin)
+                  + 1) - 1).astype(np.float64)
+        xbar = float(sx) / float(n)
+        m2 = float(sxx) / float(n) - xbar * xbar
+        z = x.astype(np.float64) - xbar
+        lagdev = nbrx - deg * xbar
+        if n < 2 or not (m2 > 0.0):
+            li = np.zeros(len(cx))
+        else:
+            li = z * lagdev / m2
+        quad = np.where(z > 0.0, np.where(lagdev > 0.0, "HH", "HL"),
+                        np.where(lagdev > 0.0, "LH", "LL"))
+        return pa.table({"cx": pa.array(cx), "cy": pa.array(cy),
+                         "x": pa.array(x),
+                         "local_i": pa.array(li, pa.float64()),
+                         "quad": pa.array(quad.astype(object),
+                                          pa.string())})
+
+    out = nb.map_batches(lisa_map, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["cx", "cy"]).reset_index(drop=True)

@@ -232,3 +232,100 @@ def test_cusum_change_point_detects_planted_shift():
     assert a["stat"] == abs(20 * 20 - 10 * 220)
     b = out.set_index("event_type").loc["b"]
     assert b["stat"] == 0                  # perfectly flat series
+
+
+def test_gearys_c_matches_brute():
+    from cartwright_ray.stages.hotspot import gearys_c, morans_i
+
+    rng = np.random.default_rng(23)
+    lat = np.r_[rng.uniform(10, 13, 1500), rng.uniform(20, 26, 1500)]
+    lon = np.r_[rng.uniform(40, 43, 1500), rng.uniform(50, 56, 1500)]
+    df = pd.DataFrame({"lat": lat, "lon": lon})
+
+    cx = np.floor(lon).astype(int)
+    cy = np.floor(lat).astype(int)
+    xmin, xmax, ymin, ymax = cx.min(), cx.max(), cy.min(), cy.max()
+    rws, cls = ymax - ymin + 1, xmax - xmin + 1
+    dense = np.zeros((rws, cls), np.int64)
+    np.add.at(dense, (cy - ymin, cx - xmin), 1)
+    n = rws * cls
+    xbar = dense.sum() / n
+    num = 0.0
+    w_tot = 0
+    for i in range(rws):
+        for j in range(cls):
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    if di == 0 and dj == 0:
+                        continue
+                    i2, j2 = i + di, j + dj
+                    if 0 <= i2 < rws and 0 <= j2 < cls:
+                        w_tot += 1
+                        num += (dense[i, j] - dense[i2, j2]) ** 2
+    den = ((dense - xbar) ** 2).sum()
+    want = (n - 1) * num / (2 * w_tot * den)
+
+    for blocks in (1, 7):
+        got = gearys_c(ray.data.from_pandas(df).repartition(blocks))
+        assert int(got["w_pairs"].iloc[0]) == w_tot
+        assert abs(float(got["gearys_c"].iloc[0]) - want) < 1e-9
+
+    # clustered data: C < 1 (positive autocorrelation), I > 0 — the
+    # two statistics must agree on the sign of the association
+    i_val = float(morans_i(ray.data.from_pandas(df))
+                  ["morans_i"].iloc[0])
+    assert float(got["gearys_c"].iloc[0]) < 1.0 and i_val > 0.0
+
+
+def test_gearys_c_uniform_grid_is_one_free():
+    """An exactly-uniform fully-occupied grid has den == 0 → the
+    documented 0.0 sentinel (variance-free C is undefined)."""
+    from cartwright_ray.stages.hotspot import gearys_c
+
+    lat, lon = np.meshgrid(np.arange(4) + 0.5, np.arange(5) + 0.5)
+    df = pd.DataFrame({"lat": lat.ravel(), "lon": lon.ravel()})
+    got = gearys_c(ray.data.from_pandas(df))
+    assert float(got["gearys_c"].iloc[0]) == 0.0
+
+
+def test_local_morans_matches_brute_and_quadrants():
+    from cartwright_ray.stages.hotspot import local_morans_cells
+
+    rng = np.random.default_rng(31)
+    lat = np.r_[rng.uniform(10, 13, 1200), rng.uniform(20, 26, 1200)]
+    lon = np.r_[rng.uniform(40, 43, 1200), rng.uniform(50, 56, 1200)]
+    df = pd.DataFrame({"lat": lat, "lon": lon})
+
+    cx = np.floor(lon).astype(int)
+    cy = np.floor(lat).astype(int)
+    xmin, xmax, ymin, ymax = cx.min(), cx.max(), cy.min(), cy.max()
+    rws, cls = ymax - ymin + 1, xmax - xmin + 1
+    dense = np.zeros((rws, cls), np.int64)
+    np.add.at(dense, (cy - ymin, cx - xmin), 1)
+    n = rws * cls
+    xbar = dense.sum() / n
+    m2 = ((dense - xbar) ** 2).sum() / n
+
+    runs = [local_morans_cells(ray.data.from_pandas(df)
+                               .repartition(b)) for b in (1, 6)]
+    pd.testing.assert_frame_equal(runs[0], runs[1])
+    got = runs[0]
+    assert len(got) == int((dense > 0).sum())
+    for _, r in got.iterrows():
+        i, j = int(r.cy) - ymin, int(r.cx) - xmin
+        lag = 0.0
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if di == 0 and dj == 0:
+                    continue
+                i2, j2 = i + di, j + dj
+                if 0 <= i2 < rws and 0 <= j2 < cls:
+                    lag += dense[i2, j2] - xbar
+        want = (dense[i, j] - xbar) * lag / m2
+        assert abs(float(r.local_i) - want) < 1e-9
+        want_q = (("H" if dense[i, j] > xbar else "L")
+                  + ("H" if lag > 0 else "L"))
+        assert r.quad == want_q
+    # both cluster cores must contain HH cells; the LISA map of a
+    # two-cluster field is dominated by HH/LL agreement
+    assert (got.quad == "HH").any()
