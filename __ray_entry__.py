@@ -3444,6 +3444,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": rel.events_hourly_window,
         "orders_by_nation": rel.orders_by_nation,
         "q1_pricing_summary": rel.q1_pricing_summary,
+        "q3_shipping_priority": rel.q3_shipping_priority,
+        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
         "langid_counts": _q_langid,
         "top_orders_per_customer": rel.top_orders_per_customer,
         "tile_pyramid": _q_tile_pyramid,
@@ -3672,6 +3674,38 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM region
+            JOIN nation ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+                         AND s_nationkey = c_nationkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1999-01-01'
+            GROUP BY n_name
+            ORDER BY n_name
         """,
         "orders_by_nation": """
             SELECT n_name, count(*) AS order_count,

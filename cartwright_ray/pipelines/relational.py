@@ -1013,3 +1013,198 @@ def mode_per_key(ds, key_col: str, val_col: str):
 
     return parted.map_batches(winners, batch_format="pyarrow",
                               batch_size=None)
+
+
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         cutoff: str = "1998-06-01",
+                         k: int = 10) -> pd.DataFrame:
+    """TPC-H Q3-style shipping priority: the top-k unshipped orders of
+    one market segment by discounted revenue — customer ⋈ orders ⋈
+    lineitem with a selective predicate on every side.
+
+    Plan shape (the canonical mixed join): the SEGMENT-FILTERED customer
+    key set is the broadcast side (a sorted int64 key array via
+    ``ray.put``, searchsorted membership probe per batch — a dimension
+    filter, never a shuffle); orders and lineitem are both fact-sized,
+    so their join is the salted single-exchange
+    :func:`..joins.equi_join.equi_join_shuffle`. Predicates are pushed
+    into the first map over each read so only surviving (okey, …)
+    rows enter the exchange. The revenue groupby keys on the orderkey
+    (o_orderdate / o_orderpriority ride along — functionally dependent),
+    and the closing top-k sorts the AGGREGATE, which is orders-sized,
+    not lineitem-sized. Revenue is rounded to cents BEFORE the ranking
+    so the top-k set is decided on values both engines agree on
+    bit-exactly (ties broken by orderkey)."""
+    import pyarrow.parquet as pq
+
+    from ..joins.equi_join import equi_join_shuffle
+
+    cut = np.datetime64(cutoff, "us")
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    seg = pc.equal(cust["c_mktsegment"], segment)
+    seg_keys = np.sort(np.asarray(cust.filter(seg)["c_custkey"],
+                                  np.int64))
+    seg_ref = ray.put(seg_keys)
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        keys = ray.get(seg_ref)
+        odate = np.asarray(t["o_orderdate"].cast(pa.timestamp("us")),
+                           dtype="datetime64[us]")
+        ck = np.asarray(t["o_custkey"], np.int64)
+        pos = np.searchsorted(keys, ck)
+        pos[pos >= len(keys)] = 0
+        keep = (odate < cut) & (keys[pos] == ck)
+        t = t.filter(pa.array(keep))
+        return t.select(["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+                .rename_columns(["okey", "o_orderdate",
+                                 "o_orderpriority"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+
+    def li_side(t: pa.Table) -> pa.Table:
+        sd = np.asarray(t["l_shipdate"].cast(pa.timestamp("us")),
+                        dtype="datetime64[us]")
+        t = t.filter(pa.array(sd > cut))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"okey": t["l_orderkey"], "rev": rev})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"]) \
+        .map_batches(li_side, batch_format="pyarrow")
+
+    joined = equi_join_shuffle(li, orders, on="okey")
+    agg = (joined.groupby(["okey", "o_orderdate", "o_orderpriority"])
+           .aggregate(Sum("rev", alias_name="revenue")))
+    out = (agg.map_batches(
+               lambda t: t.set_column(
+                   t.schema.get_field_index("revenue"), "revenue",
+                   pc.round(t["revenue"], 2)),
+               batch_format="pyarrow")
+           .sort(["revenue", "okey"], descending=[True, False])
+           .limit(k).to_pandas())
+    out = out.rename(columns={"okey": "l_orderkey"})
+    out["o_orderdate"] = out["o_orderdate"].astype("datetime64[us]")
+    return out[["l_orderkey", "o_orderdate", "o_orderpriority",
+                "revenue"]]
+
+
+def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                             d0: str = "1996-01-01",
+                             d1: str = "1999-01-01") -> pd.DataFrame:
+    """TPC-H Q5-style local supplier volume: discounted revenue per
+    nation for lineitems whose CUSTOMER and SUPPLIER sit in the same
+    in-region nation — the six-table join (region ⋈ nation ⋈ supplier
+    ⋈ customer ⋈ orders ⋈ lineitem) expressed with one fact-fact
+    exchange and three broadcast dimension probes.
+
+    region/nation fold to a nationkey→name dict driver-side (25 rows);
+    supplier (O(100·sf)) and customer (O(1500·sf)) become sorted-key
+    broadcast lookup arrays — the documented dimension-table pattern
+    (``orders_by_nation`` precedent; past the broadcast row bound these
+    swap to ``equi_join_shuffle`` like every dual-plan join in the
+    engine). Orders filtered by date probe the customer nation; the
+    lineitem ⋈ orders exchange is the single shuffle; the supplier
+    nation probe and the same-nation/in-region filter run inside the
+    joined map, so the closing groupby carries one (n_name, rev) row
+    per surviving lineitem."""
+    import pyarrow.parquet as pq
+
+    from ..joins.equi_join import equi_join_shuffle
+
+    t0 = np.datetime64(d0, "us")
+    t1 = np.datetime64(d1, "us")
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    regionj = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = {r["r_name"]: r["r_regionkey"]
+            for r in regionj.to_pylist()}[region]
+    nmap = {int(r["n_nationkey"]): r["n_name"]
+            for r in nation.to_pylist()
+            if int(r["n_regionkey"]) == rkey}
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = np.asarray(sup["s_suppkey"], np.int64)
+    so = np.argsort(sk)
+    sup_keys, sup_nat = sk[so], \
+        np.asarray(sup["s_nationkey"], np.int64)[so]
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = np.asarray(cust["c_custkey"], np.int64)
+    co = np.argsort(ck)
+    cust_keys, cust_nat = ck[co], \
+        np.asarray(cust["c_nationkey"], np.int64)[co]
+
+    dims_ref = ray.put((sup_keys, sup_nat, cust_keys, cust_nat, nmap))
+
+    def orders_side(t: pa.Table) -> pa.Table:
+        _, _, ckeys, cnat, _ = ray.get(dims_ref)
+        odate = np.asarray(t["o_orderdate"].cast(pa.timestamp("us")),
+                           dtype="datetime64[us]")
+        keep = (odate >= t0) & (odate < t1)
+        t = t.filter(pa.array(keep))
+        oc = np.asarray(t["o_custkey"], np.int64)
+        pos = np.searchsorted(ckeys, oc)
+        pos[pos >= len(ckeys)] = 0
+        ok = ckeys[pos] == oc
+        return pa.table({"okey": t["o_orderkey"].combine_chunks(),
+                         "c_nat": pa.array(
+                             np.where(ok, cnat[pos], -1))})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]) \
+        .map_batches(lambda t: pa.table({
+            "okey": t["l_orderkey"].combine_chunks(),
+            "skey": t["l_suppkey"].combine_chunks(),
+            "rev": pc.multiply(t["l_extendedprice"],
+                               pc.subtract(pa.scalar(1.0),
+                                           t["l_discount"]))}),
+            batch_format="pyarrow")
+
+    joined = equi_join_shuffle(li, orders, on="okey")
+
+    def local_filter(t: pa.Table) -> pa.Table:
+        skeys, snat, _, _, names = ray.get(dims_ref)
+        sx = np.asarray(t["skey"], np.int64)
+        pos = np.searchsorted(skeys, sx)
+        pos[pos >= len(skeys)] = 0
+        s_nat = np.where(skeys[pos] == sx, snat[pos], -2)
+        c_nat = np.asarray(t["c_nat"], np.int64)
+        # dense nationkey→name lookup (≤25 nations): vectorized take
+        hi = max(names) + 1
+        name_arr = np.full(hi, "", dtype=object)
+        for nk, nm in names.items():
+            name_arr[nk] = nm
+        in_rng = (c_nat >= 0) & (c_nat < hi)
+        keep = (s_nat == c_nat) & in_rng \
+            & (name_arr[np.where(in_rng, c_nat, 0)] != "")
+        kept = t.filter(pa.array(keep))
+        return pa.table({
+            "n_name": pa.array(name_arr[c_nat[keep]], pa.string()),
+            "rev": kept["rev"].combine_chunks()})
+
+    out = (joined.map_batches(local_filter, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Sum("rev", alias_name="revenue"))
+           .to_pandas())
+    if out.empty:            # no surviving lineitem: keep the schema
+        return pd.DataFrame({"n_name": pd.Series(dtype=object),
+                             "revenue": pd.Series(dtype=float)})
+    out = out.sort_values("n_name").reset_index(drop=True)
+    return _round_cols(out, ["revenue"])
