@@ -1145,6 +1145,17 @@ def _q_local_morans(sf_dir):
     return local_morans_cells(derived_track_points(sf_dir))
 
 
+def _q_sinuosity(sf_dir):
+    """Per-track L1 sinuosity (stages/tracks.py:track_sinuosity):
+    taxicab route length over taxicab net displacement on ×8-int
+    coordinates — ONE track-keyed sort exchange, whole-block masked-Δ
+    reduceat kernel, all int64 until the single closing division.
+    Oracle: lag + first/last window over the same integer coords."""
+    from cartwright_ray.pipelines.relational import derived_track_points
+    from cartwright_ray.stages.tracks import track_sinuosity
+    return track_sinuosity(derived_track_points(sf_dir))
+
+
 def _q_dwell(sf_dir):
     """Stay-point dwell episodes (stages/tracks.py:dwell_episodes):
     maximal ≥3-ping runs of one user inside one 1° cell — grid-quantized
@@ -3316,6 +3327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "morans_i_cells": _q_morans_i,
         "gearys_c_cells": _q_gearys_c,
         "local_morans_cells": _q_local_morans,
+        "track_sinuosity_users": _q_sinuosity,
         "bpe_train_docs": _q_bpe_train,
         "bpe_token_counts": _q_bpe_tokens,
         "track_crossings": _q_crossings,
@@ -4646,6 +4658,50 @@ def oracle_sql() -> dict[str, str]:
                             CASE WHEN lagdev > 0 THEN 'LH' ELSE 'LL' END
                    END AS quad
             FROM ex ORDER BY cx, cy
+        """,
+        "track_sinuosity_users": """
+            WITH tpts AS (
+                SELECT user_id, ts, event_id,
+                       CAST((user_id * 13 % 120) - 60.0
+                            + (event_id * 7 % 19) * 0.125
+                            + CASE WHEN event_id % 11 = 0 THEN 15.0
+                                   ELSE 0.0 END AS DOUBLE) AS lat,
+                       CAST((user_id * 29 % 300) - 150.0
+                            + (event_id * 3 % 23) * 0.125 AS DOUBLE) AS lon
+                FROM events),
+            ii AS (
+                SELECT user_id, ts, event_id,
+                       CAST(round(lon * 8) AS BIGINT) AS ix,
+                       CAST(round(lat * 8) AS BIGINT) AS iy
+                FROM tpts),
+            w AS (
+                SELECT user_id, ix, iy,
+                       lag(ix) OVER uw AS px, lag(iy) OVER uw AS py,
+                       first_value(ix) OVER uf AS fx,
+                       first_value(iy) OVER uf AS fy,
+                       last_value(ix) OVER uf AS lx,
+                       last_value(iy) OVER uf AS ly
+                FROM ii
+                WINDOW uw AS (PARTITION BY user_id
+                              ORDER BY ts, event_id),
+                       uf AS (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING)),
+            agg AS (
+                SELECT user_id,
+                       CAST(count(*) AS BIGINT) AS n_pings,
+                       CAST(coalesce(sum(abs(ix - px) + abs(iy - py)),
+                                     0) AS BIGINT) AS l1_path,
+                       CAST(max(abs(lx - fx) + abs(ly - fy))
+                            AS BIGINT) AS l1_net
+                FROM w GROUP BY user_id)
+            SELECT user_id, n_pings, l1_path, l1_net,
+                   CASE WHEN l1_net > 0
+                        THEN CAST(l1_path AS DOUBLE)
+                             / CAST(l1_net AS DOUBLE)
+                        ELSE 0.0 END AS sinuosity
+            FROM agg ORDER BY user_id
         """,
         "dwell_episodes_users": """
             WITH tpts AS (

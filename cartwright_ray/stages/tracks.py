@@ -355,3 +355,75 @@ def resample_tracks(ds, step_us: int = 3_600_000_000,
     return (ds.sort(track_col)
             .map_batches(kernel, batch_format="pyarrow",
                          batch_size=None))
+
+
+def track_sinuosity(ds, track_col: str = "user_id",
+                    order_cols=("ts", "event_id"),
+                    lat_col: str = "lat", lon_col: str = "lon",
+                    scale: int = 8):
+    """Per-track L1 (taxicab) sinuosity: route-length over net
+    displacement, the classic directness index of movement analysis,
+    computed in the L1 metric so every quantity is an exact int64
+    (coordinates must be multiples of 1/scale, as in
+    :func:`track_extent`) — the Euclidean variant would be a float SUM
+    whose addition order differs across engines; L1 keeps the engine
+    bit-identical to any SQL replay, with the ratio as the single
+    closing float division.
+
+    → one row per track: (track, n_pings, l1_path, l1_net, sinuosity),
+    where l1_path = Σ|Δx|+|Δy| over the (order_cols)-ordered ping
+    sequence, l1_net is first→last displacement, and sinuosity =
+    l1_path / l1_net (0.0 for loops and single-ping tracks, net = 0).
+
+    Scale shape: ONE sort exchange keyed on the track id ALONE (the
+    exchange-discipline rule — a composite key can split a track at a
+    range boundary), then a whole-block kernel: within-track order,
+    boundary-masked |Δ| contributions and ``np.add.reduceat`` are each
+    one numpy pass across ALL tracks in the block."""
+    from .partition import key_segments
+
+    o1, o2 = order_cols
+
+    out_schema = pa.schema([
+        pa.field(track_col, pa.int64()),
+        pa.field("n_pings", pa.int64()),
+        pa.field("l1_path", pa.int64()),
+        pa.field("l1_net", pa.int64()),
+        pa.field("sinuosity", pa.float64())])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        u = np.asarray(t[track_col], np.int64)
+        k1 = np.asarray(t[o1].cast(pa.timestamp("us")).cast(pa.int64())
+                        if pa.types.is_timestamp(t.schema.field(o1).type)
+                        else t[o1], np.int64)
+        k2 = np.asarray(t[o2], np.int64)
+        x = np.rint(np.asarray(t[lon_col], np.float64) * scale) \
+            .astype(np.int64)
+        y = np.rint(np.asarray(t[lat_col], np.float64) * scale) \
+            .astype(np.int64)
+        order = np.lexsort((k2, k1, u))
+        u, x, y = u[order], x[order], y[order]
+        starts, _ = key_segments(u)
+        ends = np.r_[starts[1:], len(u)]
+        # per-row step contribution (i → i+1), zeroed across tracks
+        c = np.zeros(len(u), np.int64)
+        same = u[1:] == u[:-1]
+        c[:-1] = np.where(same, np.abs(np.diff(x)) + np.abs(np.diff(y)),
+                          0)
+        path = np.add.reduceat(c, starts)
+        net = (np.abs(x[ends - 1] - x[starts])
+               + np.abs(y[ends - 1] - y[starts]))
+        sin = np.where(net > 0, path / np.where(net > 0, net, 1), 0.0)
+        return pa.table({track_col: pa.array(u[starts]),
+                         "n_pings": pa.array(ends - starts),
+                         "l1_path": pa.array(path),
+                         "l1_net": pa.array(net),
+                         "sinuosity": pa.array(sin, pa.float64())})
+
+    out = (ds.sort(track_col)
+             .map_batches(kernel, batch_format="pyarrow",
+                          batch_size=None)
+             .to_pandas())
+    return out.sort_values(track_col).reset_index(drop=True)

@@ -98,3 +98,60 @@ def test_chain_candidates_superset_of_hull_extremes():
     dyc = yc[:, None] - yc
     assert (dxc * dxc + dyc * dyc).max() == full
     assert keep.sum() < 60                   # it actually pruned
+
+
+def test_track_sinuosity_matches_brute_any_layout():
+    """L1 sinuosity: brute per-user pandas replay, exact at any block
+    layout; loops (net == 0) take the 0.0 sentinel; straight-line
+    tracks have sinuosity exactly 1.0."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cartwright_ray.stages.tracks import track_sinuosity
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for u in range(40):
+        n = int(rng.integers(1, 30))
+        xs = np.cumsum(rng.integers(-4, 5, n)) * 0.125
+        ys = np.cumsum(rng.integers(-4, 5, n)) * 0.125
+        ts = np.sort(rng.integers(0, 10_000, n))
+        for i in range(n):
+            rows.append((u, int(ts[i]), u * 1000 + i,
+                         float(ys[i]), float(xs[i])))
+    # user 100: an exact loop (net 0); user 101: a straight line
+    rows += [(100, t, 100_000 + t, 0.0, [0, 1, 1, 0][t] * 0.125)
+             for t in range(4)]
+    rows += [(101, t, 101_000 + t, 0.0, t * 0.25) for t in range(5)]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id",
+                                     "lat", "lon"])
+
+    def brute(g):
+        g = g.sort_values(["ts", "event_id"])
+        ix = np.rint(g["lon"].to_numpy() * 8).astype(np.int64)
+        iy = np.rint(g["lat"].to_numpy() * 8).astype(np.int64)
+        path = int(np.abs(np.diff(ix)).sum()
+                   + np.abs(np.diff(iy)).sum())
+        net = int(abs(ix[-1] - ix[0]) + abs(iy[-1] - iy[0]))
+        return pd.Series({"n_pings": len(g), "l1_path": path,
+                          "l1_net": net,
+                          "sinuosity": path / net if net else 0.0})
+
+    want = (df.groupby("user_id").apply(brute, include_groups=False)
+            .reset_index())
+    for c in ["n_pings", "l1_path", "l1_net"]:
+        want[c] = want[c].astype("int64")
+
+    for blocks in (1, 7):
+        # ts as timestamp column too: the kernel casts either way
+        d2 = df.copy()
+        d2["ts"] = pd.to_datetime(d2["ts"], unit="s")
+        got = track_sinuosity(
+            ray.data.from_pandas(d2).repartition(blocks))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    loop = want[want.user_id == 100].iloc[0]
+    straight = want[want.user_id == 101].iloc[0]
+    assert loop.sinuosity == 0.0 and loop.l1_path > 0
+    assert straight.sinuosity == 1.0
