@@ -1156,6 +1156,27 @@ def _q_sinuosity(sf_dir):
     return track_sinuosity(derived_track_points(sf_dir))
 
 
+def _q_voronoi(sf_dir):
+    """Voronoi / reverse-nearest-neighbor load counts
+    (joins/voronoi.py): 25 nation-derived integer sites broadcast via
+    ray.put, per-batch exact-int64 argmin with smallest-id tie-break,
+    per-block partial counts, one O(sites) groupby; sites that win
+    nothing report 0. Oracle: cross join + row_number over (d2, site)."""
+    from cartwright_ray.joins.voronoi import voronoi_counts
+    from cartwright_ray.pipelines.relational import derived_track_points
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    nk = pq.read_table(f"{sf_dir}/nation.parquet",
+                       columns=["n_nationkey"])["n_nationkey"] \
+        .to_numpy().astype("int64")
+    sites = pd.DataFrame({
+        "site_id": nk,
+        "lat": (nk * 37 % 140) - 70 + 0.5,
+        "lon": (nk * 53 % 360) - 180 + 0.5})
+    return voronoi_counts(derived_track_points(sf_dir), sites)
+
+
 def _q_dwell(sf_dir):
     """Stay-point dwell episodes (stages/tracks.py:dwell_episodes):
     maximal ≥3-ping runs of one user inside one 1° cell — grid-quantized
@@ -3328,6 +3349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gearys_c_cells": _q_gearys_c,
         "local_morans_cells": _q_local_morans,
         "track_sinuosity_users": _q_sinuosity,
+        "voronoi_site_counts": _q_voronoi,
         "bpe_train_docs": _q_bpe_train,
         "bpe_token_counts": _q_bpe_tokens,
         "track_crossings": _q_crossings,
@@ -4702,6 +4724,40 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(l1_net AS DOUBLE)
                         ELSE 0.0 END AS sinuosity
             FROM agg ORDER BY user_id
+        """,
+        "voronoi_site_counts": """
+            WITH tpts AS (
+                SELECT CAST(round(((user_id * 13 % 120) - 60.0
+                            + (event_id * 7 % 19) * 0.125
+                            + CASE WHEN event_id % 11 = 0 THEN 15.0
+                                   ELSE 0.0 END) * 8) AS BIGINT) AS py,
+                       CAST(round(((user_id * 29 % 300) - 150.0
+                            + (event_id * 3 % 23) * 0.125) * 8)
+                            AS BIGINT) AS px
+                FROM events),
+            sites AS (
+                SELECT CAST(n_nationkey AS BIGINT) AS site_id,
+                       CAST(round(((n_nationkey * 37 % 140) - 70 + 0.5)
+                                  * 8) AS BIGINT) AS sy,
+                       CAST(round(((n_nationkey * 53 % 360) - 180 + 0.5)
+                                  * 8) AS BIGINT) AS sx
+                FROM nation),
+            ranked AS (
+                SELECT t.rowid AS pid, s.site_id,
+                       row_number() OVER (
+                           PARTITION BY t.rowid
+                           ORDER BY (t.px - s.sx) * (t.px - s.sx)
+                                    + (t.py - s.sy) * (t.py - s.sy),
+                                    s.site_id) AS rn
+                FROM (SELECT row_number() OVER () AS rowid, px, py
+                      FROM tpts) t CROSS JOIN sites s),
+            won AS (
+                SELECT site_id, CAST(count(*) AS BIGINT) AS n_points
+                FROM ranked WHERE rn = 1 GROUP BY site_id)
+            SELECT s.site_id,
+                   CAST(coalesce(w.n_points, 0) AS BIGINT) AS n_points
+            FROM sites s LEFT JOIN won w ON s.site_id = w.site_id
+            ORDER BY s.site_id
         """,
         "dwell_episodes_users": """
             WITH tpts AS (
