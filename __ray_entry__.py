@@ -1177,6 +1177,19 @@ def _q_voronoi(sf_dir):
     return voronoi_counts(derived_track_points(sf_dir), sites)
 
 
+def _q_acf(sf_dir):
+    """Per-type daily-count autocorrelation at lags 1-7
+    (stages/trend.py:acf_by_key): dense global bin range, (key, bin)
+    count partials → one groupby, one key exchange, block-local
+    integer lag products; r_k closes as one float expression. Oracle:
+    generate_series dense bins + lag self-join, identical expansion."""
+    import ray.data
+    from cartwright_ray.stages.trend import acf_by_key
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+    return acf_by_key(ds)
+
+
 def _q_dwell(sf_dir):
     """Stay-point dwell episodes (stages/tracks.py:dwell_episodes):
     maximal ≥3-ping runs of one user inside one 1° cell — grid-quantized
@@ -3350,6 +3363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_morans_cells": _q_local_morans,
         "track_sinuosity_users": _q_sinuosity,
         "voronoi_site_counts": _q_voronoi,
+        "acf_daily_by_type": _q_acf,
         "bpe_train_docs": _q_bpe_train,
         "bpe_token_counts": _q_bpe_tokens,
         "track_crossings": _q_crossings,
@@ -4724,6 +4738,63 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(l1_net AS DOUBLE)
                         ELSE 0.0 END AS sinuosity
             FROM agg ORDER BY user_id
+        """,
+        "acf_daily_by_type": """
+            WITH p AS (
+                SELECT event_type AS k,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events),
+            g AS (SELECT min(day) AS d0, max(day) AS d1,
+                         max(day) - min(day) + 1 AS nb
+                  FROM p),
+            cb AS (SELECT k, day - (SELECT d0 FROM g) AS b,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM p GROUP BY 1, 2),
+            ks AS (SELECT DISTINCT k FROM cb),
+            bins AS (SELECT unnest(generate_series(
+                         0, (SELECT d1 - d0 FROM g))) AS b),
+            dense AS (
+                SELECT ks.k, bins.b, coalesce(cb.n, 0) AS n
+                FROM ks CROSS JOIN bins
+                LEFT JOIN cb ON cb.k = ks.k AND cb.b = bins.b),
+            mom AS (SELECT k, CAST(sum(n) AS BIGINT) AS s,
+                           CAST(sum(n * n) AS BIGINT) AS ss
+                    FROM dense GROUP BY k),
+            lagt AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag),
+            lp AS (SELECT a.k, l.lag,
+                          CAST(sum(a.n * b2.n) AS BIGINT) AS p,
+                          CAST(sum(a.n) AS BIGINT) AS h,
+                          CAST(sum(b2.n) AS BIGINT) AS t
+                   FROM dense a CROSS JOIN lagt l
+                   JOIN dense b2 ON b2.k = a.k AND b2.b = a.b + l.lag
+                   GROUP BY a.k, l.lag),
+            kl AS (SELECT ks.k, lagt.lag FROM ks CROSS JOIN lagt)
+            SELECT kl.k AS event_type, kl.lag,
+                   CAST(g.nb AS BIGINT) AS n_bins,
+                   CASE WHEN kl.lag >= g.nb
+                             OR NOT (CAST(mom.ss AS DOUBLE)
+                                     - CAST(mom.s AS DOUBLE)
+                                       * (CAST(mom.s AS DOUBLE)
+                                          / CAST(g.nb AS DOUBLE)) > 0)
+                        THEN 0.0
+                        ELSE (CAST(lp.p AS DOUBLE)
+                              - (CAST(mom.s AS DOUBLE)
+                                 / CAST(g.nb AS DOUBLE))
+                                * CAST(lp.h + lp.t AS DOUBLE)
+                              + CAST(g.nb - kl.lag AS DOUBLE)
+                                * (CAST(mom.s AS DOUBLE)
+                                   / CAST(g.nb AS DOUBLE))
+                                * (CAST(mom.s AS DOUBLE)
+                                   / CAST(g.nb AS DOUBLE)))
+                             / (CAST(mom.ss AS DOUBLE)
+                                - CAST(mom.s AS DOUBLE)
+                                  * (CAST(mom.s AS DOUBLE)
+                                     / CAST(g.nb AS DOUBLE)))
+                   END AS r
+            FROM kl CROSS JOIN g
+            JOIN mom ON mom.k = kl.k
+            LEFT JOIN lp ON lp.k = kl.k AND lp.lag = kl.lag
+            ORDER BY kl.k, kl.lag
         """,
         "voronoi_site_counts": """
             WITH tpts AS (

@@ -75,3 +75,112 @@ def trend_by_key(ds, key_col: str = "event_type", ts_col: str = "ts",
         rows.append((r[key_col], n, slope))
     return (pd.DataFrame(rows, columns=[key_col, "n", "slope"])
             .sort_values(key_col).reset_index(drop=True))
+
+
+def acf_by_key(ds, lags=(1, 2, 3, 4, 5, 6, 7),
+               key_col: str = "event_type", ts_col: str = "ts",
+               bin_us: int = 86_400_000_000) -> pd.DataFrame:
+    """Sample autocorrelation of each key's time-binned event counts at
+    the given lags — the seasonality/persistence diagnostic of a
+    metrics pipeline:
+
+        r_k = Σ_{t<n−k} (c_t − c̄)(c_{t+k} − c̄) / Σ_t (c_t − c̄)²
+
+    over the DENSE global bin range (missing bins count 0, so a bursty
+    key's quiet days depress its ACF — the same dense-range convention
+    as :func:`.hotspot.mann_kendall_cells`).
+
+    Scale shape: per-block (key, bin) count partials → one groupby sum
+    (shuffle bounded by keys × bins per block), O(1) driver range
+    reduce, then ONE hash exchange on the key and a whole-block dense
+    kernel — after the exchange every per-key moment is block-local,
+    so the lag products P_k = Σ c_t·c_{t+k} and the head/tail sums are
+    np.dot/slice-sums per (key, lag), never a second shuffle.
+
+    Exactness: every moment (S, SS, P_k, H_k, T_k) is exact int64; the
+    numerator expansion Σ(c_t−c̄)(c_{t+k}−c̄) = P_k − c̄(H_k+T_k)
+    + (n−k)c̄² and the denominator SS − S·(S/n) are each ONE float
+    expression over those integers, mirrored token-for-token in the
+    DuckDB generate_series + lag-self-join replay.
+
+    → pandas (key_col, lag, n_bins, r) sorted by (key, lag)."""
+    from ray.data.aggregate import Sum
+
+    from .partition import hash_partitioned
+
+    lags = sorted(int(k) for k in lags)
+
+    def cb_partial(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t[ts_col].cast(pa.timestamp("us"))
+                        .cast(pa.int64()), np.int64)
+        b = ts // bin_us
+        df = pd.DataFrame({"k": t[key_col].to_numpy(
+            zero_copy_only=False), "b": b, "n": 1})
+        g = df.groupby(["k", "b"], sort=False).sum().reset_index()
+        return pa.table({key_col: pa.array(g["k"]),
+                         "b": pa.array(g["b"], pa.int64()),
+                         "n": pa.array(g["n"], pa.int64())})
+
+    cb = (ds.map_batches(cb_partial, batch_format="pyarrow")
+          .groupby([key_col, "b"])
+          .aggregate(Sum("n", alias_name="n"))
+          .materialize())             # PIN: range reduce + exchange
+
+    rng = cb.map_batches(
+        lambda t: pa.table({"d0": [int(np.asarray(t["b"]).min())],
+                            "d1": [int(np.asarray(t["b"]).max())]}),
+        batch_format="pyarrow").to_pandas()
+    if rng.empty:
+        return pd.DataFrame(columns=[key_col, "lag", "n_bins", "r"])
+    d0, d1 = int(rng["d0"].min()), int(rng["d1"].max())
+    nbins = d1 - d0 + 1
+
+    parted = hash_partitioned(cb, [key_col])
+    if parted is None:
+        return pd.DataFrame(columns=[key_col, "lag", "n_bins", "r"])
+
+    out_schema = pa.schema([pa.field(key_col, pa.string()),
+                            pa.field("lag", pa.int64()),
+                            pa.field("n_bins", pa.int64()),
+                            pa.field("r", pa.float64())])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        b = np.asarray(t["b"], np.int64) - d0
+        n = np.asarray(t["n"], np.int64)
+        order = np.argsort(keys, kind="stable")
+        keys, b, n = keys[order], b[order], n[order]
+        new = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(keys)]
+        out_k, out_lag, out_r = [], [], []
+        for s, e in zip(starts, ends):
+            c = np.zeros(nbins, np.int64)
+            c[b[s:e]] = n[s:e]
+            S, SS = int(c.sum()), int((c * c).sum())
+            xbar = float(S) / float(nbins)
+            den = float(SS) - float(S) * xbar
+            for k in lags:
+                if k >= nbins or not (den > 0.0):
+                    r = 0.0
+                else:
+                    P = int(np.dot(c[:-k], c[k:]))
+                    H = int(c[:-k].sum())
+                    T = int(c[k:].sum())
+                    num = float(P) - xbar * float(H + T) \
+                        + float(nbins - k) * xbar * xbar
+                    r = num / den
+                out_k.append(keys[s])
+                out_lag.append(k)
+                out_r.append(r)
+        return pa.table({key_col: pa.array(out_k, pa.string()),
+                         "lag": pa.array(out_lag, pa.int64()),
+                         "n_bins": pa.array(
+                             np.full(len(out_k), nbins, np.int64)),
+                         "r": pa.array(out_r, pa.float64())})
+
+    out = parted.map_batches(kernel, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    return out.sort_values([key_col, "lag"]).reset_index(drop=True)
