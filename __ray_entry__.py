@@ -824,6 +824,36 @@ def _q_triangles(sf_dir):
     return triangle_count(edges)
 
 
+def _q_link_prediction(sf_dir):
+    """Resource-Allocation link prediction
+    (stages/triangles.py:link_prediction_ra) over the synthetic doc
+    graph: common-neighbor pairs generated at the CENTER node (one
+    hash exchange; group size = degree, no degree join), RA weights in
+    2⁴⁰ fixed point so every sum is int64, existing edges excluded by
+    the tagged-union groupby, top-100 ranked on integers. Oracle:
+    both-direction self-join + least/greatest dedup + the same
+    integer-division weights."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cartwright_ray.stages.triangles import link_prediction_ra
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+    n = docs.count()
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        d = np.repeat(np.asarray(t["doc_id"], np.int64), 3)
+        kk = np.tile(np.arange(3, dtype=np.int64), t.num_rows)
+        dst = (d * 7 + 13 * kk) % n
+        keep = dst != d
+        d, dst = d[keep], dst[keep]
+        return pa.table({"a": pa.array(np.minimum(d, dst)),
+                         "b": pa.array(np.maximum(d, dst))})
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return link_prediction_ra(edges, k=100)
+
+
 def _q_clustering_coeff(sf_dir):
     """Local clustering coefficient per node (stages/triangles.py:
     clustering_coefficient) over the undirected synthetic link graph:
@@ -3364,6 +3394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "track_sinuosity_users": _q_sinuosity,
         "voronoi_site_counts": _q_voronoi,
         "acf_daily_by_type": _q_acf,
+        "link_prediction_docs": _q_link_prediction,
         "bpe_train_docs": _q_bpe_train,
         "bpe_token_counts": _q_bpe_tokens,
         "track_crossings": _q_crossings,
@@ -4186,6 +4217,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
                    CAST((SELECT count(*) FROM w) AS BIGINT) AS n_wedges,
                    CAST((SELECT c FROM tri) AS BIGINT) AS n_triangles
+        """,
+        "link_prediction_docs": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            e0 AS (
+                SELECT doc_id AS src,
+                       (doc_id * 7 + 13 * i) % (SELECT n FROM nn) AS dst
+                FROM documents, (VALUES (0), (1), (2)) t(i)),
+            e AS (SELECT DISTINCT least(src, dst) AS a,
+                                  greatest(src, dst) AS b
+                  FROM e0 WHERE src <> dst),
+            und AS (SELECT a AS w, b AS nbr FROM e
+                    UNION ALL SELECT b AS w, a AS nbr FROM e),
+            deg AS (SELECT w, CAST(count(*) AS BIGINT) AS m
+                    FROM und GROUP BY w),
+            pairs AS (
+                SELECT u.nbr AS a, v.nbr AS b, d.m
+                FROM und u JOIN und v
+                  ON u.w = v.w AND u.nbr < v.nbr
+                JOIN deg d ON d.w = u.w),
+            agg AS (
+                SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+                       CAST(sum(1099511627776 // m) AS BIGINT)
+                           AS ra_int
+                FROM pairs GROUP BY a, b),
+            ne AS (
+                SELECT agg.a, agg.b, agg.cn, agg.ra_int
+                FROM agg LEFT JOIN e
+                  ON e.a = agg.a AND e.b = agg.b
+                WHERE e.a IS NULL)
+            SELECT a, b, cn, ra_int,
+                   CAST(ra_int AS DOUBLE) / 1099511627776.0 AS ra
+            FROM ne
+            ORDER BY ra_int DESC, cn DESC, a, b
+            LIMIT 100
         """,
         "clustering_coeff_docs": """
             WITH nn AS (SELECT count(*) AS n FROM documents),

@@ -195,3 +195,116 @@ def clustering_coefficient(edges_ds, a_col: str = "a", b_col: str = "b"):
     out["coeff"] = np.where(out["deg"] < 2, 0.0,
                             2.0 * tr / (d * (d - 1.0)))
     return out.sort_values("node").reset_index(drop=True)
+
+
+RA_FP_ONE = 1 << 40          # fixed-point 1.0 for resource-allocation
+
+
+def link_prediction_ra(edges_ds, k: int = 100,
+                       a_col: str = "a", b_col: str = "b"):
+    """Link prediction by common-neighbor evidence: for every
+    non-adjacent pair (u < v) with ≥1 common neighbor, the
+    common-neighbor count and the Resource-Allocation index
+    (Zhou, Lü & Zhang 2009 — the Adamic-Adar family's 1/deg variant)
+    in 2⁴⁰ fixed point:
+
+        ra_int(u,v) = Σ_{w ∈ N(u)∩N(v)} ⌊2⁴⁰ / deg(w)⌋
+
+    Fixed point keeps every quantity int64 (the integer-PageRank
+    precedent): a float Σ 1/deg would sum in engine-dependent order;
+    ⌊2⁴⁰/deg⌋ is exact in any engine and the closing ``ra`` is one
+    float division per OUTPUT row. Quantization error < deg·2⁻⁴⁰ —
+    unobservable at any real degree.
+
+    Scale shape: canonical dedup groupby → both-direction scatter →
+    ONE hash exchange on the CENTER node (each group's size IS the
+    degree, so no degree join) → m² in-block pair decode (cost
+    Σ deg² — the wedge bound; degree-ordering slots in for power-law
+    skew as in :func:`triangle_count`) → (u,v)-keyed groupby summing
+    (cn, ra_int) with tagged edge rows excluding existing links →
+    top-k on the aggregate by (ra_int, cn) with (a,b) tie-break.
+
+    → pandas (a, b, cn, ra_int, ra) of the top-k predicted links."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .partition import drop_empty_blocks, hash_partitioned
+
+    dedup = (edges_ds.groupby([a_col, b_col])
+             .aggregate(Sum(a_col, alias_name="_s"))
+             .select_columns([a_col, b_col]).materialize())
+
+    def scatter(t: pa.Table) -> pa.Table:
+        a = np.asarray(t[a_col], np.int64)
+        b = np.asarray(t[b_col], np.int64)
+        return pa.table({"w": pa.array(np.r_[a, b]),
+                         "nbr": pa.array(np.r_[b, a])})
+
+    parted = hash_partitioned(
+        dedup.map_batches(scatter, batch_format="pyarrow"), ["w"],
+        rows_per_partition=25_000)
+    empty_cols = ["a", "b", "cn", "ra_int", "ra"]
+    if parted is None:
+        return pd.DataFrame(columns=empty_cols)
+
+    pair_schema = pa.schema([pa.field("a", pa.int64()),
+                             pa.field("b", pa.int64()),
+                             pa.field("cn", pa.int64()),
+                             pa.field("ra", pa.int64()),
+                             pa.field("e", pa.int64())])
+
+    def pair_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        w = np.asarray(t["w"], np.int64)
+        nbr = np.asarray(t["nbr"], np.int64)
+        order = np.lexsort((nbr, w))
+        w, nbr = w[order], nbr[order]
+        new = np.r_[True, w[1:] != w[:-1]]
+        starts = np.flatnonzero(new)
+        m = np.r_[starts[1:], len(w)] - starts
+        weight = RA_FP_ONE // m                 # ⌊2⁴⁰ / deg(center)⌋
+        n2 = m * m
+        rep = np.repeat(np.arange(len(m)), n2)
+        tloc = np.arange(int(n2.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(n2) - n2, n2)
+        i = starts[rep] + tloc // m[rep]
+        j = starts[rep] + tloc % m[rep]
+        keep = nbr[i] < nbr[j]
+        rep = rep[keep]
+        return pa.table({"a": pa.array(nbr[i][keep]),
+                         "b": pa.array(nbr[j][keep]),
+                         "cn": pa.array(np.ones(len(rep), np.int64)),
+                         "ra": pa.array(weight[rep]),
+                         "e": pa.array(np.zeros(len(rep), np.int64))})
+
+    pairs = parted.map_batches(pair_kernel, batch_format="pyarrow",
+                               batch_size=None)
+    edge_tags = dedup.map_batches(
+        lambda t: pa.table({
+            "a": t[a_col].combine_chunks(),
+            "b": t[b_col].combine_chunks(),
+            "cn": pa.array(np.zeros(t.num_rows, np.int64)),
+            "ra": pa.array(np.zeros(t.num_rows, np.int64)),
+            "e": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+
+    clean = drop_empty_blocks(pairs.union(edge_tags))
+    if clean is None:
+        return pd.DataFrame(columns=empty_cols)
+    agg = (clean.groupby(["a", "b"])
+           .aggregate(Sum("cn", alias_name="cn"),
+                      Sum("ra", alias_name="ra_int"),
+                      Sum("e", alias_name="e")))
+    def non_edges(t: pa.Table) -> pa.Table:
+        e = np.asarray(t["e"], np.int64)
+        cn = np.asarray(t["cn"], np.int64)
+        return t.filter(pa.array((e == 0) & (cn > 0)))
+
+    top = (agg.map_batches(non_edges, batch_format="pyarrow")
+           .sort(["ra_int", "cn", "a", "b"],
+                 descending=[True, True, False, False])
+           .limit(k).to_pandas())
+    top = top.drop(columns=["e"])
+    top["ra"] = top["ra_int"].to_numpy(np.int64) / float(RA_FP_ONE)
+    return top[empty_cols]

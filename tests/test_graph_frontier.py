@@ -113,3 +113,52 @@ def test_kcore_converged_extra_rounds_noop(ray_session):
     if len(r4) and kcore_brute(edges.drop_duplicates(), 5, 4).equals(
             kcore_brute(edges.drop_duplicates(), 5, 9)):
         pd.testing.assert_frame_equal(r4, r9, check_dtype=False)
+
+
+def test_link_prediction_ra_matches_brute():
+    """RA link prediction: brute adjacency-set replay on a random
+    graph; existing edges excluded; fixed-point weights exact."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cartwright_ray.stages.triangles import RA_FP_ONE, \
+        link_prediction_ra
+
+    rng = np.random.default_rng(17)
+    n = 60
+    a = rng.integers(0, n, 300)
+    b = rng.integers(0, n, 300)
+    keep = a != b
+    a, b = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+    df = pd.DataFrame({"a": a, "b": b})
+
+    adj = {}
+    eset = set()
+    for x, y in zip(a.tolist(), b.tolist()):
+        if (x, y) in eset:
+            continue
+        eset.add((x, y))
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    cand = {}
+    for w, nbrs in adj.items():
+        wt = RA_FP_ONE // len(nbrs)
+        nbrs = sorted(nbrs)
+        for i in range(len(nbrs)):
+            for j in range(i + 1, len(nbrs)):
+                key = (nbrs[i], nbrs[j])
+                cn, ra = cand.get(key, (0, 0))
+                cand[key] = (cn + 1, ra + wt)
+    want = sorted(((ra, cn, x, y) for (x, y), (cn, ra) in cand.items()
+                   if (x, y) not in eset),
+                  key=lambda r: (-r[0], -r[1], r[2], r[3]))[:50]
+    want = pd.DataFrame(
+        [(x, y, cn, ra, ra / RA_FP_ONE) for ra, cn, x, y in want],
+        columns=["a", "b", "cn", "ra_int", "ra"])
+
+    for blocks in (1, 5):
+        got = link_prediction_ra(
+            ray.data.from_pandas(df).repartition(blocks), k=50)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False)
