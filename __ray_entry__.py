@@ -854,6 +854,19 @@ def _q_link_prediction(sf_dir):
     return link_prediction_ra(edges, k=100)
 
 
+def _q_cooccurrence(sf_dir):
+    """Event-type co-occurrence network (stages/cooccur.py): the
+    user→type bipartite relation projected onto types — per-block
+    DISTINCT partials, ONE entity-keyed exchange, in-block i<j pair
+    expansion (Σ|set|² bounded by the 7-type domain), narrow pair
+    groupby. Integers end to end; oracle = DISTINCT pairs self-join."""
+    import ray.data
+    from cartwright_ray.stages.cooccur import cooccurrence
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return cooccurrence(ds)
+
+
 def _q_clustering_coeff(sf_dir):
     """Local clustering coefficient per node (stages/triangles.py:
     clustering_coefficient) over the undirected synthetic link graph:
@@ -3395,6 +3408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "voronoi_site_counts": _q_voronoi,
         "acf_daily_by_type": _q_acf,
         "link_prediction_docs": _q_link_prediction,
+        "type_cooccurrence_users": _q_cooccurrence,
         "bpe_train_docs": _q_bpe_train,
         "bpe_token_counts": _q_bpe_tokens,
         "track_crossings": _q_crossings,
@@ -4217,6 +4231,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
                    CAST((SELECT count(*) FROM w) AS BIGINT) AS n_wedges,
                    CAST((SELECT c FROM tri) AS BIGINT) AS n_triangles
+        """,
+        "type_cooccurrence_users": """
+            WITH pres AS (
+                SELECT DISTINCT user_id AS e, event_type AS i
+                FROM events)
+            SELECT a.i AS item_a, b.i AS item_b,
+                   CAST(count(*) AS BIGINT) AS n_entities
+            FROM pres a JOIN pres b
+              ON a.e = b.e AND a.i < b.i
+            GROUP BY a.i, b.i
+            ORDER BY a.i, b.i
         """,
         "link_prediction_docs": """
             WITH nn AS (SELECT count(*) AS n FROM documents),
