@@ -1233,6 +1233,17 @@ def _q_acf(sf_dir):
     return acf_by_key(ds)
 
 
+def _q_rose(sf_dir):
+    """Per-track compass rose (stages/tracks.py:direction_rose): step
+    counts in eight half-open octants on integer step vectors — one
+    track-keyed sort exchange, block-local ordered-cascade sectors,
+    no second shuffle. Oracle: lag window + the identical ordered
+    CASE."""
+    from cartwright_ray.pipelines.relational import derived_track_points
+    from cartwright_ray.stages.tracks import direction_rose
+    return direction_rose(derived_track_points(sf_dir))
+
+
 def _q_dwell(sf_dir):
     """Stay-point dwell episodes (stages/tracks.py:dwell_episodes):
     maximal ≥3-ping runs of one user inside one 1° cell — grid-quantized
@@ -3409,6 +3420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acf_daily_by_type": _q_acf,
         "link_prediction_docs": _q_link_prediction,
         "type_cooccurrence_users": _q_cooccurrence,
+        "direction_rose_users": _q_rose,
         "bpe_train_docs": _q_bpe_train,
         "bpe_token_counts": _q_bpe_tokens,
         "track_crossings": _q_crossings,
@@ -4885,6 +4897,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN mom ON mom.k = kl.k
             LEFT JOIN lp ON lp.k = kl.k AND lp.lag = kl.lag
             ORDER BY kl.k, kl.lag
+        """,
+        "direction_rose_users": """
+            WITH tpts AS (
+                SELECT user_id, ts, event_id,
+                       CAST(round(((user_id * 13 % 120) - 60.0
+                            + (event_id * 7 % 19) * 0.125
+                            + CASE WHEN event_id % 11 = 0 THEN 15.0
+                                   ELSE 0.0 END) * 8) AS BIGINT) AS iy,
+                       CAST(round(((user_id * 29 % 300) - 150.0
+                            + (event_id * 3 % 23) * 0.125) * 8)
+                            AS BIGINT) AS ix
+                FROM events),
+            steps AS (
+                SELECT user_id,
+                       ix - lag(ix) OVER uw AS dx,
+                       iy - lag(iy) OVER uw AS dy
+                FROM tpts
+                WINDOW uw AS (PARTITION BY user_id
+                              ORDER BY ts, event_id)),
+            sec AS (
+                SELECT user_id,
+                       CASE
+                         WHEN dx > 0 AND dy >= 0 AND dx > dy THEN 'E'
+                         WHEN dy > 0 AND dx > 0 AND dy >= dx THEN 'NE'
+                         WHEN dy > 0 AND dx <= 0 AND dy > -dx THEN 'N'
+                         WHEN dx < 0 AND dy > 0 AND dy <= -dx THEN 'NW'
+                         WHEN dx < 0 AND dy <= 0 AND dy > dx THEN 'W'
+                         WHEN dy < 0 AND dx < 0 AND dy <= dx THEN 'SW'
+                         WHEN dy < 0 AND dx >= 0 AND -dy > dx THEN 'S'
+                         WHEN dy < 0 AND dx > 0 AND dy >= -dx THEN 'SE'
+                         ELSE NULL
+                       END AS sector
+                FROM steps WHERE dx IS NOT NULL)
+            SELECT user_id, sector,
+                   CAST(count(*) AS BIGINT) AS n_steps
+            FROM sec WHERE sector IS NOT NULL
+            GROUP BY user_id, sector
+            ORDER BY user_id, sector
         """,
         "voronoi_site_counts": """
             WITH tpts AS (

@@ -26,6 +26,7 @@ track's points).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from .partition import key_segments
@@ -427,3 +428,87 @@ def track_sinuosity(ds, track_col: str = "user_id",
                           batch_size=None)
              .to_pandas())
     return out.sort_values(track_col).reset_index(drop=True)
+
+
+# ordered octant cascade (first match wins): half-open 45° sectors
+# [k·45°, (k+1)·45°) starting due-East, on integer step vectors —
+# mirrored as an ordered CASE in the SQL oracle, so the tie rules on
+# axes/diagonals are decided identically in both engines.
+_ROSE_SECTORS = ("E", "NE", "N", "NW", "W", "SW", "S", "SE")
+
+
+def _rose_sector(dx: np.ndarray, dy: np.ndarray) -> np.ndarray:
+    conds = [
+        (dx > 0) & (dy >= 0) & (dx > dy),          # E   [0, 45)
+        (dy > 0) & (dx > 0) & (dy >= dx),          # NE  [45, 90)
+        (dy > 0) & (dx <= 0) & (dy > -dx),         # N   [90, 135)
+        (dx < 0) & (dy > 0) & (dy <= -dx),         # NW  [135, 180)
+        (dx < 0) & (dy <= 0) & (dy > dx),          # W   [180, 225)
+        (dy < 0) & (dx < 0) & (dy <= dx),          # SW  [225, 270)
+        (dy < 0) & (dx >= 0) & (-dy > dx),         # S   [270, 315)
+        (dy < 0) & (dx > 0) & (dy >= -dx),         # SE  [315, 360)
+    ]
+    return np.select(conds, np.arange(8), default=-1)
+
+
+def direction_rose(ds, track_col: str = "user_id",
+                   order_cols=("ts", "event_id"),
+                   lat_col: str = "lat", lon_col: str = "lon",
+                   scale: int = 8) -> pd.DataFrame:
+    """Per-track compass rose: step counts in the eight half-open 45°
+    octants (due-East start, ties resolved by the ordered cascade
+    above) over ×scale integer step vectors — the movement-direction
+    histogram of trajectory analytics, integer-exact end to end
+    (zero-length steps are excluded; they have no direction).
+
+    Scale shape: the same single track-keyed sort exchange as
+    :func:`track_sinuosity`; after it every per-track count is
+    block-local, so the kernel's masked lag diffs + ordered
+    ``np.select`` + one in-block groupby produce the final
+    (track, sector, n_steps) rows with NO second shuffle.
+
+    → pandas (track, sector, n_steps), nonzero sectors only, sorted."""
+    from .partition import key_segments
+
+    o1, o2 = order_cols
+
+    out_schema = pa.schema([pa.field(track_col, pa.int64()),
+                            pa.field("sector", pa.string()),
+                            pa.field("n_steps", pa.int64())])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        u = np.asarray(t[track_col], np.int64)
+        k1 = np.asarray(t[o1].cast(pa.timestamp("us")).cast(pa.int64())
+                        if pa.types.is_timestamp(t.schema.field(o1).type)
+                        else t[o1], np.int64)
+        k2 = np.asarray(t[o2], np.int64)
+        x = np.rint(np.asarray(t[lon_col], np.float64) * scale) \
+            .astype(np.int64)
+        y = np.rint(np.asarray(t[lat_col], np.float64) * scale) \
+            .astype(np.int64)
+        order = np.lexsort((k2, k1, u))
+        u, x, y = u[order], x[order], y[order]
+        same = u[1:] == u[:-1]
+        dx = np.diff(x)[same]
+        dy = np.diff(y)[same]
+        uu = u[1:][same]
+        sec = _rose_sector(dx, dy)
+        keep = sec >= 0                        # drop zero-length steps
+        uu, sec = uu[keep], sec[keep]
+        df = (pd.DataFrame({"u": uu, "s": sec, "n": 1})
+              .groupby(["u", "s"], sort=True).sum().reset_index())
+        return pa.table({
+            track_col: pa.array(df["u"], pa.int64()),
+            "sector": pa.array(
+                np.array(_ROSE_SECTORS, object)[df["s"].to_numpy()],
+                pa.string()),
+            "n_steps": pa.array(df["n"], pa.int64())})
+
+    out = (ds.sort(track_col)
+             .map_batches(kernel, batch_format="pyarrow",
+                          batch_size=None)
+             .to_pandas())
+    return out.sort_values([track_col, "sector"]) \
+              .reset_index(drop=True)

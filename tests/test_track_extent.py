@@ -155,3 +155,57 @@ def test_track_sinuosity_matches_brute_any_layout():
     straight = want[want.user_id == 101].iloc[0]
     assert loop.sinuosity == 0.0 and loop.l1_path > 0
     assert straight.sinuosity == 1.0
+
+
+def test_direction_rose_octants_match_atan2():
+    """The ordered integer cascade must agree with the half-open
+    [k·45°, (k+1)·45°) octant of atan2 for every step vector in a
+    dense lattice, and the distributed counts must match a brute
+    groupby at any layout."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cartwright_ray.stages.tracks import _ROSE_SECTORS, \
+        _rose_sector, direction_rose
+
+    g = np.arange(-5, 6)
+    dx, dy = np.meshgrid(g, g)
+    dx, dy = dx.ravel(), dy.ravel()
+    nz = (dx != 0) | (dy != 0)
+    dx, dy = dx[nz], dy[nz]
+    sec = _rose_sector(dx, dy)
+    ang = np.degrees(np.arctan2(dy, dx)) % 360.0
+    want = (ang // 45).astype(int) % 8
+    assert (sec == want).all()
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for u in range(25):
+        n = int(rng.integers(2, 40))
+        xs = np.cumsum(rng.integers(-3, 4, n)) * 0.125
+        ys = np.cumsum(rng.integers(-3, 4, n)) * 0.125
+        for i in range(n):
+            rows.append((u, i, u * 100 + i, float(ys[i]),
+                         float(xs[i])))
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id",
+                                     "lat", "lon"])
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+
+    brute = {}
+    for u, g2 in df.groupby("user_id"):
+        g2 = g2.sort_values(["ts", "event_id"])
+        ix = np.rint(g2["lon"].to_numpy() * 8).astype(np.int64)
+        iy = np.rint(g2["lat"].to_numpy() * 8).astype(np.int64)
+        s = _rose_sector(np.diff(ix), np.diff(iy))
+        for v in s[s >= 0]:
+            key = (u, _ROSE_SECTORS[v])
+            brute[key] = brute.get(key, 0) + 1
+    want_df = pd.DataFrame(
+        [(u, s, n) for (u, s), n in sorted(brute.items())],
+        columns=["user_id", "sector", "n_steps"])
+
+    for blocks in (1, 4):
+        got = direction_rose(
+            ray.data.from_pandas(df).repartition(blocks))
+        pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
