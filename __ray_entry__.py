@@ -1244,6 +1244,34 @@ def _q_rose(sf_dir):
     return direction_rose(derived_track_points(sf_dir))
 
 
+def _q_surface_gradient(sf_dir):
+    """Focal slope/aspect of the KDE hotspot surface
+    (stages/hotspot.py:surface_gradient over kde_cells): 4-neighbor
+    signed scatter + one cell groupby gives integer central
+    differences; aspect is the shared octant cascade, steep2 = gx²+gy²
+    — int64 end to end, oracle replays the scatter with a VALUES
+    offset table and the identical CASE."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from cartwright_ray.stages.hotspot import kde_cells, \
+        surface_gradient
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"], np.int64)
+        e = np.asarray(t["event_id"], np.int64)
+        y = (u // 60 % 40 - 20) * 8 + e * 7 % 19
+        x = (u % 60 - 30) * 8 + e * 3 % 23
+        return pa.table({"x": pa.array(x), "y": pa.array(y)})
+
+    surf = kde_cells(ds.map_batches(derive, batch_format="pyarrow"))
+    return surface_gradient(surf)
+
+
 def _q_dwell(sf_dir):
     """Stay-point dwell episodes (stages/tracks.py:dwell_episodes):
     maximal ≥3-ping runs of one user inside one 1° cell — grid-quantized
@@ -3421,6 +3449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction_docs": _q_link_prediction,
         "type_cooccurrence_users": _q_cooccurrence,
         "direction_rose_users": _q_rose,
+        "surface_gradient_cells": _q_surface_gradient,
         "bpe_train_docs": _q_bpe_train,
         "bpe_token_counts": _q_bpe_tokens,
         "track_crossings": _q_crossings,
@@ -6931,6 +6960,54 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE kde > 0
             GROUP BY cx, cy
             ORDER BY cx, cy
+        """,
+        "surface_gradient_cells": """
+            WITH p AS (
+                SELECT ((user_id // 60) % 40 - 20) * 8
+                           + event_id * 7 % 19 AS y,
+                       (user_id % 60 - 30) * 8
+                           + event_id * 3 % 23 AS x
+                FROM events),
+            sc AS (
+                SELECT CAST(floor(x / 8.0) AS BIGINT) + dx.d AS cx,
+                       CAST(floor(y / 8.0) AS BIGINT) + dy.d AS cy,
+                       x, y
+                FROM p, (VALUES (-1), (0), (1)) dx(d),
+                        (VALUES (-1), (0), (1)) dy(d)),
+            kw AS (
+                SELECT cx, cy,
+                       64 - ((x - (cx * 8 + 4)) * (x - (cx * 8 + 4))
+                             + (y - (cy * 8 + 4)) * (y - (cy * 8 + 4)))
+                           AS kde
+                FROM sc),
+            surf AS (
+                SELECT cx, cy, CAST(sum(kde) AS BIGINT) AS w
+                FROM kw WHERE kde > 0 GROUP BY cx, cy),
+            grad AS (
+                SELECT s.cx, s.cy, s.w,
+                       CAST(coalesce(e.w, 0) - coalesce(wn.w, 0)
+                            AS BIGINT) AS gx,
+                       CAST(coalesce(n.w, 0) - coalesce(so.w, 0)
+                            AS BIGINT) AS gy
+                FROM surf s
+                LEFT JOIN surf e ON e.cx = s.cx + 1 AND e.cy = s.cy
+                LEFT JOIN surf wn ON wn.cx = s.cx - 1 AND wn.cy = s.cy
+                LEFT JOIN surf n ON n.cx = s.cx AND n.cy = s.cy + 1
+                LEFT JOIN surf so ON so.cx = s.cx AND so.cy = s.cy - 1)
+            SELECT cx, cy, w, gx, gy,
+                   CAST(gx * gx + gy * gy AS BIGINT) AS steep2,
+                   CASE
+                     WHEN gx > 0 AND gy >= 0 AND gx > gy THEN 'E'
+                     WHEN gy > 0 AND gx > 0 AND gy >= gx THEN 'NE'
+                     WHEN gy > 0 AND gx <= 0 AND gy > -gx THEN 'N'
+                     WHEN gx < 0 AND gy > 0 AND gy <= -gx THEN 'NW'
+                     WHEN gx < 0 AND gy <= 0 AND gy > gx THEN 'W'
+                     WHEN gy < 0 AND gx < 0 AND gy <= gx THEN 'SW'
+                     WHEN gy < 0 AND gx >= 0 AND -gy > gx THEN 'S'
+                     WHEN gy < 0 AND gx > 0 AND gy >= -gx THEN 'SE'
+                     ELSE 'FLAT'
+                   END AS aspect
+            FROM grad ORDER BY cx, cy
         """,
         "semivariogram_points": """
             WITH p AS (

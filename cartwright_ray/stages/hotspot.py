@@ -855,3 +855,79 @@ def local_morans_cells(ds, lat_col: str = "lat", lon_col: str = "lon"):
 
     out = nb.map_batches(lisa_map, batch_format="pyarrow").to_pandas()
     return out.sort_values(["cx", "cy"]).reset_index(drop=True)
+
+
+def surface_gradient(cells_ds, val_col: str = "kde_w"):
+    """Focal gradient (slope/aspect) of a sparse integer raster
+    surface — the classic 4-neighbor central-difference terrain
+    operator applied to any (cx, cy, value) cell table (here the KDE
+    hotspot surface of :func:`kde_cells`; absent neighbors contribute
+    0, the sparse-raster convention):
+
+        gx = w(x+1, y) − w(x−1, y),  gy = w(x, y+1) − w(x, y−1)
+
+    plus the integer steepness ``steep2 = gx² + gy²`` and the aspect
+    octant of (gx, gy) under the same ordered cascade as the movement
+    rose (``FLAT`` when gx = gy = 0).
+
+    Scale shape: each occupied cell scatters its value to its 4 axis
+    neighbors signed by direction (plus a tagged own-row), ONE
+    cell-keyed groupby sums (gx, gy, own), and the closing map is
+    stateless — shuffle volume 5×|cells|, everything int64, the
+    DuckDB replay (4-offset VALUES scatter + identical CASE) is
+    bit-exact.
+
+    → pandas (cx, cy, w, gx, gy, steep2, aspect) at occupied cells,
+    sorted by (cx, cy)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.tracks import _ROSE_SECTORS, _rose_sector
+
+    def scatter4(t: pa.Table) -> pa.Table:
+        cx = np.asarray(t["cx"], np.int64)
+        cy = np.asarray(t["cy"], np.int64)
+        w = np.asarray(t[val_col], np.int64)
+        z = np.zeros_like(w)
+        outs = [pa.table({"cx": pa.array(cx), "cy": pa.array(cy),
+                          "gx": pa.array(z), "gy": pa.array(z),
+                          "own": pa.array(w)})]
+        # a cell landing at (cx+dx, cy+dy) is that position's
+        # OPPOSITE-side neighbor: scattering east (+1) makes it the
+        # west neighbor there, so it contributes −w to gx, and vice
+        # versa
+        for dx, dy, sgn, axis in ((1, 0, -1, "gx"), (-1, 0, 1, "gx"),
+                                  (0, 1, -1, "gy"), (0, -1, 1, "gy")):
+            outs.append(pa.table({
+                "cx": pa.array(cx + dx), "cy": pa.array(cy + dy),
+                "gx": pa.array(sgn * w if axis == "gx" else z),
+                "gy": pa.array(sgn * w if axis == "gy" else z),
+                "own": pa.array(z)}))
+        return pa.concat_tables(outs)
+
+    nb = (cells_ds.map_batches(scatter4, batch_format="pyarrow")
+          .groupby(["cx", "cy"])
+          .aggregate(Sum("gx", alias_name="gx"),
+                     Sum("gy", alias_name="gy"),
+                     Sum("own", alias_name="own")))
+
+    def close(t: pa.Table) -> pa.Table:
+        own = np.asarray(t["own"], np.int64)
+        keep = own > 0
+        cx = np.asarray(t["cx"], np.int64)[keep]
+        cy = np.asarray(t["cy"], np.int64)[keep]
+        gx = np.asarray(t["gx"], np.int64)[keep]
+        gy = np.asarray(t["gy"], np.int64)[keep]
+        sec = _rose_sector(gx, gy)
+        aspect = np.where(
+            sec >= 0,
+            np.array(_ROSE_SECTORS, object)[np.maximum(sec, 0)],
+            "FLAT")
+        return pa.table({"cx": pa.array(cx), "cy": pa.array(cy),
+                         "w": pa.array(own[keep]),
+                         "gx": pa.array(gx), "gy": pa.array(gy),
+                         "steep2": pa.array(gx * gx + gy * gy),
+                         "aspect": pa.array(aspect.astype(object),
+                                            pa.string())})
+
+    out = nb.map_batches(close, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["cx", "cy"]).reset_index(drop=True)

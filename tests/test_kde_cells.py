@@ -54,3 +54,49 @@ def test_single_point_center(ray_session):
     df = pd.DataFrame({"x": [4], "y": [4]})
     got = _run(df, 8)
     assert got.values.tolist() == [[0, 0, 64]]
+
+
+def test_surface_gradient_matches_brute_dense_grid():
+    """Gradient over a hand-built sparse surface: dense-dict brute
+    replay; aspect agrees with the octant of (gx, gy); boundary cells
+    see 0 for absent neighbors; layout-invariant."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cartwright_ray.stages.hotspot import surface_gradient
+    from cartwright_ray.stages.tracks import _ROSE_SECTORS, \
+        _rose_sector
+
+    rng = np.random.default_rng(13)
+    cells = {}
+    for _ in range(200):
+        cells[(int(rng.integers(-6, 7)),
+               int(rng.integers(-6, 7)))] = int(rng.integers(1, 500))
+    df = pd.DataFrame([(x, y, w) for (x, y), w in cells.items()],
+                      columns=["cx", "cy", "kde_w"])
+
+    rows = []
+    for (x, y), w in sorted(cells.items()):
+        gx = cells.get((x + 1, y), 0) - cells.get((x - 1, y), 0)
+        gy = cells.get((x, y + 1), 0) - cells.get((x, y - 1), 0)
+        sec = _rose_sector(np.array([gx]), np.array([gy]))[0]
+        aspect = _ROSE_SECTORS[sec] if sec >= 0 else "FLAT"
+        rows.append((x, y, w, gx, gy, gx * gx + gy * gy, aspect))
+    want = pd.DataFrame(rows, columns=["cx", "cy", "w", "gx", "gy",
+                                       "steep2", "aspect"])
+
+    for blocks in (1, 5):
+        got = surface_gradient(
+            ray.data.from_pandas(df).repartition(blocks))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # a strictly increasing-east ramp has aspect E at every INTERIOR
+    # cell; the last cell faces the implicit-zero edge and falls W
+    ramp = pd.DataFrame({"cx": np.arange(5), "cy": 0,
+                         "kde_w": 10 * (np.arange(5) + 1)})
+    g = surface_gradient(ray.data.from_pandas(ramp))
+    interior = g[g.cx < 4]
+    assert (interior["aspect"] == "E").all() \
+        and (interior["gx"] > 0).all()
+    assert g[g.cx == 4]["aspect"].iloc[0] == "W"
