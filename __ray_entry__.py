@@ -1272,6 +1272,21 @@ def _q_surface_gradient(sf_dir):
     return surface_gradient(surf)
 
 
+def _q_gap_quantiles(sf_dir):
+    """Inter-arrival gap percentiles per event type
+    (stages/gaps.py:gap_quantiles_by_key): µs gaps between one user's
+    consecutive same-type events, Type-1 order-statistic p50/p90/p99
+    via the integer rank ⌈p·n/100⌉ — int64 end to end (no interpolated
+    float inside the rank). One user-keyed sort exchange + one narrow
+    type exchange. Oracle: lag window + row_number rank pick."""
+    import ray.data
+    from cartwright_ray.stages.gaps import gap_quantiles_by_key
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"])
+    return gap_quantiles_by_key(ds)
+
+
 def _q_dwell(sf_dir):
     """Stay-point dwell episodes (stages/tracks.py:dwell_episodes):
     maximal ≥3-ping runs of one user inside one 1° cell — grid-quantized
@@ -3450,6 +3465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_cooccurrence_users": _q_cooccurrence,
         "direction_rose_users": _q_rose,
         "surface_gradient_cells": _q_surface_gradient,
+        "gap_quantiles_by_type": _q_gap_quantiles,
         "bpe_train_docs": _q_bpe_train,
         "bpe_token_counts": _q_bpe_tokens,
         "track_crossings": _q_crossings,
@@ -4926,6 +4942,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN mom ON mom.k = kl.k
             LEFT JOIN lp ON lp.k = kl.k AND lp.lag = kl.lag
             ORDER BY kl.k, kl.lag
+        """,
+        "gap_quantiles_by_type": """
+            WITH g0 AS (
+                SELECT event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS gap
+                FROM events),
+            gaps AS (SELECT event_type, CAST(gap AS BIGINT) AS gap
+                     FROM g0 WHERE gap IS NOT NULL),
+            r AS (SELECT event_type, gap,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY gap) AS rn,
+                         count(*) OVER (PARTITION BY event_type) AS n
+                  FROM gaps)
+            SELECT event_type,
+                   CAST(max(n) AS BIGINT) AS n_gaps,
+                   CAST(max(CASE WHEN rn = (n * 50 + 99) // 100
+                                 THEN gap END) AS BIGINT) AS p50_us,
+                   CAST(max(CASE WHEN rn = (n * 90 + 99) // 100
+                                 THEN gap END) AS BIGINT) AS p90_us,
+                   CAST(max(CASE WHEN rn = (n * 99 + 99) // 100
+                                 THEN gap END) AS BIGINT) AS p99_us
+            FROM r GROUP BY event_type ORDER BY event_type
         """,
         "direction_rose_users": """
             WITH tpts AS (

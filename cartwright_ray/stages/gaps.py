@@ -1,0 +1,84 @@
+"""Inter-arrival gap quantiles — the latency/cadence diagnostic of an
+event pipeline: per event type, exact order-statistic percentiles of
+the µs gaps between one user's consecutive events OF THAT TYPE.
+
+Quantiles are Type-1 (inverted-CDF) ORDER STATISTICS — rank
+⌈q·n⌉ of the sorted gaps — so every output is an exact int64 drawn
+from the data (the linear-interpolation variant would put a float
+multiply inside the rank computation, where engines disagree in the
+last ulp; the rank formula (n·p + 99) // 100 is pure integer and the
+DuckDB row_number replay is bit-exact).
+
+Scale shape: ONE sort exchange on the user key (gaps need within-user
+order; the in-block (user, type, ts, id) lexsort and masked diff are
+one numpy pass for ALL users), then ONE hash exchange of the narrow
+(type, gap) rows to co-locate each type for the sorted rank pick. For
+100-TB gap columns the pick stage swaps to a distributed KLL/t-digest
+sketch — the documented ``value_quantiles_by_type`` boundary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+PCTS = (50, 90, 99)
+
+
+def gap_quantiles_by_key(ds, key_col: str = "event_type",
+                         entity_col: str = "user_id",
+                         ts_col: str = "ts",
+                         id_col: str = "event_id") -> pd.DataFrame:
+    """→ pandas (key, n_gaps, p50_us, p90_us, p99_us), all int64."""
+    from .partition import hash_partitioned
+
+    gap_schema = pa.schema([pa.field(key_col, pa.string()),
+                            pa.field("gap", pa.int64())])
+
+    def gap_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return gap_schema.empty_table()
+        u = np.asarray(t[entity_col], np.int64)
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        ts = np.asarray(t[ts_col].cast(pa.timestamp("us"))
+                        .cast(pa.int64()), np.int64)
+        eid = np.asarray(t[id_col], np.int64)
+        order = np.lexsort((eid, ts, k, u))
+        u, k, ts = u[order], k[order], ts[order]
+        same = (u[1:] == u[:-1]) & (k[1:] == k[:-1])
+        return pa.table({key_col: pa.array(k[1:][same], pa.string()),
+                         "gap": pa.array(np.diff(ts)[same])})
+
+    gaps = (ds.sort(entity_col)
+            .map_batches(gap_kernel, batch_format="pyarrow",
+                         batch_size=None))
+
+    parted = hash_partitioned(gaps, [key_col])
+    cols = [key_col, "n_gaps"] + [f"p{p}_us" for p in PCTS]
+    if parted is None:
+        return pd.DataFrame(columns=cols)
+
+    out_schema = pa.schema([pa.field(key_col, pa.string())] + [
+        pa.field(c, pa.int64()) for c in cols[1:]])
+
+    def pick_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        g = np.asarray(t["gap"], np.int64)
+        order = np.lexsort((g, k))
+        k, g = k[order], g[order]
+        new = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(new)
+        n = np.r_[starts[1:], len(k)] - starts
+        data = {key_col: pa.array(k[starts], pa.string()),
+                "n_gaps": pa.array(n)}
+        for p in PCTS:
+            idx = starts + (n * p + 99) // 100 - 1   # rank ⌈p·n/100⌉
+            data[f"p{p}_us"] = pa.array(g[idx])
+        return pa.table(data)
+
+    out = parted.map_batches(pick_kernel, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    return out.sort_values(key_col).reset_index(drop=True)

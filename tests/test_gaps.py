@@ -1,0 +1,52 @@
+"""gap_quantiles_by_key — brute order-statistic differential."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from cartwright_ray.stages.gaps import gap_quantiles_by_key
+
+
+def test_matches_brute_rank_pick():
+    rng = np.random.default_rng(27)
+    n = 2000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 30, n),
+        "event_type": rng.choice(list("xyz"), n),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "event_id": np.arange(n)})
+
+    gaps = {}
+    for (u, k), g in df.groupby(["user_id", "event_type"]):
+        ts = g.sort_values(["ts", "event_id"])["ts"] \
+            .astype("int64").to_numpy()  # ns
+        for d in np.diff(ts) // 1000:    # µs
+            gaps.setdefault(k, []).append(int(d))
+    rows = []
+    for k in sorted(gaps):
+        g = np.sort(gaps[k])
+        nn = len(g)
+        pick = lambda p: int(g[(nn * p + 99) // 100 - 1])
+        rows.append((k, nn, pick(50), pick(90), pick(99)))
+    want = pd.DataFrame(rows, columns=["event_type", "n_gaps",
+                                       "p50_us", "p90_us", "p99_us"])
+
+    for blocks in (1, 6):
+        got = gap_quantiles_by_key(
+            ray.data.from_pandas(df).repartition(blocks))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # monotone and in-data invariants
+    assert (want.p50_us <= want.p90_us).all()
+    assert (want.p90_us <= want.p99_us).all()
+
+
+def test_single_event_users_produce_no_gaps():
+    df = pd.DataFrame({
+        "user_id": [1, 2, 3],
+        "event_type": ["a", "a", "a"],
+        "ts": pd.to_datetime([1, 2, 3], unit="s"),
+        "event_id": [1, 2, 3]})
+    got = gap_quantiles_by_key(ray.data.from_pandas(df))
+    assert len(got) == 0
