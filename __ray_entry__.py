@@ -1287,6 +1287,17 @@ def _q_gap_quantiles(sf_dir):
     return gap_quantiles_by_key(ds)
 
 
+def _q_distance_transform(sf_dir):
+    """Banded raster distance transform
+    (stages/hotspot.py:distance_transform_cells): min squared cell
+    distance to the nearest occupied 1° cell within Chebyshev radius 3
+    — occupied-cell combiner, 49-offset scatter, ONE min-aggregate
+    groupby, int64 throughout. Oracle: generate_series offsets + min."""
+    from cartwright_ray.pipelines.relational import derived_track_points
+    from cartwright_ray.stages.hotspot import distance_transform_cells
+    return distance_transform_cells(derived_track_points(sf_dir))
+
+
 def _q_dwell(sf_dir):
     """Stay-point dwell episodes (stages/tracks.py:dwell_episodes):
     maximal ≥3-ping runs of one user inside one 1° cell — grid-quantized
@@ -3466,6 +3477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "direction_rose_users": _q_rose,
         "surface_gradient_cells": _q_surface_gradient,
         "gap_quantiles_by_type": _q_gap_quantiles,
+        "distance_transform_cells": _q_distance_transform,
         "bpe_train_docs": _q_bpe_train,
         "bpe_token_counts": _q_bpe_tokens,
         "track_crossings": _q_crossings,
@@ -4942,6 +4954,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN mom ON mom.k = kl.k
             LEFT JOIN lp ON lp.k = kl.k AND lp.lag = kl.lag
             ORDER BY kl.k, kl.lag
+        """,
+        "distance_transform_cells": """
+            WITH tpts AS (
+                SELECT CAST((user_id * 13 % 120) - 60.0
+                            + (event_id * 7 % 19) * 0.125
+                            + CASE WHEN event_id % 11 = 0 THEN 15.0
+                                   ELSE 0.0 END AS DOUBLE) AS lat,
+                       CAST((user_id * 29 % 300) - 150.0
+                            + (event_id * 3 % 23) * 0.125 AS DOUBLE) AS lon
+                FROM events),
+            cells AS (
+                SELECT DISTINCT CAST(floor(lon) AS BIGINT) AS cx,
+                                CAST(floor(lat) AS BIGINT) AS cy
+                FROM tpts),
+            offs AS (
+                SELECT dx.d AS dx, dy.d AS dy
+                FROM (SELECT unnest(generate_series(-3, 3)) AS d) dx,
+                     (SELECT unnest(generate_series(-3, 3)) AS d) dy)
+            SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy,
+                   CAST(min(o.dx * o.dx + o.dy * o.dy) AS BIGINT)
+                       AS d2min
+            FROM cells c CROSS JOIN offs o
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "gap_quantiles_by_type": """
             WITH g0 AS (

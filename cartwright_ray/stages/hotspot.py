@@ -931,3 +931,54 @@ def surface_gradient(cells_ds, val_col: str = "kde_w"):
 
     out = nb.map_batches(close, batch_format="pyarrow").to_pandas()
     return out.sort_values(["cx", "cy"]).reset_index(drop=True)
+
+
+def distance_transform_cells(ds, radius: int = 3,
+                             lat_col: str = "lat",
+                             lon_col: str = "lon"):
+    """Bounded distance transform of the occupied-cell grid — for every
+    cell within Chebyshev ``radius`` of an occupied 1° cell, the MIN
+    squared cell distance to the nearest occupied cell (0 at occupied
+    cells themselves). The raster proximity operator (buffer /
+    cost-surface seed); beyond the radius the transform is truncated —
+    the standard banded form at scale, since an unbounded transform
+    needs iterative sweeps.
+
+    Scale shape: per-block occupied-cell partials (combiner) → one
+    cell groupby → each occupied cell scatters (2r+1)² rows carrying
+    dx²+dy² → ONE cell-keyed groupby with a MIN aggregate. Shuffle
+    volume (2r+1)²·|occupied|, all int64 — the DuckDB replay
+    (generate_series offsets + min) is bit-exact.
+
+    → pandas (cx, cy, d2min) sorted."""
+    import functools
+
+    from ray.data.aggregate import Min, Sum
+
+    r = int(radius)
+    cells = (ds.map_batches(
+                 functools.partial(_cells_partial, lat_col=lat_col,
+                                   lon_col=lon_col),
+                 batch_format="pyarrow")
+             .groupby(["cx", "cy"])
+             .aggregate(Sum("x", alias_name="x")))
+
+    offs = [(dx, dy) for dx in range(-r, r + 1)
+            for dy in range(-r, r + 1)]
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cx = np.asarray(t["cx"], np.int64)
+        cy = np.asarray(t["cy"], np.int64)
+        outs = []
+        for dx, dy in offs:
+            outs.append(pa.table({
+                "cx": pa.array(cx + dx), "cy": pa.array(cy + dy),
+                "d2": pa.array(np.full(len(cx),
+                                       dx * dx + dy * dy, np.int64))}))
+        return pa.concat_tables(outs)
+
+    out = (cells.map_batches(scatter, batch_format="pyarrow")
+           .groupby(["cx", "cy"])
+           .aggregate(Min("d2", alias_name="d2min"))
+           .to_pandas())
+    return out.sort_values(["cx", "cy"]).reset_index(drop=True)

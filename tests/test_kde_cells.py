@@ -100,3 +100,38 @@ def test_surface_gradient_matches_brute_dense_grid():
     assert (interior["aspect"] == "E").all() \
         and (interior["gx"] > 0).all()
     assert g[g.cx == 4]["aspect"].iloc[0] == "W"
+
+
+def test_distance_transform_matches_brute():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cartwright_ray.stages.hotspot import distance_transform_cells
+
+    rng = np.random.default_rng(29)
+    lat = rng.integers(-10, 11, 400) + 0.5
+    lon = rng.integers(-10, 11, 400) + 0.5
+    df = pd.DataFrame({"lat": lat.astype(float),
+                       "lon": lon.astype(float)})
+
+    occ = set(zip(np.floor(lon).astype(int), np.floor(lat).astype(int)))
+    want = {}
+    for (x, y) in occ:
+        for dx in range(-3, 4):
+            for dy in range(-3, 4):
+                key = (x + dx, y + dy)
+                d2 = dx * dx + dy * dy
+                want[key] = min(want.get(key, 99), d2)
+    want = pd.DataFrame([(x, y, d) for (x, y), d in sorted(want.items())],
+                        columns=["cx", "cy", "d2min"])
+
+    for blocks in (1, 5):
+        got = distance_transform_cells(
+            ray.data.from_pandas(df).repartition(blocks))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # occupied cells are exactly the zero set
+    zero = set(map(tuple, got[got.d2min == 0][["cx", "cy"]]
+                   .to_numpy()))
+    assert zero == occ
