@@ -1298,6 +1298,18 @@ def _q_distance_transform(sf_dir):
     return distance_transform_cells(derived_track_points(sf_dir))
 
 
+def _q_rasterize(sf_dir):
+    """Polygon rasterization (joins/rasterize.py): the admin polygons
+    burned into a 0.5° global grid by center-in-polygon — the cell
+    grid is the distributed side (ray.data.range lineage), polygons
+    broadcast through the shared PolygonIndex cache; centers are exact
+    binary fractions so the oracle's crossing test is the same IEEE
+    arithmetic as pip_join_counts."""
+    from cartwright_ray.joins.rasterize import rasterize_polygons
+    from cartwright_ray.sources.synth import ADMIN_POLYGONS
+    return rasterize_polygons(ADMIN_POLYGONS, cells_per_deg=2)
+
+
 def _q_dwell(sf_dir):
     """Stay-point dwell episodes (stages/tracks.py:dwell_episodes):
     maximal ≥3-ping runs of one user inside one 1° cell — grid-quantized
@@ -3478,6 +3490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "surface_gradient_cells": _q_surface_gradient,
         "gap_quantiles_by_type": _q_gap_quantiles,
         "distance_transform_cells": _q_distance_transform,
+        "rasterize_admin_polygons": _q_rasterize,
         "bpe_train_docs": _q_bpe_train,
         "bpe_token_counts": _q_bpe_tokens,
         "track_crossings": _q_crossings,
@@ -6074,6 +6087,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, lat, lon FROM pts
             WHERE lat >= 10 AND lat <= 40 AND lon >= -30 AND lon <= 20
             ORDER BY vec_id
+        """,
+        "rasterize_admin_polygons": f"""
+            WITH grid AS (
+                SELECT i % 720 - 360 AS cx, i // 720 - 180 AS cy
+                FROM (SELECT unnest(generate_series(0, 720 * 360 - 1))
+                      AS i)),
+            centers AS (
+                SELECT cx, cy, cy / 2.0 + 0.25 AS lat,
+                       cx / 2.0 + 0.25 AS lon
+                FROM grid),
+            {_pip_edges_values()},
+            inside AS (
+                SELECT c.cx, c.cy, e.pidx, e.admin_id
+                FROM centers c JOIN edges e
+                  ON ((e.yi > c.lat) <> (e.yj > c.lat))
+                 AND c.lon < (e.xj - e.xi) * (c.lat - e.yi)
+                     / (e.yj - e.yi) + e.xi
+                GROUP BY c.cx, c.cy, e.pidx, e.admin_id
+                HAVING count(*) % 2 = 1)
+            SELECT DISTINCT admin_id, cx, cy
+            FROM inside ORDER BY admin_id, cx, cy
         """,
         "pip_join_counts": f"""
             WITH pts AS (
