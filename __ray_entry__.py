@@ -1310,6 +1310,36 @@ def _q_rasterize(sf_dir):
     return rasterize_polygons(ADMIN_POLYGONS, cells_per_deg=2)
 
 
+def _q_zonal_mode(sf_dir):
+    """Zonal majority (stages/geofence.py:zonal_mode): modal event
+    type per admin zone off the broadcast PIP assign — per-block
+    count partials, one narrow (zone, cat) groupby, driver argmax on
+    the dimension-sized table with the deterministic smaller-string
+    tie-break. Oracle: PIP edges CTE + row_number."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from cartwright_ray.sources.synth import ADMIN_POLYGONS
+    from cartwright_ray.stages.geofence import zonal_mode
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        e = np.asarray(t["event_id"], np.int64)
+        u = np.asarray(t["user_id"], np.int64)
+        lat = ((u * 13 % 120) - 60.0 + (e * 7 % 19) * 0.125
+               + np.where(e % 11 == 0, 15.0, 0.0))
+        lon = (u * 29 % 300) - 150.0 + (e * 3 % 23) * 0.125
+        t = t.append_column("lat", pa.array(lat, pa.float64()))
+        return t.append_column("lon", pa.array(lon, pa.float64()))
+
+    return zonal_mode(ds.map_batches(derive, batch_format="pyarrow"),
+                      ADMIN_POLYGONS)
+
+
 def _q_dwell(sf_dir):
     """Stay-point dwell episodes (stages/tracks.py:dwell_episodes):
     maximal ≥3-ping runs of one user inside one 1° cell — grid-quantized
@@ -3491,6 +3521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_quantiles_by_type": _q_gap_quantiles,
         "distance_transform_cells": _q_distance_transform,
         "rasterize_admin_polygons": _q_rasterize,
+        "zonal_mode_admin": _q_zonal_mode,
         "bpe_train_docs": _q_bpe_train,
         "bpe_token_counts": _q_bpe_tokens,
         "track_crossings": _q_crossings,
@@ -4647,6 +4678,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_intervals
             FROM seq WHERE dur IS NOT NULL
             GROUP BY zone ORDER BY zone
+        """,
+        "zonal_mode_admin": f"""
+            WITH tpts AS (
+                SELECT user_id, event_id, event_type,
+                       CAST((user_id * 13 % 120) - 60.0
+                            + (event_id * 7 % 19) * 0.125
+                            + CASE WHEN event_id % 11 = 0 THEN 15.0
+                                   ELSE 0.0 END AS DOUBLE) AS lat,
+                       CAST((user_id * 29 % 300) - 150.0
+                            + (event_id * 3 % 23) * 0.125 AS DOUBLE) AS lon
+                FROM events),
+            {_pip_edges_values()},
+            inside AS (
+                SELECT p.user_id, p.event_id, e.pidx, e.admin_id
+                FROM tpts p CROSS JOIN edges e
+                WHERE ((e.yi > p.lat) <> (e.yj > p.lat))
+                  AND p.lon < (e.xj - e.xi) * (p.lat - e.yi)
+                      / (e.yj - e.yi) + e.xi
+                GROUP BY p.user_id, p.event_id, e.pidx, e.admin_id
+                HAVING count(*) % 2 = 1),
+            zoned AS (
+                SELECT t.event_type,
+                       coalesce(min(i.admin_id), 'none') AS zone
+                FROM tpts t LEFT JOIN inside i
+                  ON t.user_id = i.user_id AND t.event_id = i.event_id
+                GROUP BY t.user_id, t.event_id, t.event_type),
+            counts AS (
+                SELECT zone, event_type AS cat,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM zoned GROUP BY zone, event_type),
+            ranked AS (
+                SELECT zone, cat, n,
+                       CAST(sum(n) OVER (PARTITION BY zone)
+                            AS BIGINT) AS n_total,
+                       row_number() OVER (PARTITION BY zone
+                                          ORDER BY n DESC, cat) AS rn
+                FROM counts)
+            SELECT zone, cat AS mode_cat, n AS n_mode, n_total
+            FROM ranked WHERE rn = 1 ORDER BY zone
         """,
         "retention_cohorts": """
             WITH pres AS (

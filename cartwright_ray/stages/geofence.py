@@ -196,3 +196,52 @@ def od_matrix(points_ds, polygons: list[dict],
     return (trans.map_batches(partial, batch_format="pyarrow")
             .groupby(["from_zone", "to_zone"])
             .aggregate(Sum("n_trips", alias_name="n_trips")))
+
+
+def zonal_mode(points_ds, polygons: list[dict],
+               cat_col: str = "event_type",
+               lat_col: str = "lat", lon_col: str = "lon"):
+    """Zonal MAJORITY — the categorical zonal statistic: for every zone
+    (admin polygon, plus the ``"none"`` outside-sentinel), the modal
+    category of the points it contains, ties broken by the smaller
+    category string (the deterministic GIS majority-filter rule).
+
+    Scale shape: the broadcast PIP zone assign of
+    :func:`assign_zones` (nothing corpus-sized moves), per-block
+    (zone, category) count partials, one narrow groupby — the
+    (zones × categories) table is dimension-sized, so the closing
+    argmax is a driver frame op (the ``od_matrix`` precedent).
+
+    → pandas (zone, mode_cat, n_mode, n_total) sorted by zone."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    assigned = assign_zones(points_ds, polygons,
+                            lat_col=lat_col, lon_col=lon_col)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "zone": t["zone"].to_numpy(zero_copy_only=False),
+            "cat": t[cat_col].to_numpy(zero_copy_only=False),
+            "n": 1})
+        g = df.groupby(["zone", "cat"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (assigned.map_batches(partial, batch_format="pyarrow")
+              .groupby(["zone", "cat"])
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    if counts.empty:
+        return pd.DataFrame({"zone": pd.Series(dtype=object),
+                             "mode_cat": pd.Series(dtype=object),
+                             "n_mode": pd.Series(dtype="int64"),
+                             "n_total": pd.Series(dtype="int64")})
+    counts = counts.sort_values(["zone", "n", "cat"],
+                                ascending=[True, False, True])
+    top = counts.groupby("zone", sort=True).first().reset_index()
+    tot = counts.groupby("zone", sort=True)["n"].sum().reset_index(
+        name="n_total")
+    out = top.merge(tot, on="zone").rename(
+        columns={"cat": "mode_cat", "n": "n_mode"})
+    return out[["zone", "mode_cat", "n_mode", "n_total"]] \
+        .reset_index(drop=True)

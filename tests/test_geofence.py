@@ -217,3 +217,38 @@ def test_zone_dwell_time_matches_brute():
         got = (zone_dwell_time(ds, poly).to_pandas()
                .sort_values("zone").reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_zonal_mode_matches_brute_with_ties():
+    """Majority per zone with the smaller-string tie-break; 'none'
+    bucket carries out-of-polygon points."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cartwright_ray.stages.geofence import zonal_mode
+
+    polys = [
+        {"admin_id": "Z0", "name": "a",
+         "ring_lat": [0.0, 0.0, 10.0, 10.0],
+         "ring_lon": [0.0, 10.0, 10.0, 0.0]},
+        {"admin_id": "Z1", "name": "b",
+         "ring_lat": [0.0, 0.0, 10.0, 10.0],
+         "ring_lon": [20.0, 30.0, 30.0, 20.0]},
+    ]
+    rows = []
+    # Z0: 3 "x", 3 "y" (tie -> "x"); Z1: 2 "y" 1 "x"; outside: "z"
+    for i in range(3):
+        rows.append((5.0 + i * 0.1, 5.0, "x"))
+        rows.append((2.0 + i * 0.1, 3.0, "y"))
+    rows += [(5.0, 25.0, "y"), (6.0, 25.0, "y"), (7.0, 25.0, "x")]
+    rows += [(50.0, 50.0, "z"), (51.0, 50.0, "z")]
+    df = pd.DataFrame(rows, columns=["lat", "lon", "event_type"])
+
+    want = pd.DataFrame(
+        [("Z0", "x", 3, 6), ("Z1", "y", 2, 3), ("none", "z", 2, 2)],
+        columns=["zone", "mode_cat", "n_mode", "n_total"])
+    for blocks in (1, 4):
+        got = zonal_mode(ray.data.from_pandas(df).repartition(blocks),
+                         polys)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
