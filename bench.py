@@ -170,7 +170,16 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "cusum_change_points", "dup_gram_spans_docs",
              "pii_redact_docs", "convoy_pairs_users",
              "semivariogram_points", "snap_to_roads",
-             "kde_heatmap_cells", "knox_space_time", "track_clusters"]
+             "kde_heatmap_cells", "knox_space_time", "track_clusters",
+             # round-5 session-2 additions
+             "gearys_c_cells", "local_morans_cells",
+             "q3_shipping_priority", "q5_local_supplier_volume",
+             "track_sinuosity_users", "voronoi_site_counts",
+             "acf_daily_by_type", "link_prediction_docs",
+             "type_cooccurrence_users", "direction_rose_users",
+             "surface_gradient_cells", "gap_quantiles_by_type",
+             "distance_transform_cells", "rasterize_admin_polygons",
+             "zonal_mode_admin"]
     out = {}
     for name in picks:
         t0 = time.time()
