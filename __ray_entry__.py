@@ -867,6 +867,42 @@ def _q_cooccurrence(sf_dir):
     return cooccurrence(ds)
 
 
+def _q_sssp(sf_dir, plan="auto", iters=4):
+    """Bounded Bellman-Ford (stages/bfs.py:sssp_bounded): integer-
+    weighted shortest paths, exactly ``iters`` min-plus rounds with a
+    CHANGED-set frontier (lossless under min-idempotence — the queue
+    optimization); weights w = (src+dst)%7+1. Oracle: unrolled rounds
+    joining the FULL d_t table, the bfs_hops precedent."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cartwright_ray.stages.bfs import sssp_bounded
+
+    docs = _docs(sf_dir, columns=("doc_id",))
+    n = docs.count()
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        d = np.repeat(np.asarray(t["doc_id"], np.int64), 3)
+        kk = np.tile(np.arange(3, dtype=np.int64), t.num_rows)
+        dst = (d * 7 + 13 * kk) % n
+        keep = dst != d
+        d, dst = d[keep], dst[keep]
+        src2 = np.concatenate([d, dst])
+        dst2 = np.concatenate([dst, d])
+        return pa.table({"src": pa.array(src2),
+                         "dst": pa.array(dst2),
+                         "w": pa.array((src2 + dst2) % 7 + 1)})
+
+    def mk_seeds(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["doc_id"], np.int64)
+        return pa.table({"node": pa.array(d[d % 97 == 0])})
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    seeds = docs.map_batches(mk_seeds, batch_format="pyarrow")
+    out = sssp_bounded(edges, seeds, iters=iters, plan=plan)
+    return out.to_pandas()
+
+
 def _q_clustering_coeff(sf_dir):
     """Local clustering coefficient per node (stages/triangles.py:
     clustering_coefficient) over the undirected synthetic link graph:
@@ -3522,6 +3558,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distance_transform_cells": _q_distance_transform,
         "rasterize_admin_polygons": _q_rasterize,
         "zonal_mode_admin": _q_zonal_mode,
+        "sssp_bounded_docs": _q_sssp,
+        "sssp_bounded_docs_shuffle": lambda sf: _q_sssp(
+            sf, plan="shuffle", iters=2),
         "bpe_train_docs": _q_bpe_train,
         "bpe_token_counts": _q_bpe_tokens,
         "track_crossings": _q_crossings,
@@ -7563,6 +7602,38 @@ def oracle_sql() -> dict[str, str]:
 
     out["bfs_hops_docs"] = _bfs_sql(4)
     out["bfs_hops_docs_shuffle"] = _bfs_sql(2)
+
+    # sssp_bounded_docs: unrolled WEIGHTED min-plus rounds
+    # (stages/bfs.py:sssp_bounded is the spec) — full-table joins; the
+    # engine's changed-set frontier is provably identical.
+    def _sssp_sql(iters: int) -> str:
+        parts = ["""
+        WITH n AS (SELECT count(*) AS n FROM documents),
+        e0 AS (SELECT doc_id AS src,
+                      (doc_id * 7 + 13 * i) % (SELECT n FROM n) AS dst
+               FROM documents, (VALUES (0), (1), (2)) t(i)),
+        e AS (SELECT src, dst, (src + dst) % 7 + 1 AS w
+              FROM e0 WHERE src <> dst
+              UNION ALL
+              SELECT dst, src, (src + dst) % 7 + 1 AS w
+              FROM e0 WHERE src <> dst),
+        d0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist
+               FROM documents WHERE doc_id % 97 = 0)"""]
+        for it in range(1, iters + 1):
+            parts.append(f""",
+        d{it} AS (SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d{it - 1}
+                UNION ALL
+                SELECT e.dst AS node, d{it - 1}.dist + e.w AS dist
+                FROM e JOIN d{it - 1} ON e.src = d{it - 1}.node)
+            GROUP BY node)""")
+        parts.append(f"""
+        SELECT node, CAST(dist AS BIGINT) AS dist
+        FROM d{iters} ORDER BY node""")
+        return "".join(parts)
+
+    out["sssp_bounded_docs"] = _sssp_sql(4)
+    out["sssp_bounded_docs_shuffle"] = _sssp_sql(2)
 
     # kcore_docs: unrolled synchronous peels (stages/kcore.py is the
     # spec) — degree-HAVING node filter + double semi-join per round.

@@ -36,6 +36,7 @@ Two plans, mirroring ``stages/pagerank.pagerank``'s row-bound switch:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 
@@ -145,6 +146,148 @@ def _bfs_shuffle(edges, seeds, iters, src_col, dst_col, node_col):
         if clean is None:
             break
         frontier = clean
+
+    out = dist_ds.sort(src_col).to_pandas()
+    return pa.table({node_col: pa.array(out[src_col].to_numpy(np.int64)),
+                     "dist": pa.array(out["dist"].to_numpy(np.int64))})
+
+
+_SSSP_BIG = np.int64(1) << 60          # +inf sentinel for old-dist min
+
+
+def sssp_bounded(edges, seeds, iters: int = 4,
+                 src_col: str = "src", dst_col: str = "dst",
+                 w_col: str = "w", node_col: str = "node",
+                 plan: str = "auto",
+                 broadcast_rows: int = 2_000_000) -> pa.Table:
+    """Bounded Bellman-Ford — single/multi-source shortest paths with
+    INTEGER edge weights, exactly ``iters`` min-plus relaxation rounds:
+
+        d_{t+1}(v) = min(d_t(v), min_{(u,v,w)} d_t(u) + w)
+
+    The weighted sibling of :func:`bfs_hops` (distances can IMPROVE in
+    later rounds, so the frontier is the CHANGED set each round — a
+    node whose dist didn't change relaxed the same edges to the same
+    values before, so skipping it is provably lossless, the classic
+    Bellman-Ford queue optimization). All dists are int64 under min —
+    bit-exact against the unrolled full-table SQL replay.
+
+    Plans mirror bfs_hops: ``broadcast`` ships the changed (id, dist)
+    arrays per round via ``ray.put``; ``shuffle`` joins the edge table
+    with the narrow changed-row table (``equi_join_shuffle``) and
+    folds via a tagged two-Min groupby (min over all candidates vs min
+    over previous rows) so changed detection needs no anti-join.
+
+    → pa.Table (node, dist) for nodes within ``iters`` relaxations."""
+    if plan == "auto":
+        plan = ("broadcast" if seeds.count() <= broadcast_rows
+                else "shuffle")
+    if plan == "broadcast":
+        return _sssp_broadcast(edges, seeds, iters, src_col, dst_col,
+                               w_col, node_col)
+    return _sssp_shuffle(edges, seeds, iters, src_col, dst_col, w_col,
+                         node_col)
+
+
+def _sssp_broadcast(edges, seeds, iters, src_col, dst_col, w_col,
+                    node_col):
+    import ray
+    from ray.data.aggregate import Min
+
+    from .partition import drop_empty_blocks
+
+    dist = {}
+    front_ids = _seed_ids(seeds, node_col)
+    front_d = np.zeros(len(front_ids), np.int64)
+    for n in front_ids:
+        dist[int(n)] = 0
+
+    for _ in range(iters):
+        if len(front_ids) == 0:
+            break
+        order = np.argsort(front_ids)
+        f_ref = ray.put((front_ids[order], front_d[order]))
+
+        def relax(tb: pa.Table, _f=f_ref) -> pa.Table:
+            fid, fd = ray.get(_f)
+            src = np.asarray(tb[src_col], np.int64)
+            pos = np.searchsorted(fid, src)
+            pos[pos >= len(fid)] = 0
+            hit = fid[pos] == src
+            dst = np.asarray(tb[dst_col], np.int64)[hit]
+            cand = fd[pos[hit]] + np.asarray(tb[w_col], np.int64)[hit]
+            if not len(dst):
+                return pa.table({"n": pa.array([], pa.int64()),
+                                 "d": pa.array([], pa.int64())})
+            df = pd.DataFrame({"n": dst, "d": cand})
+            g = df.groupby("n", sort=False).min().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        cand = drop_empty_blocks(
+            edges.map_batches(relax, batch_format="pyarrow"))
+        if cand is None:
+            break
+        new = (cand.groupby("n").aggregate(Min("d", alias_name="d"))
+               .to_pandas())
+        ids, ds = [], []
+        for v, d in zip(new["n"].to_numpy(np.int64),
+                        new["d"].to_numpy(np.int64)):
+            if dist.get(int(v), int(_SSSP_BIG)) > d:
+                dist[int(v)] = int(d)
+                ids.append(int(v))
+                ds.append(int(d))
+        front_ids = np.array(ids, np.int64)
+        front_d = np.array(ds, np.int64)
+
+    ks = sorted(dist)
+    return pa.table({node_col: pa.array(ks, pa.int64()),
+                     "dist": pa.array([dist[k] for k in ks],
+                                      pa.int64())})
+
+
+def _sssp_shuffle(edges, seeds, iters, src_col, dst_col, w_col,
+                  node_col):
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from ..joins.equi_join import equi_join_shuffle
+    from .partition import drop_empty_blocks
+
+    seed_ids = _seed_ids(seeds, node_col)
+    dist_ds = ray.data.from_arrow(pa.table({
+        src_col: pa.array(seed_ids),
+        "dist": pa.array(np.zeros(len(seed_ids), np.int64))}))
+    frontier = dist_ds
+
+    for _ in range(iters):
+        hits = equi_join_shuffle(
+            edges.select_columns([src_col, dst_col, w_col]), frontier,
+            on=src_col)
+        cand = hits.map_batches(
+            lambda tb: pa.table({
+                src_col: tb[dst_col].cast(pa.int64()),
+                "dist": pa.array(
+                    np.asarray(tb["dist"], np.int64)
+                    + np.asarray(tb[w_col], np.int64)),
+                # old-dist channel: +inf (candidates are never "old")
+                "old": pa.array(np.full(tb.num_rows, int(_SSSP_BIG),
+                                        np.int64))}),
+            batch_format="pyarrow")
+        tagged_old = dist_ds.map_batches(
+            lambda tb: tb.append_column(
+                "old", tb["dist"].combine_chunks()),
+            batch_format="pyarrow")
+        merged = (tagged_old.union(cand).groupby(src_col)
+                  .aggregate(Min("dist", alias_name="dist"),
+                             Min("old", alias_name="old"))
+                  .materialize())
+        dist_ds = merged.select_columns([src_col, "dist"])
+        changed = drop_empty_blocks(
+            merged.filter(expr="dist < old")
+            .select_columns([src_col, "dist"]))
+        if changed is None:
+            break
+        frontier = changed
 
     out = dist_ds.sort(src_col).to_pandas()
     return pa.table({node_col: pa.array(out[src_col].to_numpy(np.int64)),

@@ -162,3 +162,67 @@ def test_link_prediction_ra_matches_brute():
             ray.data.from_pandas(df).repartition(blocks), k=50)
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want, check_dtype=False)
+
+
+def test_sssp_bounded_matches_brute_both_plans():
+    """Weighted bounded Bellman-Ford: brute full-relaxation replay on a
+    random weighted digraph; both plans identical at any layout; the
+    changed-set frontier must lose nothing when a node's dist improves
+    in a late round."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cartwright_ray.stages.bfs import sssp_bounded
+
+    rng = np.random.default_rng(41)
+    n, m, iters = 80, 400, 4
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.integers(1, 10, m)
+    keep = src != dst
+    src, dst, w = src[keep], dst[keep], w[keep]
+    seeds = np.array([0, 7, 33])
+
+    BIG = 1 << 60
+    d = {int(s): 0 for s in seeds}
+    for _ in range(iters):
+        nd = dict(d)
+        for s, t, ww in zip(src.tolist(), dst.tolist(), w.tolist()):
+            if s in d and d[s] + ww < nd.get(t, BIG):
+                nd[t] = d[s] + ww
+        d = nd
+    want = pd.DataFrame(sorted(d.items()), columns=["node", "dist"])
+
+    edges_df = pd.DataFrame({"src": src, "dst": dst, "w": w})
+    seeds_df = pd.DataFrame({"node": seeds})
+    for plan in ("broadcast", "shuffle"):
+        for blocks in (1, 5):
+            got = sssp_bounded(
+                ray.data.from_pandas(edges_df).repartition(blocks),
+                ray.data.from_pandas(seeds_df), iters=iters,
+                plan=plan).to_pandas()
+            pd.testing.assert_frame_equal(got, want,
+                                          check_dtype=False)
+
+
+def test_sssp_late_improvement_via_changed_frontier():
+    """A path graph where the cheap route arrives later than the
+    expensive direct edge: round 1 sets dist(3)=10 via the direct
+    edge; the 1-weight chain improves it in round 3 — only a correct
+    changed-set frontier propagates the improvement."""
+    import pandas as pd
+    import ray.data
+
+    from cartwright_ray.stages.bfs import sssp_bounded
+
+    edges = pd.DataFrame({
+        "src": [0, 0, 1, 2],
+        "dst": [3, 1, 2, 3],
+        "w": [10, 1, 1, 1]})
+    seeds = pd.DataFrame({"node": [0]})
+    for plan in ("broadcast", "shuffle"):
+        got = sssp_bounded(ray.data.from_pandas(edges),
+                           ray.data.from_pandas(seeds), iters=3,
+                           plan=plan).to_pandas()
+        assert got.set_index("node").loc[3, "dist"] == 3
