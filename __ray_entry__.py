@@ -1376,6 +1376,18 @@ def _q_zonal_mode(sf_dir):
                       ADMIN_POLYGONS)
 
 
+def _q_streak(sf_dir):
+    """Longest consecutive-day activity streak per user
+    (stages/gaps.py:longest_streak_by_entity): distinct-day presence
+    partials, one entity exchange, reduceat run-max kernel — integer
+    gaps-and-islands. Oracle: the bin − row_number islands trick."""
+    import ray.data
+    from cartwright_ray.stages.gaps import longest_streak_by_entity
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return longest_streak_by_entity(ds)
+
+
 def _q_dwell(sf_dir):
     """Stay-point dwell episodes (stages/tracks.py:dwell_episodes):
     maximal ≥3-ping runs of one user inside one 1° cell — grid-quantized
@@ -3559,6 +3571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rasterize_admin_polygons": _q_rasterize,
         "zonal_mode_admin": _q_zonal_mode,
         "sssp_bounded_docs": _q_sssp,
+        "longest_streak_users": _q_streak,
         "sssp_bounded_docs_shuffle": lambda sf: _q_sssp(
             sf, plan="shuffle", iters=2),
         "bpe_train_docs": _q_bpe_train,
@@ -5076,6 +5089,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN mom ON mom.k = kl.k
             LEFT JOIN lp ON lp.k = kl.k AND lp.lag = kl.lag
             ORDER BY kl.k, kl.lag
+        """,
+        "longest_streak_users": """
+            WITH pres AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS b
+                FROM events),
+            isl AS (
+                SELECT user_id, b,
+                       b - row_number() OVER (PARTITION BY user_id
+                                              ORDER BY b) AS grp
+                FROM pres),
+            runs AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS run_len
+                FROM isl GROUP BY user_id, grp)
+            SELECT r.user_id,
+                   CAST(p.n AS BIGINT) AS n_active_bins,
+                   CAST(max(r.run_len) AS BIGINT) AS longest_streak
+            FROM runs r
+            JOIN (SELECT user_id, count(*) AS n FROM pres
+                  GROUP BY user_id) p USING (user_id)
+            GROUP BY r.user_id, p.n
+            ORDER BY r.user_id
         """,
         "distance_transform_cells": """
             WITH tpts AS (

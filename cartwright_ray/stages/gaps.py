@@ -82,3 +82,72 @@ def gap_quantiles_by_key(ds, key_col: str = "event_type",
     out = parted.map_batches(pick_kernel, batch_format="pyarrow",
                              batch_size=None).to_pandas()
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def longest_streak_by_entity(ds, entity_col: str = "user_id",
+                             ts_col: str = "ts",
+                             bin_us: int = 86_400_000_000
+                             ) -> pd.DataFrame:
+    """Longest run of CONSECUTIVE active bins (days) per entity — the
+    engagement-streak metric, the gaps-and-islands pattern over a
+    distinct-bin presence table.
+
+    Scale shape: per-block DISTINCT (entity, bin) partials → one
+    groupby dedup → ONE entity-keyed hash exchange → whole-block
+    kernel: per-entity sorted bins, run boundaries where Δbin ≠ 1,
+    max run via ``np.maximum.reduceat`` over run lengths — one numpy
+    pass for ALL entities in the block. Integer end to end; the
+    DuckDB replay is the classic bin − row_number() islands trick.
+
+    → pandas (entity, n_active_bins, longest_streak) sorted."""
+    from ray.data.aggregate import Count
+
+    from .partition import hash_partitioned
+
+    def pres_partial(t: pa.Table) -> pa.Table:
+        u = np.asarray(t[entity_col], np.int64)
+        ts = np.asarray(t[ts_col].cast(pa.timestamp("us"))
+                        .cast(pa.int64()), np.int64)
+        df = pd.DataFrame({"e": u, "b": ts // bin_us}).drop_duplicates()
+        return pa.table({"e": pa.array(df["e"], pa.int64()),
+                         "b": pa.array(df["b"], pa.int64())})
+
+    pres = (ds.map_batches(pres_partial, batch_format="pyarrow")
+            .groupby(["e", "b"])
+            .aggregate(Count(alias_name="_c"))
+            .select_columns(["e", "b"]))
+
+    parted = hash_partitioned(pres, ["e"])
+    cols = [entity_col, "n_active_bins", "longest_streak"]
+    if parted is None:
+        return pd.DataFrame(columns=cols)
+
+    out_schema = pa.schema([pa.field(c, pa.int64()) for c in cols])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        e = np.asarray(t["e"], np.int64)
+        b = np.asarray(t["b"], np.int64)
+        order = np.lexsort((b, e))
+        e, b = e[order], b[order]
+        ent_starts = np.flatnonzero(np.r_[True, e[1:] != e[:-1]])
+        ent_ends = np.r_[ent_starts[1:], len(e)]
+        # run starts: new entity OR a day gap
+        run_start = np.r_[True, (e[1:] != e[:-1]) | (np.diff(b) != 1)]
+        starts = np.flatnonzero(run_start)
+        run_len = np.diff(np.r_[starts, len(e)])
+        # per entity: max over its runs (runs are contiguous segments
+        # of the starts array — map each run to its entity)
+        run_ent = e[starts]
+        ent_of_run_start = np.flatnonzero(
+            np.r_[True, run_ent[1:] != run_ent[:-1]])
+        longest = np.maximum.reduceat(run_len, ent_of_run_start)
+        return pa.table({
+            entity_col: pa.array(run_ent[ent_of_run_start]),
+            "n_active_bins": pa.array(ent_ends - ent_starts),
+            "longest_streak": pa.array(longest)})
+
+    out = parted.map_batches(kernel, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    return out.sort_values(entity_col).reset_index(drop=True)

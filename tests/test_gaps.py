@@ -50,3 +50,41 @@ def test_single_event_users_produce_no_gaps():
         "event_id": [1, 2, 3]})
     got = gap_quantiles_by_key(ray.data.from_pandas(df))
     assert len(got) == 0
+
+
+def test_longest_streak_matches_brute():
+    from cartwright_ray.stages.gaps import longest_streak_by_entity
+
+    rng = np.random.default_rng(33)
+    rows = []
+    for u in range(40):
+        days = np.unique(rng.integers(0, 40,
+                                      int(rng.integers(1, 30))))
+        for d in days:
+            # several events per day: dedup must collapse them
+            for _ in range(int(rng.integers(1, 3))):
+                rows.append((u, int(d) * 86400
+                             + int(rng.integers(0, 86400))))
+    df = pd.DataFrame(rows, columns=["user_id", "sec"])
+    df["ts"] = pd.to_datetime(df["sec"], unit="s")
+
+    def brute(days):
+        days = np.unique(days)
+        best = run = 1
+        for i in range(1, len(days)):
+            run = run + 1 if days[i] == days[i - 1] + 1 else 1
+            best = max(best, run)
+        return len(days), best
+
+    want = []
+    for u, g in df.groupby("user_id"):
+        n, best = brute((g["sec"] // 86400).to_numpy())
+        want.append((u, n, best))
+    want = pd.DataFrame(want, columns=["user_id", "n_active_bins",
+                                       "longest_streak"])
+
+    for blocks in (1, 6):
+        got = longest_streak_by_entity(
+            ray.data.from_pandas(df[["user_id", "ts"]])
+            .repartition(blocks))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
