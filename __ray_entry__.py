@@ -1388,6 +1388,71 @@ def _q_streak(sf_dir):
     return longest_streak_by_entity(ds)
 
 
+def _q_upsert_merge(sf_dir):
+    """CDC upsert merge (stages/merge.py:upsert_merge): a derived
+    change log (updates for orderkey%7=0, deletes for %13=0, inserts
+    past the snapshot key range for %101=0) applied to the orders
+    snapshot — one keyed exchange, per-key lexmax of (version, del),
+    tombstones dropped. Oracle: UNION ALL + row_number replay."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from cartwright_ray.stages.merge import upsert_merge
+
+    snap = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus"]) \
+        .map_batches(lambda t: t.append_column(
+            "version", pa.array(np.zeros(t.num_rows, np.int64)))
+            .append_column("op", pa.array(["U"] * t.num_rows,
+                                          pa.string())),
+            batch_format="pyarrow")
+
+    def mk_delta(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["o_orderkey"], np.int64)
+        price = np.asarray(t["o_totalprice"], np.float64)
+        status = t["o_orderstatus"].to_numpy(zero_copy_only=False)
+        outs = []
+        upd = k % 7 == 0
+        outs.append(pa.table({
+            "o_orderkey": pa.array(k[upd]),
+            "o_totalprice": pa.array(price[upd] + 1000.0),
+            "o_orderstatus": pa.array(status[upd].astype(object),
+                                      pa.string()),
+            "version": pa.array(np.ones(int(upd.sum()), np.int64)),
+            "op": pa.array(["U"] * int(upd.sum()), pa.string())}))
+        dele = k % 13 == 0
+        outs.append(pa.table({
+            "o_orderkey": pa.array(k[dele]),
+            "o_totalprice": pa.array(np.zeros(int(dele.sum()))),
+            "o_orderstatus": pa.array(["X"] * int(dele.sum()),
+                                      pa.string()),
+            "version": pa.array(np.full(int(dele.sum()), 2, np.int64)),
+            "op": pa.array(["D"] * int(dele.sum()), pa.string())}))
+        ins = k % 101 == 0
+        outs.append(pa.table({
+            "o_orderkey": pa.array(k[ins] + 10_000_000),
+            "o_totalprice": pa.array(np.full(int(ins.sum()), 42.5)),
+            "o_orderstatus": pa.array(["N"] * int(ins.sum()),
+                                      pa.string()),
+            "version": pa.array(np.ones(int(ins.sum()), np.int64)),
+            "op": pa.array(["U"] * int(ins.sum()), pa.string())}))
+        return pa.concat_tables(outs)
+
+    delta = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus"]) \
+        .map_batches(mk_delta, batch_format="pyarrow")
+
+    merged = upsert_merge(snap, delta, "o_orderkey")
+    df = merged.to_pandas().sort_values("o_orderkey") \
+        .reset_index(drop=True)
+    df["o_totalprice"] = df["o_totalprice"].astype(float).round(2)
+    return df[["o_orderkey", "o_totalprice", "o_orderstatus",
+               "version", "op"]]
+
+
 def _q_dwell(sf_dir):
     """Stay-point dwell episodes (stages/tracks.py:dwell_episodes):
     maximal ≥3-ping runs of one user inside one 1° cell — grid-quantized
@@ -3572,6 +3637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_mode_admin": _q_zonal_mode,
         "sssp_bounded_docs": _q_sssp,
         "longest_streak_users": _q_streak,
+        "upsert_merge_orders": _q_upsert_merge,
         "sssp_bounded_docs_shuffle": lambda sf: _q_sssp(
             sf, plan="shuffle", iters=2),
         "bpe_train_docs": _q_bpe_train,
@@ -5089,6 +5155,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN mom ON mom.k = kl.k
             LEFT JOIN lp ON lp.k = kl.k AND lp.lag = kl.lag
             ORDER BY kl.k, kl.lag
+        """,
+        "upsert_merge_orders": """
+            WITH snap AS (
+                SELECT o_orderkey, o_totalprice, o_orderstatus,
+                       CAST(0 AS BIGINT) AS version, 'U' AS op
+                FROM orders),
+            delta AS (
+                SELECT o_orderkey,
+                       o_totalprice + 1000.0 AS o_totalprice,
+                       o_orderstatus, CAST(1 AS BIGINT) AS version,
+                       'U' AS op
+                FROM orders WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT o_orderkey, 0.0, 'X', CAST(2 AS BIGINT), 'D'
+                FROM orders WHERE o_orderkey % 13 = 0
+                UNION ALL
+                SELECT o_orderkey + 10000000, 42.5, 'N',
+                       CAST(1 AS BIGINT), 'U'
+                FROM orders WHERE o_orderkey % 101 = 0),
+            unioned AS (
+                SELECT * FROM snap UNION ALL SELECT * FROM delta),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY o_orderkey
+                    ORDER BY version DESC,
+                             CASE WHEN op = 'D' THEN 1 ELSE 0 END DESC
+                ) AS rn
+                FROM unioned)
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+                   o_orderstatus, version, op
+            FROM ranked WHERE rn = 1 AND op <> 'D'
+            ORDER BY o_orderkey
         """,
         "longest_streak_users": """
             WITH pres AS (
