@@ -3586,8 +3586,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prove the scale path at half the 2-round cost
         "kcore_docs_shuffle": lambda sf: _q_kcore(
             sf, plan="shuffle", rounds=1),
-        "skyline_events": _q_skyline,
-        "mad_outliers_events": _q_mad_outliers,
         "dup_gram_spans_docs": _q_dup_spans,
         "semivariogram_points": _q_semivariogram,
         "snap_to_roads": _q_snap_roads,
@@ -3604,23 +3602,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, plan="shuffle", iters=2),
         "grid_dbscan_points": _q_grid_dbscan,
         "dbscan_cluster_stats": _q_dbscan_cluster_stats,
-        "cusum_change_points": _q_cusum,
-        "retention_cohorts": _q_retention,
         "line_dedup_docs": _q_line_dedup,
         "lm_score_docs": _q_lm_score,
-        "pps_sample_docs": _q_pps_sample,
         "idw_interpolate_grid": _q_idw,
         "simplify_tracks_dp": _q_simplify_tracks,
         "image_dhash_dedup": _q_image_dhash_dedup,
         "curriculum_pack_docs": _q_curriculum_pack,
-        "greedy_pack_docs": _q_greedy_pack,
-        "hll_distinct_by_type": _q_hll_distinct,
-        "track_extent_users": _q_track_extent,
         "geofence_transitions": _q_geofence,
         "od_matrix_zones": _q_od_matrix,
-        "trend_by_event_type": _q_trend,
         "hotspot_cells_gi": _q_hotspot,
-        "dwell_episodes_users": _q_dwell,
         "morans_i_cells": _q_morans_i,
         "gearys_c_cells": _q_gearys_c,
         "local_morans_cells": _q_local_morans,
@@ -3640,6 +3630,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upsert_merge_orders": _q_upsert_merge,
         "sssp_bounded_docs_shuffle": lambda sf: _q_sssp(
             sf, plan="shuffle", iters=2),
+        "q3_shipping_priority": rel.q3_shipping_priority,
+        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
         "bpe_train_docs": _q_bpe_train,
         "bpe_token_counts": _q_bpe_tokens,
         "track_crossings": _q_crossings,
@@ -3703,6 +3695,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (never-verified late-round operators + rewritten-path
         # re-verifications; the repo-side check_oracles gate still
         # covers every demoted entry at sf0.01 and sf0.1)
+        # (session-2 demotions: simple integer ops with brute-force
+        # pytest differentials and repo-gate coverage at both SFs —
+        # demoted to fit the 10 session-2 operators in the window)
+        "skyline_events": _q_skyline,
+        "mad_outliers_events": _q_mad_outliers,
+        "cusum_change_points": _q_cusum,
+        "retention_cohorts": _q_retention,
+        "pps_sample_docs": _q_pps_sample,
+        "greedy_pack_docs": _q_greedy_pack,
+        "hll_distinct_by_type": _q_hll_distinct,
+        "track_extent_users": _q_track_extent,
+        "trend_by_event_type": _q_trend,
+        "dwell_episodes_users": _q_dwell,
         "normalize_text_docs": _q_text_norm,
         # (r4-green; the round-5 MJPEG marker-walk and JPEG fill-byte
         # fixes carry their own pytest regressions, and the in-window
@@ -3768,8 +3773,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": rel.events_hourly_window,
         "orders_by_nation": rel.orders_by_nation,
         "q1_pricing_summary": rel.q1_pricing_summary,
-        "q3_shipping_priority": rel.q3_shipping_priority,
-        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
         "langid_counts": _q_langid,
         "top_orders_per_customer": rel.top_orders_per_customer,
         "tile_pyramid": _q_tile_pyramid,
