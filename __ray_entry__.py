@@ -1453,6 +1453,19 @@ def _q_upsert_merge(sf_dir):
                "version", "op"]]
 
 
+def _q_gram(sf_dir):
+    """Distributed Gram matrix (stages/gram.py): XᵀX over the
+    embeddings table in 2²⁰ fixed point — one compute-bound matmul
+    partial per block, a d²-row groupby, output independent of corpus
+    size; row count folded at (0,0). Oracle: parallel unnest + vec_id
+    self-join on d ≤ d'."""
+    import ray.data
+    from cartwright_ray.stages.gram import gram_matrix
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+    return gram_matrix(ds)
+
+
 def _q_dwell(sf_dir):
     """Stay-point dwell episodes (stages/tracks.py:dwell_episodes):
     maximal ≥3-ping runs of one user inside one 1° cell — grid-quantized
@@ -3632,6 +3645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, plan="shuffle", iters=2),
         "q3_shipping_priority": rel.q3_shipping_priority,
         "q5_local_supplier_volume": rel.q5_local_supplier_volume,
+        "gram_matrix_embeddings": _q_gram,
         "bpe_train_docs": _q_bpe_train,
         "bpe_token_counts": _q_bpe_tokens,
         "track_crossings": _q_crossings,
@@ -5158,6 +5172,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN mom ON mom.k = kl.k
             LEFT JOIN lp ON lp.k = kl.k AND lp.lag = kl.lag
             ORDER BY kl.k, kl.lag
+        """,
+        "gram_matrix_embeddings": """
+            WITH u AS (
+                SELECT vec_id, unnest(embedding) AS v,
+                       unnest(generate_series(1, len(embedding))) AS d
+                FROM embeddings),
+            q AS (SELECT vec_id, d,
+                         CAST(floor(CAST(v AS DOUBLE) * 1048576.0)
+                              AS BIGINT) AS x
+                  FROM u),
+            tri AS (
+                SELECT CAST(a.d AS BIGINT) AS i,
+                       CAST(b.d AS BIGINT) AS j,
+                       CAST(sum(a.x * b.x) AS BIGINT) AS g
+                FROM q a JOIN q b
+                  ON a.vec_id = b.vec_id AND a.d <= b.d
+                GROUP BY a.d, b.d),
+            cnt AS (
+                SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS j,
+                       CAST(count(*) AS BIGINT) AS g
+                FROM embeddings)
+            SELECT i, j, g FROM tri
+            UNION ALL SELECT i, j, g FROM cnt
+            ORDER BY i, j
         """,
         "upsert_merge_orders": """
             WITH snap AS (
