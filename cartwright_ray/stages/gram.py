@@ -34,8 +34,14 @@ def gram_matrix(ds, emb_col: str = "embedding",
     iu, ju = np.triu_indices(dim)
 
     def partial(t: pa.Table) -> pa.Table:
-        arr = np.asarray(t[emb_col].combine_chunks()
-                         .flatten(), np.float64).reshape(-1, dim)
+        cc = t[emb_col].combine_chunks()
+        if pa.types.is_list(cc.type) or pa.types.is_large_list(cc.type) \
+                or pa.types.is_fixed_size_list(cc.type):
+            arr = np.asarray(cc.flatten(), np.float64) \
+                .reshape(-1, dim)
+        else:                     # Ray tensor extension (pandas-born)
+            arr = np.asarray(cc.to_numpy(zero_copy_only=False),
+                             np.float64).reshape(-1, dim)
         xq = np.floor(arr * FP_SCALE).astype(np.int64)
         g = xq.T @ xq
         out = {"i": pa.array(np.r_[np.int64(0), iu + 1]),
