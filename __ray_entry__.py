@@ -3622,7 +3622,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash_dedup": _q_image_dhash_dedup,
         "curriculum_pack_docs": _q_curriculum_pack,
         "geofence_transitions": _q_geofence,
-        "od_matrix_zones": _q_od_matrix,
         "hotspot_cells_gi": _q_hotspot,
         "morans_i_cells": _q_morans_i,
         "gearys_c_cells": _q_gearys_c,
@@ -3722,6 +3721,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "track_extent_users": _q_track_extent,
         "trend_by_event_type": _q_trend,
         "dwell_episodes_users": _q_dwell,
+        # (od_matrix_zones: simple integer OD counts, lead-window
+        # oracle + brute pytest — demoted to fit gram_matrix)
+        "od_matrix_zones": _q_od_matrix,
         "normalize_text_docs": _q_text_norm,
         # (r4-green; the round-5 MJPEG marker-walk and JPEG fill-byte
         # fixes carry their own pytest regressions, and the in-window
