@@ -179,7 +179,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "type_cooccurrence_users", "direction_rose_users",
              "surface_gradient_cells", "gap_quantiles_by_type",
              "distance_transform_cells", "rasterize_admin_polygons",
-             "zonal_mode_admin"]
+             "zonal_mode_admin", "sssp_bounded_docs",
+             "sssp_bounded_docs_shuffle", "longest_streak_users",
+             "upsert_merge_orders", "gram_matrix_embeddings"]
     out = {}
     for name in picks:
         t0 = time.time()
