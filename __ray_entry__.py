@@ -1720,6 +1720,29 @@ def _q_hamming_ann(sf_dir):
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_sq8_ann(sf_dir):
+    """Scalar-quantized SQ8 ANN (stages/ann.sq8_ann_search): per-dim
+    min/max trained in one pass, uint8 codes, EXACT-INTEGER
+    approximate-dot shortlist (no float in stage 1), exact cosine
+    rerank of the shortlist — the 1-byte/dim production shape between
+    Hamming (1 bit) and full float. Oracle replays the quantizer,
+    integer shortlist and cosine rerank as CTEs."""
+    import pyarrow.parquet as pq
+
+    from cartwright_ray.stages.ann import sq8_ann_search
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]) \
+        .slice(0, 500).to_pandas()
+    qrows = head[head["vec_id"] < 3].sort_values("vec_id")
+    queries = {"query_id": qrows["vec_id"].tolist(),
+               "vec": np.asarray(qrows["embedding"].tolist(),
+                                 dtype=np.float64)}
+    df = sq8_ann_search(_embeddings(sf_dir), queries, k=10,
+                        shortlist=50).to_pandas()
+    df = df[["query_id", "vec_id", "rank", "score"]]
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _q_temporal_resolution(sf_dir):
     import ray.data
     from cartwright_ray.analysis.time_resolution import detect_temporal_resolution_ds
@@ -3645,6 +3668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": rel.q3_shipping_priority,
         "q5_local_supplier_volume": rel.q5_local_supplier_volume,
         "gram_matrix_embeddings": _q_gram,
+        "sq8_ann_topk": _q_sq8_ann,
         "bpe_train_docs": _q_bpe_train,
         "bpe_token_counts": _q_bpe_tokens,
         "track_crossings": _q_crossings,
@@ -6841,6 +6865,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         # both stages replayed: truncated rank <= 50 shortlist, then
         # full-dim rank among each query's own shortlist
+        "sq8_ann_topk": """
+            WITH u AS (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                       unnest(generate_series(1, len(embedding))) AS d
+                FROM embeddings),
+            mm AS (SELECT d, min(v) AS mn, max(v) AS mx
+                   FROM u GROUP BY d),
+            codes AS (
+                SELECT u.vec_id, u.d,
+                       CASE WHEN mm.mx - mm.mn > 0
+                            THEN CAST(greatest(0.0, least(255.0,
+                                 floor((u.v - mm.mn) * 255.0
+                                       / (mm.mx - mm.mn)))) AS BIGINT)
+                            ELSE 0 END AS c
+                FROM u JOIN mm USING (d)),
+            q AS (SELECT vec_id AS query_id FROM embeddings
+                  WHERE vec_id < 3),
+            approx AS (
+                SELECT q.query_id, c.vec_id,
+                       CAST(sum(qc.c * c.c) AS BIGINT) AS a
+                FROM q
+                JOIN codes qc ON qc.vec_id = q.query_id
+                JOIN codes c ON c.d = qc.d
+                GROUP BY q.query_id, c.vec_id),
+            short AS (SELECT query_id, vec_id FROM (
+                        SELECT *, row_number() OVER (
+                            PARTITION BY query_id
+                            ORDER BY a DESC, vec_id) AS r1
+                        FROM approx)
+                      WHERE r1 <= 50),
+            qv AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 3),
+            s2 AS (SELECT sh.query_id, sh.vec_id,
+                      round(list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]),
+                          CAST(qv.qe AS DOUBLE[])), 6) AS score
+                   FROM short sh
+                   JOIN embeddings e ON e.vec_id = sh.vec_id
+                   JOIN qv ON qv.query_id = sh.query_id)
+            SELECT query_id, vec_id, rank, score FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY score DESC, vec_id) - 1 AS rank
+                FROM s2)
+            WHERE rank < 10
+            ORDER BY query_id, rank
+        """,
         "rerank_ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < 3),

@@ -557,3 +557,125 @@ def rerank_ann_search(ds, queries: dict, k: int = 10, shortlist: int = 50,
     cands2 = ds.map_batches(stage2, batch_format="pyarrow",
                             zero_copy_batch=True)
     return _finalize_topk(cands2, k, round_decimals)
+
+
+class _SQ8Scan:
+    """Shortlist pass of :func:`sq8_ann_search`: per batch, uint8-encode
+    the corpus vectors against the broadcast per-dimension (min, range)
+    and rank by the exact-integer approximate dot with the query codes."""
+
+    def __init__(self, state_ref, shortlist: int, vec_col: str,
+                 id_col: str):
+        import ray
+        qids, qcodes, mn, denom = ray.get(state_ref)
+        self.qids = qids
+        self.qcodes = qcodes
+        self.mn = mn
+        self.denom = denom
+        self.shortlist = shortlist
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _vecs_from_arrow(batch.column(self.vec_col))
+        codes = _sq8_encode(vecs, self.mn, self.denom)
+        ids = np.asarray(batch.column(self.id_col))
+        approx = self.qcodes @ codes.T              # exact int64
+        kk = min(self.shortlist, approx.shape[1])
+        out_q, out_id, out_s = [], [], []
+        for qi, qid in enumerate(self.qids):
+            order = np.lexsort((ids, -approx[qi]))[:kk]
+            out_q.extend([qid] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_s.extend(approx[qi, order].tolist())
+        return pa.table({"query_id": pa.array(out_q),
+                         "vec_id": pa.array(out_id),
+                         "score": pa.array(
+                             np.asarray(out_s, np.float64))})
+
+
+def _sq8_encode(vecs: np.ndarray, mn: np.ndarray,
+                denom: np.ndarray) -> np.ndarray:
+    """⌊(x − mn)·255/denom⌋ clamped to [0, 255]; degenerate dims
+    (denom ≤ 0) code to 0. floor (not round) — round() halves break
+    differently across engines; each op is one shared IEEE expression."""
+    safe = np.where(denom > 0.0, denom, 1.0)
+    q = np.floor((vecs - mn) * 255.0 / safe)
+    q = np.clip(q, 0.0, 255.0)
+    return np.where(denom > 0.0, q, 0.0).astype(np.int64)
+
+
+def sq8_ann_search(ds, queries: dict, k: int = 10, shortlist: int = 50,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   concurrency: int | None = None,
+                   batch_size: int = 4096,
+                   round_decimals: int | None = 6):
+    """Scalar-quantized (SQ8 / uint8) two-stage ANN — the FAISS-style
+    production shape at 1 byte/dimension: per-dimension (min, max)
+    trained over the corpus in ONE aggregate pass, corpus and query
+    vectors encoded to ⌊(x−mn)·255/(mx−mn)⌋, candidates shortlisted by
+    the EXACT-INTEGER approximate dot (codes ≤ 255 ⇒ products ≤ 2¹⁶,
+    64-dim sums ≤ 2²² — no float in stage 1 at all), then the
+    shortlist re-ranked with exact full-precision cosine (the
+    :func:`rerank_ann_search` stage-2 plan: the expensive math touches
+    n_q × shortlist vectors, never the corpus).
+
+    Three corpus scans (train, shortlist, rerank) over a pinned
+    Dataset; the quantizer state and query codes broadcast once via
+    ``ray.put``. Returns (query_id, vec_id, score, rank)."""
+    import ray
+
+    ds = ds.materialize()            # three scans; pin once
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        v = _vecs_from_arrow(t.column(vec_col))
+        return pa.table({
+            "mn": pa.array([v.min(axis=0)]),
+            "mx": pa.array([v.max(axis=0)])})
+
+    mm = ds.map_batches(mm_partial, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    mn = np.min(np.stack(mm["mn"].to_numpy()), axis=0)
+    mx = np.max(np.stack(mm["mx"].to_numpy()), axis=0)
+    denom = mx - mn
+
+    qids = list(queries["query_id"])
+    qvecs = np.asarray(queries["vec"], dtype=np.float64)
+    qcodes = _sq8_encode(qvecs, mn, denom)
+    state_ref = ray.put((qids, qcodes, mn, denom))
+
+    cands = ds.map_batches(
+        _SQ8Scan, fn_constructor_args=(state_ref, shortlist, vec_col,
+                                       id_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=_pool(concurrency), zero_copy_batch=True)
+    short = _finalize_topk(cands, shortlist,
+                           round_decimals=None).to_pandas()
+
+    qid_type = pa.array(qids).type
+    per_q = {qid: np.sort(g["vec_id"].to_numpy())
+             for qid, g in short.groupby("query_id")}
+    qm = _normalize(qvecs)
+    state2_ref = ray.put((qids, qm, per_q))
+
+    def stage2(t: pa.Table) -> pa.Table:
+        qids2, qm2, short2 = ray.get(state2_ref)
+        vecs = _normalize(_vecs_from_arrow(t.column(vec_col)))
+        ids = np.asarray(t[id_col])
+        out_q, out_id, out_s = [], [], []
+        for qi, qid in enumerate(qids2):
+            mask = np.isin(ids, short2.get(qid, ()))
+            if not mask.any():
+                continue
+            sims = qm2[qi] @ vecs[mask].T
+            out_q.extend([qid] * int(mask.sum()))
+            out_id.extend(ids[mask].tolist())
+            out_s.extend(sims.tolist())
+        return pa.table({"query_id": pa.array(out_q, qid_type),
+                         "vec_id": pa.array(out_id,
+                                            t.column(id_col).type),
+                         "score": pa.array(out_s, pa.float64())})
+
+    cands2 = ds.map_batches(stage2, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return _finalize_topk(cands2, k, round_decimals)

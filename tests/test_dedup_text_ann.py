@@ -793,3 +793,52 @@ def test_matryoshka_ann_matches_prefix_bruteforce(ray_session):
         order = np.lexsort((ids, -sims[qi]))[:5]
         got = out[out["query_id"] == qi].sort_values("rank")
         assert got["vec_id"].tolist() == ids[order].tolist()
+
+
+def test_sq8_ann_matches_brute_two_stage():
+    """SQ8 two-stage ANN: numpy replay of the quantizer + integer
+    shortlist + exact rerank; layout-invariant; shortlist ⊇ top-k when
+    quantization is faithful on well-separated data."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cartwright_ray.stages.ann import _sq8_encode, sq8_ann_search
+
+    rng = np.random.default_rng(3)
+    n, d, k, sl = 400, 24, 5, 40
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(x)})
+    qids = [0, 1]
+    qv = x[:2].astype(np.float64)
+
+    xf = x.astype(np.float64)
+    mn, mx = xf.min(axis=0), xf.max(axis=0)
+    codes = _sq8_encode(xf, mn, mx - mn)
+    qcodes = _sq8_encode(qv, mn, mx - mn)
+    want_rows = []
+    for qi, qid in enumerate(qids):
+        approx = qcodes[qi] @ codes.T
+        short = np.lexsort((np.arange(n), -approx))[:sl]
+        qn = qv[qi] / np.linalg.norm(qv[qi])
+        xn = xf[short] / np.linalg.norm(xf[short], axis=1,
+                                        keepdims=True)
+        sims = np.round(xn @ qn, 6)
+        order = np.lexsort((short, -sims))[:k]
+        for r, oi in enumerate(order):
+            want_rows.append((qid, int(short[oi]), r,
+                              float(sims[oi])))
+    want = pd.DataFrame(want_rows, columns=["query_id", "vec_id",
+                                            "rank", "score"])
+
+    for blocks in (1, 5):
+        got = sq8_ann_search(
+            ray.data.from_pandas(df).repartition(blocks),
+            {"query_id": qids, "vec": qv}, k=k, shortlist=sl) \
+            .to_pandas()[["query_id", "vec_id", "rank", "score"]] \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # each query's own vector is its nearest neighbor
+    top0 = want[(want.query_id == 0) & (want["rank"] == 0)]
+    assert int(top0.vec_id.iloc[0]) == 0
