@@ -3644,7 +3644,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simplify_tracks_dp": _q_simplify_tracks,
         "image_dhash_dedup": _q_image_dhash_dedup,
         "curriculum_pack_docs": _q_curriculum_pack,
-        "geofence_transitions": _q_geofence,
         "hotspot_cells_gi": _q_hotspot,
         "morans_i_cells": _q_morans_i,
         "gearys_c_cells": _q_gearys_c,
@@ -3748,6 +3747,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (od_matrix_zones: simple integer OD counts, lead-window
         # oracle + brute pytest — demoted to fit gram_matrix)
         "od_matrix_zones": _q_od_matrix,
+        # (geofence_transitions: lag-window transitions with brute
+        # pytest + repo-gate coverage — demoted to fit sq8_ann_topk)
+        "geofence_transitions": _q_geofence,
         "normalize_text_docs": _q_text_norm,
         # (r4-green; the round-5 MJPEG marker-walk and JPEG fill-byte
         # fixes carry their own pytest regressions, and the in-window

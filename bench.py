@@ -181,7 +181,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "distance_transform_cells", "rasterize_admin_polygons",
              "zonal_mode_admin", "sssp_bounded_docs",
              "sssp_bounded_docs_shuffle", "longest_streak_users",
-             "upsert_merge_orders", "gram_matrix_embeddings"]
+             "upsert_merge_orders", "gram_matrix_embeddings",
+             "sq8_ann_topk"]
     out = {}
     for name in picks:
         t0 = time.time()
