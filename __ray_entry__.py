@@ -1308,6 +1308,20 @@ def _q_surface_gradient(sf_dir):
     return surface_gradient(surf)
 
 
+def _q_peak_concurrency(sf_dir):
+    """Peak concurrency per event type
+    (stages/gaps.py:peak_concurrency_by_key): 30-min half-open
+    intervals, sweep-line max overlap — two narrow (key, t, ±1) rows
+    per event, one key exchange, lexsort + cumsum-reduceat kernel;
+    close-before-open tie rule shared with the oracle's running-sum
+    window."""
+    import ray.data
+    from cartwright_ray.stages.gaps import peak_concurrency_by_key
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+    return peak_concurrency_by_key(ds)
+
+
 def _q_gap_quantiles(sf_dir):
     """Inter-arrival gap percentiles per event type
     (stages/gaps.py:gap_quantiles_by_key): µs gaps between one user's
@@ -3656,6 +3670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "direction_rose_users": _q_rose,
         "surface_gradient_cells": _q_surface_gradient,
         "gap_quantiles_by_type": _q_gap_quantiles,
+        "peak_concurrency_by_type": _q_peak_concurrency,
         "distance_transform_cells": _q_distance_transform,
         "rasterize_admin_polygons": _q_rasterize,
         "zonal_mode_admin": _q_zonal_mode,
@@ -5302,6 +5317,30 @@ def oracle_sql() -> dict[str, str]:
             FROM cells c CROSS JOIN offs o
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        "peak_concurrency_by_type": """
+            WITH sw AS (
+                SELECT event_type, epoch_us(ts) AS t,
+                       CAST(1 AS BIGINT) AS delta
+                FROM events
+                UNION ALL
+                SELECT event_type, epoch_us(ts) + 1800000000,
+                       CAST(-1 AS BIGINT)
+                FROM events),
+            run AS (
+                SELECT event_type,
+                       sum(delta) OVER (PARTITION BY event_type
+                                        ORDER BY t, delta
+                                        ROWS UNBOUNDED PRECEDING) AS r
+                FROM sw),
+            pk AS (SELECT event_type, CAST(max(r) AS BIGINT) AS peak
+                   FROM run GROUP BY event_type),
+            n AS (SELECT event_type, CAST(count(*) AS BIGINT)
+                      AS n_events
+                  FROM events GROUP BY event_type)
+            SELECT n.event_type, n.n_events, pk.peak
+            FROM n JOIN pk USING (event_type)
+            ORDER BY n.event_type
         """,
         "gap_quantiles_by_type": """
             WITH g0 AS (

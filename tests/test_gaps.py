@@ -88,3 +88,39 @@ def test_longest_streak_matches_brute():
             ray.data.from_pandas(df[["user_id", "ts"]])
             .repartition(blocks))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_peak_concurrency_matches_brute():
+    from cartwright_ray.stages.gaps import peak_concurrency_by_key
+
+    rng = np.random.default_rng(55)
+    n = 1500
+    dur = 1_800_000_000
+    df = pd.DataFrame({
+        "event_type": rng.choice(list("ab"), n),
+        "ts": pd.to_datetime(rng.integers(0, 200_000, n), unit="s")})
+
+    want_rows = []
+    for k, g in df.groupby("event_type"):
+        ts = (g["ts"].astype("int64") // 1000).to_numpy()  # µs
+        ev = sorted([(t, 1) for t in ts] + [(t + dur, -1) for t in ts])
+        run = best = 0
+        for _, d in ev:
+            run += d
+            best = max(best, run)
+        want_rows.append((k, len(g), best))
+    want = pd.DataFrame(want_rows,
+                        columns=["event_type", "n_events", "peak"])
+
+    for blocks in (1, 6):
+        got = peak_concurrency_by_key(
+            ray.data.from_pandas(df).repartition(blocks))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # tie rule: back-to-back intervals [0,30m) and [30m,60m) never
+    # overlap (close sweeps before open)
+    df2 = pd.DataFrame({
+        "event_type": ["z", "z"],
+        "ts": pd.to_datetime([0, 1800], unit="s")})
+    got2 = peak_concurrency_by_key(ray.data.from_pandas(df2))
+    assert int(got2["peak"].iloc[0]) == 1
