@@ -1322,6 +1322,19 @@ def _q_peak_concurrency(sf_dir):
     return peak_concurrency_by_key(ds)
 
 
+def _q_temperature_mixture(sf_dir):
+    """Temperature mixture sampling (stages/mixture.py:
+    temperature_mixture, alpha=0.5): per-source rates
+    (n_min/n_s)^0.5 quantized to exact 2^20 fractions, applied through
+    the shuffle-free integer acceptance — one dimension-sized count
+    groupby, zero corpus shuffles. Oracle shares divide/sqrt/scale/
+    floor IEEE ops and the integer threshold."""
+    from cartwright_ray.stages.mixture import temperature_mixture
+    df = temperature_mixture(_docs(sf_dir, columns=("doc_id", "source"))
+                             ).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_gap_quantiles(sf_dir):
     """Inter-arrival gap percentiles per event type
     (stages/gaps.py:gap_quantiles_by_key): µs gaps between one user's
@@ -3671,6 +3684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "surface_gradient_cells": _q_surface_gradient,
         "gap_quantiles_by_type": _q_gap_quantiles,
         "peak_concurrency_by_type": _q_peak_concurrency,
+        "temperature_mixture_docs": _q_temperature_mixture,
         "distance_transform_cells": _q_distance_transform,
         "rasterize_admin_polygons": _q_rasterize,
         "zonal_mode_admin": _q_zonal_mode,
@@ -5317,6 +5331,21 @@ def oracle_sql() -> dict[str, str]:
             FROM cells c CROSS JOIN offs o
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        "temperature_mixture_docs": """
+            WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+                       FROM documents GROUP BY source),
+            ref AS (SELECT min(ns) AS nref FROM n),
+            r AS (SELECT n.source,
+                         CAST(floor(1048576.0 * sqrt(
+                             CAST(ref.nref AS DOUBLE)
+                             / CAST(n.ns AS DOUBLE))) AS BIGINT) AS num
+                  FROM n CROSS JOIN ref)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r ON r.source = d.source
+            WHERE ((d.doc_id * 2654435761) % 4294967296) * 1048576
+                  < r.num * 4294967296
+            ORDER BY d.doc_id
         """,
         "peak_concurrency_by_type": """
             WITH sw AS (

@@ -97,3 +97,45 @@ def source_quota(ds, cap: int, id_col: str = "doc_id",
               .sort(source_col)
               .map_batches(rank_kernel, batch_format="pyarrow",
                            batch_size=None))
+
+
+TEMP_FP_DEN = np.uint64(1 << 20)
+
+
+def temperature_mixture(ds, alpha: float = 0.5, id_col: str = "doc_id",
+                        source_col: str = "source"):
+    """Temperature-based mixture sampling (the multilingual α-sampling
+    rule): keep source ``s`` at rate (n_min / n_s)^(1−α), so the
+    smallest source survives whole and dominant sources downsample
+    toward balance (α = 1 keeps everything, α → 0 equalizes).
+
+    Rates quantize to EXACT 2²⁰-denominator fractions —
+    ⌊2²⁰·(n_min/n_s)^(1−α)⌋ — computed from the per-source counts (one
+    narrow groupby; the rate table is dimension-sized) and fed to the
+    shuffle-free integer acceptance of :func:`mixture_sample`. With
+    α = ½ the exponent is a plain sqrt, so the SQL replay shares every
+    IEEE op (divide, sqrt, ×2²⁰ — an exact power-of-two scale, floor).
+
+    Returns the sampled Dataset restricted to (id, source)."""
+    from ray.data.aggregate import Count
+
+    counts = (ds.groupby(source_col)
+              .aggregate(Count(alias_name="n")).to_pandas())
+    ns = counts.set_index(source_col)["n"].to_dict()
+    n_ref = min(ns.values())
+    import math
+
+    rates = {}
+    for s, n in ns.items():
+        ratio = float(n_ref) / float(n)
+        # α = ½ goes through sqrt explicitly: pow(x, 0.5) and sqrt(x)
+        # are not guaranteed to round identically, and the oracle says
+        # sqrt
+        r = math.sqrt(ratio) if alpha == 0.5 else ratio ** (1.0 - alpha)
+        rates[s] = (int(np.floor(float(TEMP_FP_DEN) * r)),
+                    int(TEMP_FP_DEN))
+    slim = ds.map_batches(
+        lambda t: t.select([id_col, source_col]),
+        batch_format="pyarrow")
+    return mixture_sample(slim, rates, id_col=id_col,
+                          source_col=source_col)

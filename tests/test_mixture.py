@@ -61,3 +61,46 @@ def test_source_quota_matches_window_oracle(ray_session):
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["src_rank"].tolist() == want["src_rank"].tolist()
     assert (out.groupby("source").size() == 7).all()
+
+
+def test_temperature_mixture_rates_and_determinism():
+    """alpha=0.5 keeps the smallest source whole (rate exactly 1) and
+    downsamples a 16x source to ~1/4; acceptance is layout-invariant
+    and a pure function of doc_id."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cartwright_ray.stages.mixture import temperature_mixture
+
+    rows = []
+    did = 0
+    for src, n in [("small", 500), ("big", 8000)]:
+        for _ in range(n):
+            rows.append((did, src))
+            did += 1
+    df = pd.DataFrame(rows, columns=["doc_id", "source"])
+
+    outs = []
+    for blocks in (1, 6):
+        got = temperature_mixture(
+            ray.data.from_pandas(df).repartition(blocks)) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+
+    kept = got.groupby("source").size()
+    assert kept["small"] == 500                 # rate exactly 1
+    # rate for big = floor(2^20 * sqrt(500/8000)) / 2^20 = 1/4
+    frac = kept["big"] / 8000
+    assert 0.2 < frac < 0.3
+    # deterministic: the kept id set is a function of doc_id alone
+    from cartwright_ray.stages.mixture import _id_hash
+    h = _id_hash(df["doc_id"].to_numpy())
+    num = int(np.floor((1 << 20) * np.sqrt(500.0 / 8000.0)))
+    want_big = df[(df.source == "big")
+                  & (h * np.uint64(1 << 20)
+                     < np.uint64(num) * np.uint64(1 << 32))]
+    assert set(got[got.source == "big"].doc_id) \
+        == set(want_big.doc_id)
