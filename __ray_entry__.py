@@ -1335,6 +1335,17 @@ def _q_temperature_mixture(sf_dir):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_ellipse(sf_dir):
+    """Standard deviational ellipse per track
+    (stages/tracks.py:deviational_ellipse): additive integer moments
+    (no exchange beyond one narrow groupby), closing
+    centre/orientation/axis-variance expressions shared with the
+    oracle (atan2 + sqrt over exact int64 sums)."""
+    from cartwright_ray.pipelines.relational import derived_track_points
+    from cartwright_ray.stages.tracks import deviational_ellipse
+    return deviational_ellipse(derived_track_points(sf_dir))
+
+
 def _q_gap_quantiles(sf_dir):
     """Inter-arrival gap percentiles per event type
     (stages/gaps.py:gap_quantiles_by_key): µs gaps between one user's
@@ -3685,6 +3696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_quantiles_by_type": _q_gap_quantiles,
         "peak_concurrency_by_type": _q_peak_concurrency,
         "temperature_mixture_docs": _q_temperature_mixture,
+        "deviational_ellipse_users": _q_ellipse,
         "distance_transform_cells": _q_distance_transform,
         "rasterize_admin_polygons": _q_rasterize,
         "zonal_mode_admin": _q_zonal_mode,
@@ -5331,6 +5343,51 @@ def oracle_sql() -> dict[str, str]:
             FROM cells c CROSS JOIN offs o
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        "deviational_ellipse_users": """
+            WITH tpts AS (
+                SELECT user_id,
+                       CAST(round(((user_id * 13 % 120) - 60.0
+                            + (event_id * 7 % 19) * 0.125
+                            + CASE WHEN event_id % 11 = 0 THEN 15.0
+                                   ELSE 0.0 END) * 8) AS BIGINT) AS y,
+                       CAST(round(((user_id * 29 % 300) - 150.0
+                            + (event_id * 3 % 23) * 0.125) * 8)
+                            AS BIGINT) AS x
+                FROM events),
+            m AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(y * y) AS BIGINT) AS syy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy
+                FROM tpts GROUP BY user_id),
+            c AS (
+                SELECT user_id, n,
+                       CAST(sx AS DOUBLE) AS fx,
+                       CAST(sy AS DOUBLE) AS fy,
+                       CAST(n AS DOUBLE) AS fn,
+                       CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                             / CAST(n AS DOUBLE) AS mxx,
+                       CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                             / CAST(n AS DOUBLE) AS myy,
+                       CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                             / CAST(n AS DOUBLE) AS mxy
+                FROM m)
+            SELECT user_id, n, fx / fn AS cx, fy / fn AS cy,
+                   round(atan2(2.0 * mxy, mxx - myy) / 2.0, 9)
+                       AS theta,
+                   (mxx + myy + sqrt((mxx - myy) * (mxx - myy)
+                                     + 4.0 * mxy * mxy))
+                       / (2.0 * fn) AS var_maj,
+                   (mxx + myy - sqrt((mxx - myy) * (mxx - myy)
+                                     + 4.0 * mxy * mxy))
+                       / (2.0 * fn) AS var_min
+            FROM c ORDER BY user_id
         """,
         "temperature_mixture_docs": """
             WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS ns

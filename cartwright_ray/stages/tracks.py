@@ -512,3 +512,80 @@ def direction_rose(ds, track_col: str = "user_id",
              .to_pandas())
     return out.sort_values([track_col, "sector"]) \
               .reset_index(drop=True)
+
+
+def deviational_ellipse(ds, track_col: str = "user_id",
+                        lat_col: str = "lat", lon_col: str = "lon",
+                        scale: int = 8) -> pd.DataFrame:
+    """Standard deviational ellipse per track (Lefever 1926) — the
+    classic GIS directional-dispersion summary: centre of mass,
+    orientation of the major axis, and the two semi-axis variances,
+    all from second-order moments of the ×scale integer coordinates.
+
+    Scale shape: moments are ADDITIVE, so this is the cheapest member
+    of the movement family — per-block integer partials
+    (n, Σx, Σy, Σx², Σy², Σxy) → one narrow groupby sum → a stateless
+    closing map. No sort exchange, no ordering requirement.
+
+    Closing expressions (shared IEEE, one per output column) over the
+    exact int64 moments, with central moments m_xx = Σx² − (Σx)²/n
+    etc.:
+
+        theta  = atan2(2·m_xy, m_xx − m_yy) / 2
+        disc   = sqrt((m_xx − m_yy)² + 4·m_xy²)
+        var_maj = (m_xx + m_yy + disc) / (2n)
+        var_min = (m_xx + m_yy − disc) / (2n)
+
+    int64 bound: |coord·scale| ≤ 2¹⁶ here ⇒ x² ≤ 2³², safe to ~2³⁰
+    rows per track (beyond: the Python-int HUGEINT combine of
+    ``trend_by_key``). → pandas (track, n, cx, cy, theta, var_maj,
+    var_min) sorted."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = np.asarray(t[track_col], np.int64)
+        x = np.rint(np.asarray(t[lon_col], np.float64) * scale) \
+            .astype(np.int64)
+        y = np.rint(np.asarray(t[lat_col], np.float64) * scale) \
+            .astype(np.int64)
+        df = pd.DataFrame({track_col: u, "n": 1, "sx": x, "sy": y,
+                           "sxx": x * x, "syy": y * y, "sxy": x * y})
+        g = df.groupby(track_col, sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby(track_col)
+         .aggregate(Sum("n", alias_name="n"),
+                    Sum("sx", alias_name="sx"),
+                    Sum("sy", alias_name="sy"),
+                    Sum("sxx", alias_name="sxx"),
+                    Sum("syy", alias_name="syy"),
+                    Sum("sxy", alias_name="sxy")))
+
+    def close(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n"], np.int64).astype(np.float64)
+        sx = np.asarray(t["sx"], np.int64).astype(np.float64)
+        sy = np.asarray(t["sy"], np.int64).astype(np.float64)
+        sxx = np.asarray(t["sxx"], np.int64).astype(np.float64)
+        syy = np.asarray(t["syy"], np.int64).astype(np.float64)
+        sxy = np.asarray(t["sxy"], np.int64).astype(np.float64)
+        mxx = sxx - sx * sx / n
+        myy = syy - sy * sy / n
+        mxy = sxy - sx * sy / n
+        # atan2 is the one kernel DuckDB and numpy disagree on in
+        # the last ulp (measured) — round to 9 dp on both sides
+        theta = np.round(np.arctan2(2.0 * mxy, mxx - myy) / 2.0, 9)
+        disc = np.sqrt((mxx - myy) * (mxx - myy) + 4.0 * mxy * mxy)
+        return pa.table({
+            track_col: t[track_col].combine_chunks(),
+            "n": t["n"].combine_chunks(),
+            "cx": pa.array(sx / n, pa.float64()),
+            "cy": pa.array(sy / n, pa.float64()),
+            "theta": pa.array(theta, pa.float64()),
+            "var_maj": pa.array((mxx + myy + disc) / (2.0 * n),
+                                pa.float64()),
+            "var_min": pa.array((mxx + myy - disc) / (2.0 * n),
+                                pa.float64())})
+
+    out = m.map_batches(close, batch_format="pyarrow").to_pandas()
+    return out.sort_values(track_col).reset_index(drop=True)

@@ -209,3 +209,57 @@ def test_direction_rose_octants_match_atan2():
         got = direction_rose(
             ray.data.from_pandas(df).repartition(blocks))
         pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
+
+
+def test_deviational_ellipse_matches_numpy_eig():
+    """SDE per track: the closed-form orientation/axis variances must
+    match an eigendecomposition of the covariance matrix; degenerate
+    (collinear) tracks give var_min == 0."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from cartwright_ray.stages.tracks import deviational_ellipse
+
+    rng = np.random.default_rng(61)
+    rows = []
+    for u in range(20):
+        n = int(rng.integers(3, 50))
+        # anisotropic cloud rotated per user
+        ang = rng.uniform(0, np.pi)
+        major = rng.integers(-40, 41, n)
+        minor = rng.integers(-8, 9, n)
+        x = np.rint(major * np.cos(ang) - minor * np.sin(ang))
+        y = np.rint(major * np.sin(ang) + minor * np.cos(ang))
+        for xi, yi in zip(x, y):
+            rows.append((u, yi * 0.125, xi * 0.125))
+    # user 99: exactly collinear
+    rows += [(99, 0.0, i * 0.125) for i in range(5)]
+    df = pd.DataFrame(rows, columns=["user_id", "lat", "lon"])
+
+    runs = [deviational_ellipse(ray.data.from_pandas(df)
+                                .repartition(b)) for b in (1, 6)]
+    pd.testing.assert_frame_equal(runs[0], runs[1])
+    got = runs[0]
+
+    for _, r in got.iterrows():
+        g = df[df.user_id == r.user_id]
+        x = np.rint(g.lon.to_numpy() * 8)
+        y = np.rint(g.lat.to_numpy() * 8)
+        cov = np.cov(np.stack([x, y]), bias=True)
+        ev = np.sort(np.linalg.eigvalsh(cov))
+        assert abs(r.var_maj - ev[1]) < 1e-6 * max(1, ev[1])
+        assert abs(r.var_min - ev[0]) < 1e-6 * max(1, ev[1])
+        assert abs(r.cx - x.mean()) < 1e-9
+        # orientation: the major eigenvector angle (mod pi), only
+        # meaningful when anisotropic
+        if ev[1] > ev[0] * 1.01 and len(g) > 3:
+            w, v = np.linalg.eigh(cov)
+            vec = v[:, np.argmax(w)]
+            want = np.arctan2(vec[1], vec[0]) % np.pi
+            gotang = (2 * r.theta / 2) % np.pi
+            d = abs(want - gotang) % np.pi
+            assert min(d, np.pi - d) < 1e-5
+
+    coll = got[got.user_id == 99].iloc[0]
+    assert coll.var_min == 0.0 and coll.var_maj > 0
