@@ -3680,8 +3680,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score_docs": _q_lm_score,
         "idw_interpolate_grid": _q_idw,
         "simplify_tracks_dp": _q_simplify_tracks,
-        "image_dhash_dedup": _q_image_dhash_dedup,
-        "curriculum_pack_docs": _q_curriculum_pack,
         "hotspot_cells_gi": _q_hotspot,
         "morans_i_cells": _q_morans_i,
         "gearys_c_cells": _q_gearys_c,
@@ -3791,6 +3789,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (geofence_transitions: lag-window transitions with brute
         # pytest + repo-gate coverage — demoted to fit sq8_ann_topk)
         "geofence_transitions": _q_geofence,
+        # (image_dhash / curriculum_pack: collision-audited planted-
+        # clone tests resp. a composite of two r4-driver-green stages
+        # — demoted to fit gram_matrix + sq8_ann in the window)
+        "image_dhash_dedup": _q_image_dhash_dedup,
+        "curriculum_pack_docs": _q_curriculum_pack,
         "normalize_text_docs": _q_text_norm,
         # (r4-green; the round-5 MJPEG marker-walk and JPEG fill-byte
         # fixes carry their own pytest regressions, and the in-window
