@@ -3675,7 +3675,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_docs_shuffle": lambda sf: _q_pagerank(
             sf, plan="shuffle", iters=2),
         "grid_dbscan_points": _q_grid_dbscan,
-        "dbscan_cluster_stats": _q_dbscan_cluster_stats,
         "line_dedup_docs": _q_line_dedup,
         "lm_score_docs": _q_lm_score,
         "idw_interpolate_grid": _q_idw,
@@ -3794,6 +3793,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # — demoted to fit gram_matrix + sq8_ann in the window)
         "image_dhash_dedup": _q_image_dhash_dedup,
         "curriculum_pack_docs": _q_curriculum_pack,
+        # (dbscan_cluster_stats: a GROUP-BY composite over the
+        # in-window grid_dbscan_points — demoted for sq8_ann)
+        "dbscan_cluster_stats": _q_dbscan_cluster_stats,
         "normalize_text_docs": _q_text_norm,
         # (r4-green; the round-5 MJPEG marker-walk and JPEG fill-byte
         # fixes carry their own pytest regressions, and the in-window
