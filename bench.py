@@ -182,7 +182,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "zonal_mode_admin", "sssp_bounded_docs",
              "sssp_bounded_docs_shuffle", "longest_streak_users",
              "upsert_merge_orders", "gram_matrix_embeddings",
-             "sq8_ann_topk"]
+             "sq8_ann_topk", "peak_concurrency_by_type",
+             "temperature_mixture_docs", "deviational_ellipse_users"]
     out = {}
     for name in picks:
         t0 = time.time()
