@@ -1346,6 +1346,61 @@ def _q_ellipse(sf_dir):
     return deviational_ellipse(derived_track_points(sf_dir))
 
 
+def _q_cell_diversity(sf_dir):
+    """Per-cell Simpson diversity of event types
+    (stages/hotspot.py:cell_diversity_simpson): exact Σn² per cell
+    through two narrow integer exchanges; 1 − Σn²/N² closes as one
+    float expression (Shannon's float sum would be order-dependent).
+    Oracle: two GROUP BYs + identical expression."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from cartwright_ray.stages.hotspot import cell_diversity_simpson
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        e = np.asarray(t["event_id"], np.int64)
+        u = np.asarray(t["user_id"], np.int64)
+        lat = ((u * 13 % 120) - 60.0 + (e * 7 % 19) * 0.125
+               + np.where(e % 11 == 0, 15.0, 0.0))
+        lon = (u * 29 % 300) - 150.0 + (e * 3 % 23) * 0.125
+        t = t.append_column("lat", pa.array(lat, pa.float64()))
+        return t.append_column("lon", pa.array(lon, pa.float64()))
+
+    return cell_diversity_simpson(
+        ds.map_batches(derive, batch_format="pyarrow"))
+
+
+def _q_rolling_wau(sf_dir):
+    """Rolling 7-day distinct active users
+    (stages/gaps.py:rolling_active_entities): exact distinct-over-
+    window via presence dedup + 7-day scatter + (entity, day) dedup —
+    W×presence narrow integer rows, never a per-day rescan. Oracle:
+    generate_series days + BETWEEN join + count(DISTINCT)."""
+    import ray.data
+    from cartwright_ray.stages.gaps import rolling_active_entities
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return rolling_active_entities(ds)
+
+
+def _q_trend_r2(sf_dir):
+    """Per-key OLS slope + r-squared (stages/trend.py:trend_r2_by_key):
+    the trend moment discipline extended with the y-squared moment —
+    HUGEINT-equivalent integer products, two shared closing float
+    expressions. Oracle mirrors both expressions over HUGEINT sums."""
+    import ray.data
+    from cartwright_ray.stages.trend import trend_r2_by_key
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "value"])
+    return trend_r2_by_key(ds)
+
+
 def _q_gap_quantiles(sf_dir):
     """Inter-arrival gap percentiles per event type
     (stages/gaps.py:gap_quantiles_by_key): µs gaps between one user's
@@ -3694,6 +3749,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrency_by_type": _q_peak_concurrency,
         "temperature_mixture_docs": _q_temperature_mixture,
         "deviational_ellipse_users": _q_ellipse,
+        "cell_diversity_simpson": _q_cell_diversity,
+        "rolling_wau_days": _q_rolling_wau,
+        "trend_r2_by_type": _q_trend_r2,
         "distance_transform_cells": _q_distance_transform,
         "rasterize_admin_polygons": _q_rasterize,
         "zonal_mode_admin": _q_zonal_mode,
@@ -5348,6 +5406,72 @@ def oracle_sql() -> dict[str, str]:
             FROM cells c CROSS JOIN offs o
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        "trend_r2_by_type": """
+            WITH pts AS (
+                SELECT event_type,
+                       epoch_us(ts) // 3600000000 - 438288 AS x,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+                FROM events),
+            m AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+                         sum(y) AS sy, sum(x * y) AS sxy,
+                         sum(x * x) AS sxx, sum(y * y) AS syy
+                  FROM pts GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0
+                   END AS slope,
+                   CASE WHEN n * sxx - sx * sx = 0
+                             OR n * syy - sy * sy = 0 THEN 0.0
+                        ELSE (CAST(n * sxy - sx * sy AS DOUBLE)
+                              * CAST(n * sxy - sx * sy AS DOUBLE))
+                             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE))
+                   END AS r2
+            FROM m ORDER BY event_type
+        """,
+        "rolling_wau_days": """
+            WITH pres AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS b
+                FROM events),
+            g AS (SELECT min(b) AS d0, max(b) AS d1 FROM pres),
+            days AS (SELECT unnest(generate_series(
+                         (SELECT d0 FROM g), (SELECT d1 FROM g)))
+                         AS day)
+            SELECT d.day,
+                   CAST(count(DISTINCT p.user_id) AS BIGINT)
+                       AS n_active
+            FROM days d JOIN pres p
+              ON p.b BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day ORDER BY d.day
+        """,
+        "cell_diversity_simpson": """
+            WITH tpts AS (
+                SELECT event_type,
+                       CAST((user_id * 13 % 120) - 60.0
+                            + (event_id * 7 % 19) * 0.125
+                            + CASE WHEN event_id % 11 = 0 THEN 15.0
+                                   ELSE 0.0 END AS DOUBLE) AS lat,
+                       CAST((user_id * 29 % 300) - 150.0
+                            + (event_id * 3 % 23) * 0.125 AS DOUBLE) AS lon
+                FROM events),
+            cc AS (
+                SELECT CAST(floor(lon) AS BIGINT) AS cx,
+                       CAST(floor(lat) AS BIGINT) AS cy,
+                       event_type, CAST(count(*) AS BIGINT) AS n
+                FROM tpts GROUP BY 1, 2, 3),
+            agg AS (
+                SELECT cx, cy, CAST(sum(n) AS BIGINT) AS n_events,
+                       CAST(sum(n * n) AS BIGINT) AS nn,
+                       CAST(count(*) AS BIGINT) AS n_cats
+                FROM cc GROUP BY cx, cy)
+            SELECT cx, cy, n_events, n_cats,
+                   1.0 - CAST(nn AS DOUBLE)
+                         / (CAST(n_events AS DOUBLE)
+                            * CAST(n_events AS DOUBLE)) AS simpson
+            FROM agg ORDER BY cx, cy
         """,
         "deviational_ellipse_users": """
             WITH tpts AS (

@@ -982,3 +982,66 @@ def distance_transform_cells(ds, radius: int = 3,
            .aggregate(Min("d2", alias_name="d2min"))
            .to_pandas())
     return out.sort_values(["cx", "cy"]).reset_index(drop=True)
+
+
+def cell_diversity_simpson(ds, cat_col: str = "event_type",
+                           lat_col: str = "lat",
+                           lon_col: str = "lon"):
+    """Per-cell Simpson diversity of a categorical column — the
+    spatial diversity map (1 − Σp²; 0 = monoculture, →1 = evenly
+    mixed). Chosen over Shannon entropy deliberately: Σn_c² is an
+    exact int64, so the index closes as ONE float expression per cell
+    (1 − Σn²/N²), where entropy's Σp·ln p would sum floats in
+    engine-dependent order.
+
+    Scale shape: per-block (cell, cat) count partials → one
+    (cell, cat) groupby → squares computed stateless → a SECOND narrow
+    groupby on the cell key alone (a (cell, cat) hash partition does
+    not co-locate a cell's categories); both exchanges carry
+    O(cells × cats) integer rows, independent of point volume.
+
+    → pandas (cx, cy, n_events, n_cats, simpson) sorted."""
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    def cc_partial(t: pa.Table) -> pa.Table:
+        cx = np.floor(np.asarray(t[lon_col], np.float64)) \
+            .astype(np.int64)
+        cy = np.floor(np.asarray(t[lat_col], np.float64)) \
+            .astype(np.int64)
+        cat = t[cat_col].to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"cx": cx, "cy": cy, "cat": cat, "n": 1})
+             .groupby(["cx", "cy", "cat"], sort=False).sum()
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cc = (ds.map_batches(cc_partial, batch_format="pyarrow")
+          .groupby(["cx", "cy", "cat"])
+          .aggregate(Sum("n", alias_name="n")))
+
+    def sq(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n"], np.int64)
+        return pa.table({"cx": t["cx"].combine_chunks(),
+                         "cy": t["cy"].combine_chunks(),
+                         "n": pa.array(n), "nn": pa.array(n * n),
+                         "k": pa.array(np.ones(len(n), np.int64))})
+
+    agg = (cc.map_batches(sq, batch_format="pyarrow")
+           .groupby(["cx", "cy"])
+           .aggregate(Sum("n", alias_name="n_events"),
+                      Sum("nn", alias_name="nn"),
+                      Sum("k", alias_name="n_cats")))
+
+    def close(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n_events"], np.int64).astype(np.float64)
+        nn = np.asarray(t["nn"], np.int64).astype(np.float64)
+        return pa.table({"cx": t["cx"].combine_chunks(),
+                         "cy": t["cy"].combine_chunks(),
+                         "n_events": t["n_events"].combine_chunks(),
+                         "n_cats": t["n_cats"].combine_chunks(),
+                         "simpson": pa.array(1.0 - nn / (n * n),
+                                             pa.float64())})
+
+    out = agg.map_batches(close, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["cx", "cy"]).reset_index(drop=True)

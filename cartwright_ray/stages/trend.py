@@ -184,3 +184,55 @@ def acf_by_key(ds, lags=(1, 2, 3, 4, 5, 6, 7),
     out = parted.map_batches(kernel, batch_format="pyarrow",
                              batch_size=None).to_pandas()
     return out.sort_values([key_col, "lag"]).reset_index(drop=True)
+
+
+def trend_r2_by_key(ds, key_col: str = "event_type", ts_col: str = "ts",
+                    val_col: str = "value") -> pd.DataFrame:
+    """Per-key OLS slope WITH goodness-of-fit — the same rebased-hour /
+    integer-cent moment discipline as :func:`trend_by_key` plus the Σy²
+    moment, closing with
+
+        r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²) · (nΣy² − (Σy)²))
+
+    evaluated as (CAST·CAST)/(CAST·CAST) over exact Python-int
+    (HUGEINT-equivalent) products — one shared float expression, so the
+    DuckDB replay is bit-exact. Zero x- or y-variance keys report
+    slope 0 / r² 0 (a flat series fits no line).
+
+    → pandas (key, n, slope, r2) sorted."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        x, y = _xy(t, ts_col, val_col)
+        df = pd.DataFrame({"k": t[key_col].to_numpy(
+            zero_copy_only=False), "n": 1, "sx": x, "sy": y,
+            "sxy": x * y, "sxx": x * x, "syy": y * y})
+        g = df.groupby("k", sort=False).sum().reset_index()
+        return pa.table({key_col: pa.array(g["k"]),
+                         "n": pa.array(g["n"], pa.int64()),
+                         "sx": pa.array(g["sx"], pa.int64()),
+                         "sy": pa.array(g["sy"], pa.int64()),
+                         "sxy": pa.array(g["sxy"], pa.int64()),
+                         "sxx": pa.array(g["sxx"], pa.int64()),
+                         "syy": pa.array(g["syy"], pa.int64())})
+
+    m = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby(key_col)
+         .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                    Sum("sy", alias_name="sy"),
+                    Sum("sxy", alias_name="sxy"),
+                    Sum("sxx", alias_name="sxx"),
+                    Sum("syy", alias_name="syy"))
+         .to_pandas())
+    rows = []
+    for _, r in m.iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        num = n * int(r["sxy"]) - sx * sy
+        dx = n * int(r["sxx"]) - sx * sx
+        dy = n * int(r["syy"]) - sy * sy
+        slope = float(num) / float(dx) / 100.0 if dx else 0.0
+        r2 = (float(num) * float(num)) / (float(dx) * float(dy)) \
+            if dx and dy else 0.0
+        rows.append((r[key_col], n, slope, r2))
+    return (pd.DataFrame(rows, columns=[key_col, "n", "slope", "r2"])
+            .sort_values(key_col).reset_index(drop=True))

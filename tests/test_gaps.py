@@ -124,3 +124,32 @@ def test_peak_concurrency_matches_brute():
         "ts": pd.to_datetime([0, 1800], unit="s")})
     got2 = peak_concurrency_by_key(ray.data.from_pandas(df2))
     assert int(got2["peak"].iloc[0]) == 1
+
+
+def test_rolling_active_matches_brute():
+    from cartwright_ray.stages.gaps import rolling_active_entities
+
+    rng = np.random.default_rng(71)
+    rows = []
+    for u in range(60):
+        for d in np.unique(rng.integers(0, 25,
+                                        int(rng.integers(1, 12)))):
+            rows.append((u, int(d) * 86400 + 7))
+    df = pd.DataFrame(rows, columns=["user_id", "sec"])
+    df["ts"] = pd.to_datetime(df["sec"], unit="s")
+
+    pres = set(zip(df.user_id, df.sec // 86400))
+    d0 = min(d for _, d in pres)
+    d1 = max(d for _, d in pres)
+    want = []
+    for day in range(d0, d1 + 1):
+        users = {u for u, d in pres if day - 6 <= d <= day}
+        if users:
+            want.append((day, len(users)))
+    want = pd.DataFrame(want, columns=["day", "n_active"])
+
+    for blocks in (1, 5):
+        got = rolling_active_entities(
+            ray.data.from_pandas(df[["user_id", "ts"]])
+            .repartition(blocks))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -329,3 +329,39 @@ def test_local_morans_matches_brute_and_quadrants():
     # both cluster cores must contain HH cells; the LISA map of a
     # two-cluster field is dominated by HH/LL agreement
     assert (got.quad == "HH").any()
+
+
+def test_cell_diversity_simpson_matches_brute():
+    from cartwright_ray.stages.hotspot import cell_diversity_simpson
+
+    rng = np.random.default_rng(77)
+    n = 3000
+    df = pd.DataFrame({
+        "lat": rng.uniform(0, 5, n),
+        "lon": rng.uniform(0, 5, n),
+        "event_type": rng.choice(list("abcd"), n)})
+
+    cells = {}
+    for la, lo, ty in zip(df.lat, df.lon, df.event_type):
+        key = (int(np.floor(lo)), int(np.floor(la)))
+        cells.setdefault(key, {}).setdefault(ty, 0)
+        cells[key][ty] += 1
+    rows = []
+    for (cx, cy), counts in sorted(cells.items()):
+        tot = sum(counts.values())
+        nn = sum(v * v for v in counts.values())
+        rows.append((cx, cy, tot, len(counts),
+                     1.0 - nn / (tot * tot)))
+    want = pd.DataFrame(rows, columns=["cx", "cy", "n_events",
+                                       "n_cats", "simpson"])
+
+    for blocks in (1, 6):
+        got = cell_diversity_simpson(
+            ray.data.from_pandas(df).repartition(blocks))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # monoculture cell: diversity exactly 0
+    mono = pd.DataFrame({"lat": [10.5] * 4, "lon": [10.5] * 4,
+                         "event_type": ["x"] * 4})
+    g2 = cell_diversity_simpson(ray.data.from_pandas(mono))
+    assert float(g2["simpson"].iloc[0]) == 0.0
