@@ -183,7 +183,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "sssp_bounded_docs_shuffle", "longest_streak_users",
              "upsert_merge_orders", "gram_matrix_embeddings",
              "sq8_ann_topk", "peak_concurrency_by_type",
-             "temperature_mixture_docs", "deviational_ellipse_users"]
+             "temperature_mixture_docs", "deviational_ellipse_users",
+             "cell_diversity_simpson", "rolling_wau_days",
+             "trend_r2_by_type"]
     out = {}
     for name in picks:
         t0 = time.time()
