@@ -1401,6 +1401,34 @@ def _q_trend_r2(sf_dir):
     return trend_r2_by_key(ds)
 
 
+def _q_percentile_rank(sf_dir):
+    """Empirical-CDF transform (stages/normalize.py:
+    percentile_rank_by_key): per-key (value, id) row_number rank and
+    pr = (rank−1)/(n−1) — one key sort exchange, whole-block segment
+    kernel, integer ranks with one float division per row. Oracle:
+    the identical window."""
+    import ray.data
+    from cartwright_ray.stages.normalize import percentile_rank_by_key
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"])
+    return percentile_rank_by_key(ds)
+
+
+def _q_rolling_anomaly(sf_dir):
+    """Rolling anomaly-day detection
+    (stages/trend.py:rolling_anomaly_by_key): trailing 7-day
+    mean/variance of dense daily counts via integer prefix sums, 2-
+    sigma flag in squared form (no sqrt in the comparison). Oracle:
+    generate_series dense bins + ROWS-frame windows + the identical
+    flag expression."""
+    import ray.data
+    from cartwright_ray.stages.trend import rolling_anomaly_by_key
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+    return rolling_anomaly_by_key(ds)
+
+
 def _q_gap_quantiles(sf_dir):
     """Inter-arrival gap percentiles per event type
     (stages/gaps.py:gap_quantiles_by_key): µs gaps between one user's
@@ -3749,6 +3777,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_diversity_simpson": _q_cell_diversity,
         "rolling_wau_days": _q_rolling_wau,
         "trend_r2_by_type": _q_trend_r2,
+        "percentile_rank_events": _q_percentile_rank,
+        "rolling_anomaly_days": _q_rolling_anomaly,
         "distance_transform_cells": _q_distance_transform,
         "rasterize_admin_polygons": _q_rasterize,
         "zonal_mode_admin": _q_zonal_mode,
@@ -5409,6 +5439,62 @@ def oracle_sql() -> dict[str, str]:
             FROM cells c CROSS JOIN offs o
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        "rolling_anomaly_days": """
+            WITH p AS (
+                SELECT event_type AS k,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events),
+            g AS (SELECT min(day) AS d0, max(day) AS d1 FROM p),
+            cb AS (SELECT k, day, CAST(count(*) AS BIGINT) AS n
+                   FROM p GROUP BY 1, 2),
+            ks AS (SELECT DISTINCT k FROM cb),
+            days AS (SELECT unnest(generate_series(
+                         (SELECT d0 FROM g), (SELECT d1 FROM g)))
+                         AS day),
+            dense AS (
+                SELECT ks.k, days.day, coalesce(cb.n, 0) AS x
+                FROM ks CROSS JOIN days
+                LEFT JOIN cb ON cb.k = ks.k AND cb.day = days.day),
+            win AS (
+                SELECT k, day, x,
+                       CAST(count(*) OVER wf AS BIGINT) AS w,
+                       CAST(sum(x) OVER wf AS BIGINT) AS s,
+                       CAST(sum(x * x) OVER wf AS BIGINT) AS ss
+                FROM dense
+                WINDOW wf AS (PARTITION BY k ORDER BY day
+                              ROWS BETWEEN 6 PRECEDING
+                                   AND CURRENT ROW))
+            SELECT k AS event_type, day, x, w,
+                   CAST(s AS DOUBLE) / CAST(w AS DOUBLE) AS mu,
+                   CAST(CASE WHEN
+                       (CAST(x AS DOUBLE)
+                        - CAST(s AS DOUBLE) / CAST(w AS DOUBLE))
+                       * (CAST(x AS DOUBLE)
+                          - CAST(s AS DOUBLE) / CAST(w AS DOUBLE))
+                       > 4.0 * (CAST(ss AS DOUBLE) / CAST(w AS DOUBLE)
+                                - (CAST(s AS DOUBLE)
+                                   / CAST(w AS DOUBLE))
+                                  * (CAST(s AS DOUBLE)
+                                     / CAST(w AS DOUBLE)))
+                       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+            FROM win ORDER BY k, day
+        """,
+        "percentile_rank_events": """
+            WITH r AS (
+                SELECT event_id, event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value, event_id)
+                           AS rank,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events)
+            SELECT event_id, event_type, value,
+                   CAST(rank AS BIGINT) AS rank,
+                   CASE WHEN n > 1
+                        THEN CAST(rank - 1 AS DOUBLE)
+                             / CAST(n - 1 AS DOUBLE)
+                        ELSE 0.0 END AS pr
+            FROM r ORDER BY event_type, rank
         """,
         "trend_r2_by_type": """
             WITH pts AS (

@@ -160,3 +160,51 @@ def mad_outliers_by_key(ds, key_col: str, val_col: str,
     for col in ("n", "median_cents", "mad_cents", "n_outliers"):
         out[col] = out[col].astype("int64")
     return out
+
+
+def percentile_rank_by_key(ds, key_col: str = "event_type",
+                           val_col: str = "value",
+                           id_col: str = "event_id") -> pd.DataFrame:
+    """Empirical-CDF (quantile) transform — each row's percentile rank
+    within its key: pr = (rank − 1)/(n − 1), rank by (value, id) so
+    ties resolve deterministically (row_number semantics, mirrored in
+    the oracle's window). The standard rank-gaussianization front half
+    of feature engineering.
+
+    Scale shape: ONE sort exchange keyed on the key column alone, then
+    a whole-block kernel — per-key rank and count are one lexsort +
+    segment arithmetic across ALL keys in the block; ranks are exact
+    integers and pr is one closing float division per row.
+
+    → pandas (id, key, value, rank, pr) sorted by (key, rank)."""
+    from .partition import key_segments
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([
+                pa.field(id_col, pa.int64()),
+                pa.field(key_col, pa.string()),
+                pa.field(val_col, pa.float64()),
+                pa.field("rank", pa.int64()),
+                pa.field("pr", pa.float64())]).empty_table()
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        v = np.asarray(t[val_col], np.float64)
+        i = np.asarray(t[id_col], np.int64)
+        order = np.lexsort((i, v, k))
+        k, v, i = k[order], v[order], i[order]
+        starts, seg = key_segments(k)
+        n = np.diff(np.r_[starts, len(k)])
+        rank = np.arange(len(k), dtype=np.int64) - starts[seg] + 1
+        denom = (n[seg] - 1).astype(np.float64)
+        pr = np.where(denom > 0, (rank - 1) / np.where(denom > 0,
+                                                       denom, 1.0), 0.0)
+        return pa.table({id_col: pa.array(i),
+                         key_col: pa.array(k, pa.string()),
+                         val_col: pa.array(v, pa.float64()),
+                         "rank": pa.array(rank),
+                         "pr": pa.array(pr, pa.float64())})
+
+    out = (ds.sort(key_col)
+           .map_batches(kernel, batch_format="pyarrow",
+                        batch_size=None).to_pandas())
+    return out.sort_values([key_col, "rank"]).reset_index(drop=True)

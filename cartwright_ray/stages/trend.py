@@ -236,3 +236,105 @@ def trend_r2_by_key(ds, key_col: str = "event_type", ts_col: str = "ts",
         rows.append((r[key_col], n, slope, r2))
     return (pd.DataFrame(rows, columns=[key_col, "n", "slope", "r2"])
             .sort_values(key_col).reset_index(drop=True))
+
+
+def rolling_anomaly_by_key(ds, window: int = 7,
+                           key_col: str = "event_type",
+                           ts_col: str = "ts",
+                           bin_us: int = 86_400_000_000
+                           ) -> pd.DataFrame:
+    """Rolling anomaly-day detection: for every (key, day) over the
+    DENSE global range, the trailing ``window``-day mean/variance of
+    the daily counts (window includes the current day; early days use
+    the shorter prefix — the SQL ROWS-frame convention) and a 2σ flag
+    in SQUARED form, (x − μ)² > 4·(Σx²/w − μ²), so no sqrt enters the
+    comparison. Counts and window sums are exact int64 via prefix
+    sums; μ and the flag are shared float expressions.
+
+    Same dense-kernel scale shape as :func:`acf_by_key`: (key, bin)
+    partials → one groupby → O(1) range reduce → ONE key exchange →
+    per-key prefix-sum kernel. → pandas (key, day, x, w, mu,
+    is_anomaly) sorted."""
+    from ray.data.aggregate import Sum
+
+    from .partition import hash_partitioned
+
+    def cb_partial(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t[ts_col].cast(pa.timestamp("us"))
+                        .cast(pa.int64()), np.int64)
+        df = pd.DataFrame({"k": t[key_col].to_numpy(
+            zero_copy_only=False), "b": ts // bin_us, "n": 1})
+        g = df.groupby(["k", "b"], sort=False).sum().reset_index()
+        return pa.table({key_col: pa.array(g["k"]),
+                         "b": pa.array(g["b"], pa.int64()),
+                         "n": pa.array(g["n"], pa.int64())})
+
+    cb = (ds.map_batches(cb_partial, batch_format="pyarrow")
+          .groupby([key_col, "b"])
+          .aggregate(Sum("n", alias_name="n"))
+          .materialize())
+
+    rng = cb.map_batches(
+        lambda t: pa.table({"d0": [int(np.asarray(t["b"]).min())],
+                            "d1": [int(np.asarray(t["b"]).max())]}),
+        batch_format="pyarrow").to_pandas()
+    cols = [key_col, "day", "x", "w", "mu", "is_anomaly"]
+    if rng.empty:
+        return pd.DataFrame(columns=cols)
+    d0, d1 = int(rng["d0"].min()), int(rng["d1"].max())
+    nb = d1 - d0 + 1
+
+    parted = hash_partitioned(cb, [key_col])
+    if parted is None:
+        return pd.DataFrame(columns=cols)
+
+    out_schema = pa.schema([
+        pa.field(key_col, pa.string()), pa.field("day", pa.int64()),
+        pa.field("x", pa.int64()), pa.field("w", pa.int64()),
+        pa.field("mu", pa.float64()),
+        pa.field("is_anomaly", pa.int64())])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        b = np.asarray(t["b"], np.int64) - d0
+        n = np.asarray(t["n"], np.int64)
+        order = np.argsort(keys, kind="stable")
+        keys, b, n = keys[order], b[order], n[order]
+        new = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(keys)]
+        out = {c: [] for c in cols}
+        idx = np.arange(nb)
+        w = np.minimum(idx + 1, window).astype(np.int64)
+        lo = idx - w                      # exclusive prefix index
+        for s, e in zip(starts, ends):
+            c = np.zeros(nb, np.int64)
+            c[b[s:e]] = n[s:e]
+            p1 = np.r_[0, np.cumsum(c)]
+            p2 = np.r_[0, np.cumsum(c * c)]
+            S = p1[idx + 1] - p1[lo + 1]
+            SS = p2[idx + 1] - p2[lo + 1]
+            fw = w.astype(np.float64)
+            mu = S / fw
+            var = SS / fw - mu * mu
+            x = c.astype(np.float64)
+            flag = ((x - mu) * (x - mu) > 4.0 * var).astype(np.int64)
+            out[key_col].extend([keys[s]] * nb)
+            out["day"].extend((idx + d0).tolist())
+            out["x"].extend(c.tolist())
+            out["w"].extend(w.tolist())
+            out["mu"].extend(mu.tolist())
+            out["is_anomaly"].extend(flag.tolist())
+        return pa.table({key_col: pa.array(out[key_col], pa.string()),
+                         "day": pa.array(out["day"], pa.int64()),
+                         "x": pa.array(out["x"], pa.int64()),
+                         "w": pa.array(out["w"], pa.int64()),
+                         "mu": pa.array(out["mu"], pa.float64()),
+                         "is_anomaly": pa.array(out["is_anomaly"],
+                                                pa.int64())})
+
+    out = parted.map_batches(kernel, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    return out.sort_values([key_col, "day"]).reset_index(drop=True)

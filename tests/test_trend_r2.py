@@ -47,3 +47,60 @@ def test_matches_brute_and_extremes():
     assert got.loc["flat", "r2"] == 0.0
     assert 0.0 < got.loc["noisy", "r2"] < 1.0
     assert abs(got.loc["lin", "slope"] - 3.0) < 1e-6
+
+
+def test_percentile_rank_matches_pandas():
+    from cartwright_ray.stages.normalize import percentile_rank_by_key
+
+    rng = np.random.default_rng(91)
+    n = 800
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "event_type": rng.choice(list("pq"), n),
+        "value": np.round(rng.normal(size=n), 3)})
+
+    want_rows = []
+    for k, g in df.groupby("event_type"):
+        g = g.sort_values(["value", "event_id"]).reset_index(drop=True)
+        m = len(g)
+        for r, (_, row) in enumerate(g.iterrows(), start=1):
+            want_rows.append((row.event_id, k, row.value, r,
+                              (r - 1) / (m - 1) if m > 1 else 0.0))
+    want = pd.DataFrame(want_rows, columns=["event_id", "event_type",
+                                            "value", "rank", "pr"]) \
+        .sort_values(["event_type", "rank"]).reset_index(drop=True)
+
+    for blocks in (1, 5):
+        got = percentile_rank_by_key(
+            ray.data.from_pandas(df).repartition(blocks))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got.groupby("event_type")["pr"].max().eq(1.0).all()
+
+
+def test_rolling_anomaly_flags_planted_spike():
+    from cartwright_ray.stages.trend import rolling_anomaly_by_key
+
+    rows = []
+    base = np.datetime64("2024-03-01", "us")
+    for d in range(30):
+        n = 5 if d != 20 else 80          # planted spike day 20
+        for i in range(n):
+            rows.append(("s", base + np.timedelta64(d * 86400 + i,
+                                                    "s")))
+    df = pd.DataFrame(rows, columns=["event_type", "ts"])
+
+    runs = [rolling_anomaly_by_key(ray.data.from_pandas(df)
+                                   .repartition(b)) for b in (1, 4)]
+    pd.testing.assert_frame_equal(runs[0], runs[1])
+    got = runs[0]
+    d0 = int(got["day"].min())
+
+    flagged = set(got[got.is_anomaly == 1]["day"] - d0)
+    assert 20 in flagged
+    # steady-state days are not flagged
+    assert not ({5, 6, 7, 10, 15} & flagged)
+    # brute replay of one mid-series window
+    row = got[(got.day - d0) == 15].iloc[0]
+    window = [5] * 7
+    mu = sum(window) / 7
+    assert abs(row.mu - mu) < 1e-12 and row.w == 7
