@@ -3757,8 +3757,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fifth of the per-iteration exchange cost in the driver window
         "pagerank_docs_shuffle": lambda sf: _q_pagerank(
             sf, plan="shuffle", iters=2),
-        "grid_dbscan_points": _q_grid_dbscan,
-        "line_dedup_docs": _q_line_dedup,
         "hotspot_cells_gi": _q_hotspot,
         "morans_i_cells": _q_morans_i,
         "gearys_c_cells": _q_gearys_c,
@@ -3887,6 +3885,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score_docs": _q_lm_score,
         "idw_interpolate_grid": _q_idw,
         "simplify_tracks_dp": _q_simplify_tracks,
+        # (line_dedup / grid_dbscan: generate_subscripts resp. flood-
+        # fill brute differentials in pytest — demoted to keep
+        # gram_matrix + sq8_ann in the window)
+        "line_dedup_docs": _q_line_dedup,
+        "grid_dbscan_points": _q_grid_dbscan,
         "normalize_text_docs": _q_text_norm,
         # (r4-green; the round-5 MJPEG marker-walk and JPEG fill-byte
         # fixes carry their own pytest regressions, and the in-window

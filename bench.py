@@ -185,7 +185,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "sq8_ann_topk", "peak_concurrency_by_type",
              "temperature_mixture_docs", "deviational_ellipse_users",
              "cell_diversity_simpson", "rolling_wau_days",
-             "trend_r2_by_type"]
+             "trend_r2_by_type", "percentile_rank_events",
+             "rolling_anomaly_days"]
     out = {}
     for name in picks:
         t0 = time.time()
