@@ -4546,21 +4546,28 @@ def oracle_sql() -> dict[str, str]:
                   ON a.user_id < b.user_id
                  AND a.xmin <= b.xmax + 12 AND a.xmax >= b.xmin - 12
                  AND a.ymin <= b.ymax + 12 AND a.ymax >= b.ymin - 12),
+            pd0 AS MATERIALIZED (
+                -- distinct per-user points: duplicates collapse in
+                -- the per-point GROUP BY anyway (Hausdorff is a
+                -- max-min over the point SET) and the derived grid
+                -- has <=437 distinct points/user, so this shrinks
+                -- the quadratic join ~15x at sf0.1
+                SELECT DISTINCT user_id, x, y FROM p),
+            d2t AS MATERIALIZED (
+                SELECT c.ua, c.ub, pa.x AS ax, pa.y AS ay,
+                       pb.x AS bx, pb.y AS by,
+                       (pa.x - pb.x) * (pa.x - pb.x)
+                           + (pa.y - pb.y) * (pa.y - pb.y) AS d2
+                FROM cand c
+                JOIN pd0 pa ON pa.user_id = c.ua
+                JOIN pd0 pb ON pb.user_id = c.ub),
             dm AS (
                 SELECT ua, ub, dir, px, py, min(d2) AS dmin FROM (
-                    SELECT c.ua, c.ub, 0 AS dir, pa.x AS px, pa.y AS py,
-                           (pa.x - pb.x) * (pa.x - pb.x)
-                               + (pa.y - pb.y) * (pa.y - pb.y) AS d2
-                    FROM cand c
-                    JOIN p pa ON pa.user_id = c.ua
-                    JOIN p pb ON pb.user_id = c.ub
+                    SELECT ua, ub, 0 AS dir, ax AS px, ay AS py,
+                           d2 FROM d2t
                     UNION ALL
-                    SELECT c.ua, c.ub, 1 AS dir, pb.x AS px, pb.y AS py,
-                           (pa.x - pb.x) * (pa.x - pb.x)
-                               + (pa.y - pb.y) * (pa.y - pb.y) AS d2
-                    FROM cand c
-                    JOIN p pa ON pa.user_id = c.ua
-                    JOIN p pb ON pb.user_id = c.ub)
+                    SELECT ua, ub, 1 AS dir, bx AS px, by AS py,
+                           d2 FROM d2t)
                 GROUP BY ua, ub, dir, px, py),
             h AS (SELECT ua, ub, CAST(max(dmin) AS BIGINT) AS h2
                   FROM dm GROUP BY ua, ub)
@@ -7669,21 +7676,28 @@ def oracle_sql() -> dict[str, str]:
                   ON a.user_id < b.user_id
                  AND a.xmin <= b.xmax + 12 AND a.xmax >= b.xmin - 12
                  AND a.ymin <= b.ymax + 12 AND a.ymax >= b.ymin - 12),
+            pd0 AS MATERIALIZED (
+                -- distinct per-user points: duplicates collapse in
+                -- the per-point GROUP BY anyway (Hausdorff is a
+                -- max-min over the point SET) and the derived grid
+                -- has <=437 distinct points/user, so this shrinks
+                -- the quadratic join ~15x at sf0.1
+                SELECT DISTINCT user_id, x, y FROM p),
+            d2t AS MATERIALIZED (
+                SELECT c.ua, c.ub, pa.x AS ax, pa.y AS ay,
+                       pb.x AS bx, pb.y AS by,
+                       (pa.x - pb.x) * (pa.x - pb.x)
+                           + (pa.y - pb.y) * (pa.y - pb.y) AS d2
+                FROM cand c
+                JOIN pd0 pa ON pa.user_id = c.ua
+                JOIN pd0 pb ON pb.user_id = c.ub),
             dm AS (
                 SELECT ua, ub, dir, px, py, min(d2) AS dmin FROM (
-                    SELECT c.ua, c.ub, 0 AS dir, pa.x AS px, pa.y AS py,
-                           (pa.x - pb.x) * (pa.x - pb.x)
-                               + (pa.y - pb.y) * (pa.y - pb.y) AS d2
-                    FROM cand c
-                    JOIN p pa ON pa.user_id = c.ua
-                    JOIN p pb ON pb.user_id = c.ub
+                    SELECT ua, ub, 0 AS dir, ax AS px, ay AS py,
+                           d2 FROM d2t
                     UNION ALL
-                    SELECT c.ua, c.ub, 1 AS dir, pb.x AS px, pb.y AS py,
-                           (pa.x - pb.x) * (pa.x - pb.x)
-                               + (pa.y - pb.y) * (pa.y - pb.y) AS d2
-                    FROM cand c
-                    JOIN p pa ON pa.user_id = c.ua
-                    JOIN p pb ON pb.user_id = c.ub)
+                    SELECT ua, ub, 1 AS dir, bx AS px, by AS py,
+                           d2 FROM d2t)
                 GROUP BY ua, ub, dir, px, py),
             hd AS (SELECT ua, ub FROM (
                        SELECT ua, ub, max(dmin) AS h2
