@@ -1429,6 +1429,19 @@ def _q_rolling_anomaly(sf_dir):
     return rolling_anomaly_by_key(ds)
 
 
+def _q_ewma(sf_dir):
+    """Exponential smoothing of daily counts at alpha = 1/2
+    (stages/trend.py:ewma_daily_by_key): every term is an exact dyadic
+    rational so the smoothed series is bit-exact in any engine — the
+    oracle replays it as a j <= t self-join with power(0.5, t-j+1)
+    weights over dense generate_series bins."""
+    import ray.data
+    from cartwright_ray.stages.trend import ewma_daily_by_key
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+    return ewma_daily_by_key(ds)
+
+
 def _q_gap_quantiles(sf_dir):
     """Inter-arrival gap percentiles per event type
     (stages/gaps.py:gap_quantiles_by_key): µs gaps between one user's
@@ -3777,6 +3790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trend_r2_by_type": _q_trend_r2,
         "percentile_rank_events": _q_percentile_rank,
         "rolling_anomaly_days": _q_rolling_anomaly,
+        "ewma_daily_by_type": _q_ewma,
         "distance_transform_cells": _q_distance_transform,
         "rasterize_admin_polygons": _q_rasterize,
         "zonal_mode_admin": _q_zonal_mode,
@@ -5449,6 +5463,31 @@ def oracle_sql() -> dict[str, str]:
             FROM cells c CROSS JOIN offs o
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        "ewma_daily_by_type": """
+            WITH p AS (
+                SELECT event_type AS k,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events),
+            g AS (SELECT min(day) AS d0, max(day) AS d1 FROM p),
+            cb AS (SELECT k, day, CAST(count(*) AS BIGINT) AS n
+                   FROM p GROUP BY 1, 2),
+            ks AS (SELECT DISTINCT k FROM cb),
+            days AS (SELECT unnest(generate_series(
+                         (SELECT d0 FROM g), (SELECT d1 FROM g)))
+                         AS day),
+            dense AS (
+                SELECT ks.k, days.day, coalesce(cb.n, 0) AS x
+                FROM ks CROSS JOIN days
+                LEFT JOIN cb ON cb.k = ks.k AND cb.day = days.day)
+            SELECT a.k AS event_type, a.day,
+                   CAST(a.x AS BIGINT) AS x,
+                   sum(CAST(b.x AS DOUBLE)
+                       * power(0.5, a.day - b.day + 1)) AS ewma
+            FROM dense a JOIN dense b
+              ON b.k = a.k AND b.day <= a.day
+            GROUP BY a.k, a.day, a.x
+            ORDER BY a.k, a.day
         """,
         "rolling_anomaly_days": """
             WITH p AS (

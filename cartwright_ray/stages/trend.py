@@ -338,3 +338,92 @@ def rolling_anomaly_by_key(ds, window: int = 7,
     out = parted.map_batches(kernel, batch_format="pyarrow",
                              batch_size=None).to_pandas()
     return out.sort_values([key_col, "day"]).reset_index(drop=True)
+
+
+def ewma_daily_by_key(ds, key_col: str = "event_type",
+                      ts_col: str = "ts",
+                      bin_us: int = 86_400_000_000) -> pd.DataFrame:
+    """Exponential smoothing of daily counts, α = ½ — the streaming
+    forecast/trend primitive: e_t = (e_{t−1} + x_t)/2 over the DENSE
+    global bin range (e_{−1} = 0).
+
+    α = ½ is chosen deliberately: every term x_{t−k}·2^{−(k+1)} is an
+    exact dyadic rational, and with counts < 2¹² over ≤ 40 bins the
+    partial sums span < 52 mantissa bits — so the smoothed value is
+    EXACT in float64, in any summation order, in any engine. (General
+    α would round at every step and diverge per plan.) The DuckDB
+    replay (j ≤ t self-join with power(0.5, t−j+1) weights) is
+    bit-identical.
+
+    Same dense-kernel shape as :func:`acf_by_key`; the per-key
+    recurrence is a 1-vector loop over ≤bins steps. → pandas
+    (key, day, x, ewma) sorted."""
+    from ray.data.aggregate import Sum
+
+    from .partition import hash_partitioned
+
+    def cb_partial(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t[ts_col].cast(pa.timestamp("us"))
+                        .cast(pa.int64()), np.int64)
+        df = pd.DataFrame({"k": t[key_col].to_numpy(
+            zero_copy_only=False), "b": ts // bin_us, "n": 1})
+        g = df.groupby(["k", "b"], sort=False).sum().reset_index()
+        return pa.table({key_col: pa.array(g["k"]),
+                         "b": pa.array(g["b"], pa.int64()),
+                         "n": pa.array(g["n"], pa.int64())})
+
+    cb = (ds.map_batches(cb_partial, batch_format="pyarrow")
+          .groupby([key_col, "b"])
+          .aggregate(Sum("n", alias_name="n"))
+          .materialize())
+
+    rng = cb.map_batches(
+        lambda t: pa.table({"d0": [int(np.asarray(t["b"]).min())],
+                            "d1": [int(np.asarray(t["b"]).max())]}),
+        batch_format="pyarrow").to_pandas()
+    cols = [key_col, "day", "x", "ewma"]
+    if rng.empty:
+        return pd.DataFrame(columns=cols)
+    d0, d1 = int(rng["d0"].min()), int(rng["d1"].max())
+    nb = d1 - d0 + 1
+
+    parted = hash_partitioned(cb, [key_col])
+    if parted is None:
+        return pd.DataFrame(columns=cols)
+
+    out_schema = pa.schema([
+        pa.field(key_col, pa.string()), pa.field("day", pa.int64()),
+        pa.field("x", pa.int64()), pa.field("ewma", pa.float64())])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        b = np.asarray(t["b"], np.int64) - d0
+        n = np.asarray(t["n"], np.int64)
+        order = np.argsort(keys, kind="stable")
+        keys, b, n = keys[order], b[order], n[order]
+        new = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(keys)]
+        out_k, out_d, out_x, out_e = [], [], [], []
+        for s, e in zip(starts, ends):
+            c = np.zeros(nb, np.int64)
+            c[b[s:e]] = n[s:e]
+            ew = np.empty(nb, np.float64)
+            acc = 0.0
+            for i in range(nb):           # bins are bounded (dense)
+                acc = (acc + float(c[i])) / 2.0
+                ew[i] = acc
+            out_k.extend([keys[s]] * nb)
+            out_d.extend(range(d0, d1 + 1))
+            out_x.extend(c.tolist())
+            out_e.extend(ew.tolist())
+        return pa.table({key_col: pa.array(out_k, pa.string()),
+                         "day": pa.array(out_d, pa.int64()),
+                         "x": pa.array(out_x, pa.int64()),
+                         "ewma": pa.array(out_e, pa.float64())})
+
+    out = parted.map_batches(kernel, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    return out.sort_values([key_col, "day"]).reset_index(drop=True)

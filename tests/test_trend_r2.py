@@ -104,3 +104,35 @@ def test_rolling_anomaly_flags_planted_spike():
     window = [5] * 7
     mu = sum(window) / 7
     assert abs(row.mu - mu) < 1e-12 and row.w == 7
+
+
+def test_ewma_exact_dyadic_recurrence():
+    from cartwright_ray.stages.trend import ewma_daily_by_key
+
+    rng = np.random.default_rng(97)
+    rows = []
+    base = np.datetime64("2024-05-01", "us")
+    counts = {d: int(rng.integers(0, 50)) for d in range(25)}
+    for d, n in counts.items():
+        for i in range(n):
+            rows.append(("e", base + np.timedelta64(d * 86400 + i,
+                                                    "s")))
+    df = pd.DataFrame(rows, columns=["event_type", "ts"])
+
+    runs = [ewma_daily_by_key(ray.data.from_pandas(df)
+                              .repartition(b)) for b in (1, 4)]
+    pd.testing.assert_frame_equal(runs[0], runs[1])
+    got = runs[0]
+
+    # brute recurrence — must be BIT-exact (dyadic arithmetic)
+    acc = 0.0
+    d0 = int(got.day.min())
+    for _, r in got.iterrows():
+        acc = (acc + counts.get(int(r.day) - d0, 0)) / 2.0
+        assert r.ewma == acc
+    # ... and equal to the explicit weighted sum in any order
+    days = sorted(counts)
+    for t in (5, 12, 24):
+        want = sum(counts[j] * 0.5 ** (t - j + 1)
+                   for j in days if j <= t)
+        assert float(got[got.day - d0 == t]["ewma"].iloc[0]) == want
