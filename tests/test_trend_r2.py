@@ -124,15 +124,20 @@ def test_ewma_exact_dyadic_recurrence():
     pd.testing.assert_frame_equal(runs[0], runs[1])
     got = runs[0]
 
-    # brute recurrence — must be BIT-exact (dyadic arithmetic)
-    acc = 0.0
+    # brute recurrence — must be BIT-exact (dyadic arithmetic).
+    # d0 is the first day WITH events (zero-count leading days are
+    # outside the dense range), so rebase counts onto it.
     d0 = int(got.day.min())
+    base_day = int(np.datetime64("2024-05-01").astype(
+        "datetime64[D]").astype(int))
+    off = d0 - base_day
+    acc = 0.0
     for _, r in got.iterrows():
-        acc = (acc + counts.get(int(r.day) - d0, 0)) / 2.0
+        acc = (acc + counts.get(int(r.day) - base_day, 0)) / 2.0
         assert r.ewma == acc
     # ... and equal to the explicit weighted sum in any order
-    days = sorted(counts)
-    for t in (5, 12, 24):
-        want = sum(counts[j] * 0.5 ** (t - j + 1)
-                   for j in days if j <= t)
-        assert float(got[got.day - d0 == t]["ewma"].iloc[0]) == want
+    present = sorted(int(d) for d in got.day)
+    for t in present[::7]:
+        want = sum(counts.get(j - base_day, 0) * 0.5 ** (t - j + 1)
+                   for j in range(d0, t + 1))
+        assert float(got[got.day == t]["ewma"].iloc[0]) == want
