@@ -3763,7 +3763,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knox_space_time": _q_knox,
         "track_clusters": _q_track_clusters,
         "pii_redact_docs": _q_pii_redact,
-        "convoy_pairs_users": _q_convoy,
         "media_features_jpeg_progressive": _q_media_jpeg_progressive,
         "pagerank_docs": _q_pagerank,
         # shuffle plan at 2 iterations: proves the scale path at a
@@ -3904,6 +3903,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gram_matrix + sq8_ann in the window)
         "line_dedup_docs": _q_line_dedup,
         "grid_dbscan_points": _q_grid_dbscan,
+        # (convoy_pairs: planted-convoy brute differential in pytest
+        # — demoted to fit ewma_daily_by_type)
+        "convoy_pairs_users": _q_convoy,
         "normalize_text_docs": _q_text_norm,
         # (r4-green; the round-5 MJPEG marker-walk and JPEG fill-byte
         # fixes carry their own pytest regressions, and the in-window
