@@ -1442,6 +1442,16 @@ def _q_ewma(sf_dir):
     return ewma_daily_by_key(ds)
 
 
+def _q_quadrat(sf_dir):
+    """Quadrat variance-mean ratio (stages/hotspot.py:quadrat_vmr):
+    CSR test over dense 1-degree quadrats — the shared integer moment
+    reduce, one closing float expression. Oracle mirrors it over the
+    same bbox arithmetic."""
+    from cartwright_ray.pipelines.relational import derived_track_points
+    from cartwright_ray.stages.hotspot import quadrat_vmr
+    return quadrat_vmr(derived_track_points(sf_dir))
+
+
 def _q_gap_quantiles(sf_dir):
     """Inter-arrival gap percentiles per event type
     (stages/gaps.py:gap_quantiles_by_key): µs gaps between one user's
@@ -3790,6 +3800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_rank_events": _q_percentile_rank,
         "rolling_anomaly_days": _q_rolling_anomaly,
         "ewma_daily_by_type": _q_ewma,
+        "quadrat_vmr_points": _q_quadrat,
         "distance_transform_cells": _q_distance_transform,
         "rasterize_admin_polygons": _q_rasterize,
         "zonal_mode_admin": _q_zonal_mode,
@@ -5465,6 +5476,36 @@ def oracle_sql() -> dict[str, str]:
             FROM cells c CROSS JOIN offs o
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        "quadrat_vmr_points": """
+            WITH tpts AS (
+                SELECT CAST((user_id * 13 % 120) - 60.0
+                            + (event_id * 7 % 19) * 0.125
+                            + CASE WHEN event_id % 11 = 0 THEN 15.0
+                                   ELSE 0.0 END AS DOUBLE) AS lat,
+                       CAST((user_id * 29 % 300) - 150.0
+                            + (event_id * 3 % 23) * 0.125 AS DOUBLE) AS lon
+                FROM events),
+            cells AS (
+                SELECT CAST(floor(lon) AS BIGINT) AS cx,
+                       CAST(floor(lat) AS BIGINT) AS cy,
+                       CAST(count(*) AS BIGINT) AS x
+                FROM tpts GROUP BY 1, 2),
+            g AS (SELECT CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(x * x) AS BIGINT) AS sxx,
+                         (max(cx) - min(cx) + 1)
+                             * (max(cy) - min(cy) + 1) AS n
+                  FROM cells)
+            SELECT CAST(n AS BIGINT) AS n_quadrats,
+                   sx AS n_points,
+                   CASE WHEN n < 2 OR sx = 0 THEN 0.0
+                        ELSE ((CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                              / CAST(n - 1 AS DOUBLE))
+                             / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                   END AS vmr
+            FROM g
         """,
         "ewma_daily_by_type": """
             WITH p AS (

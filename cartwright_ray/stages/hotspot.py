@@ -1045,3 +1045,46 @@ def cell_diversity_simpson(ds, cat_col: str = "event_type",
 
     out = agg.map_batches(close, batch_format="pyarrow").to_pandas()
     return out.sort_values(["cx", "cy"]).reset_index(drop=True)
+
+
+def quadrat_vmr(ds, lat_col: str = "lat", lon_col: str = "lon"):
+    """Quadrat-count complete-spatial-randomness test: the
+    variance-mean ratio of per-cell counts over the DENSE occupied
+    bbox (empty cells are 0-count quadrats — the classic Greig-Smith
+    convention; VMR ≈ 1 under CSR, > 1 clustered, < 1 regular).
+
+    All moments are the exact int64 (Σx, Σx², bbox) reduce shared with
+    :func:`morans_i`; VMR = (Σx² − (Σx)²/n)/(n−1) / (Σx/n) is one
+    float expression. → pandas single row (n_quadrats, n_points, vmr).
+    """
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    cells = (ds.map_batches(
+                 functools.partial(_cells_partial, lat_col=lat_col,
+                                   lon_col=lon_col),
+                 batch_format="pyarrow")
+             .groupby(["cx", "cy"])
+             .aggregate(Sum("x", alias_name="x")))
+
+    agg = cells.map_batches(
+        lambda t: pa.table({
+            "sx": [int(np.asarray(t["x"], np.int64).sum())],
+            "sxx": [int((np.asarray(t["x"], np.int64) ** 2).sum())],
+            "xmin": [int(np.asarray(t["cx"], np.int64).min())],
+            "xmax": [int(np.asarray(t["cx"], np.int64).max())],
+            "ymin": [int(np.asarray(t["cy"], np.int64).min())],
+            "ymax": [int(np.asarray(t["cy"], np.int64).max())]}),
+        batch_format="pyarrow").to_pandas()
+    sx, sxx = int(agg["sx"].sum()), int(agg["sxx"].sum())
+    n = (int(agg["xmax"].max()) - int(agg["xmin"].min()) + 1) \
+        * (int(agg["ymax"].max()) - int(agg["ymin"].min()) + 1)
+    if n < 2 or sx == 0:
+        return pd.DataFrame([(n, sx, 0.0)],
+                            columns=["n_quadrats", "n_points", "vmr"])
+    var = (float(sxx) - float(sx) * float(sx) / float(n)) \
+        / float(n - 1)
+    vmr = var / (float(sx) / float(n))
+    return pd.DataFrame([(n, sx, vmr)],
+                        columns=["n_quadrats", "n_points", "vmr"])

@@ -365,3 +365,46 @@ def test_cell_diversity_simpson_matches_brute():
                          "event_type": ["x"] * 4})
     g2 = cell_diversity_simpson(ray.data.from_pandas(mono))
     assert float(g2["simpson"].iloc[0]) == 0.0
+
+
+def test_quadrat_vmr_regimes():
+    """VMR discriminates the three point-pattern regimes, and the
+    moment arithmetic matches a dense-grid brute replay."""
+    from cartwright_ray.stages.hotspot import quadrat_vmr
+
+    rng = np.random.default_rng(101)
+
+    def vmr_of(lat, lon):
+        df = pd.DataFrame({"lat": lat, "lon": lon})
+        outs = [quadrat_vmr(ray.data.from_pandas(df).repartition(b))
+                for b in (1, 5)]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        r = outs[0].iloc[0]
+        cx = np.floor(lon).astype(int)
+        cy = np.floor(lat).astype(int)
+        R = cy.max() - cy.min() + 1
+        C = cx.max() - cx.min() + 1
+        dense = np.zeros((R, C))
+        np.add.at(dense, (cy - cy.min(), cx - cx.min()), 1)
+        n = R * C
+        want = (dense ** 2).sum() - dense.sum() ** 2 / n
+        want = (want / (n - 1)) / (dense.sum() / n)
+        assert abs(r.vmr - want) < 1e-9
+        assert r.n_quadrats == n and r.n_points == len(lat)
+        return float(r.vmr)
+
+    # clustered: everything in 2 cells of a 10x10 region
+    lat_c = np.r_[rng.uniform(0, 1, 500), rng.uniform(9, 10, 500)]
+    lon_c = np.r_[rng.uniform(0, 1, 500), rng.uniform(9, 10, 500)]
+    # uniform random over the region
+    lat_u = rng.uniform(0, 10, 1000)
+    lon_u = rng.uniform(0, 10, 1000)
+    # perfectly regular: exactly 10 per cell
+    gx, gy = np.meshgrid(np.arange(10), np.arange(10))
+    lat_r = np.repeat(gy.ravel() + 0.5, 10)
+    lon_r = np.repeat(gx.ravel() + 0.5, 10)
+
+    v_c = vmr_of(lat_c, lon_c)
+    v_u = vmr_of(lat_u, lon_u)
+    v_r = vmr_of(lat_r, lon_r)
+    assert v_c > 5.0 and 0.5 < v_u < 2.0 and v_r == 0.0
