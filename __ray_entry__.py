@@ -7785,8 +7785,13 @@ def oracle_sql() -> dict[str, str]:
                        SELECT ua, ub, max(dmin) AS h2
                        FROM dm GROUP BY ua, ub)
                    WHERE h2 <= 144),
-            edges AS (SELECT ua AS u, ub AS v FROM hd
-                      UNION SELECT ub, ua FROM hd),
+            edges AS MATERIALIZED (
+                -- MATERIALIZED is load-bearing: the recursive closure
+                -- references edges EVERY iteration, and an inlined CTE
+                -- would re-evaluate the whole Hausdorff chain each
+                -- round (measured: minutes -> seconds at sf0.1)
+                SELECT ua AS u, ub AS v FROM hd
+                UNION SELECT ub, ua FROM hd),
             reach(u, v) AS (
                 SELECT u, v FROM edges
                 UNION
