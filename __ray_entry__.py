@@ -3766,7 +3766,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prove the scale path at half the 2-round cost
         "kcore_docs_shuffle": lambda sf: _q_kcore(
             sf, plan="shuffle", rounds=1),
-        "dup_gram_spans_docs": _q_dup_spans,
         "semivariogram_points": _q_semivariogram,
         "snap_to_roads": _q_snap_roads,
         "kde_heatmap_cells": _q_kde_cells,
@@ -3917,6 +3916,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (convoy_pairs: planted-convoy brute differential in pytest
         # — demoted to fit ewma_daily_by_type)
         "convoy_pairs_users": _q_convoy,
+        # (dup_gram_spans: planted-span brute differential in pytest
+        # — demoted to fit quadrat_vmr_points)
+        "dup_gram_spans_docs": _q_dup_spans,
         "normalize_text_docs": _q_text_norm,
         # (r4-green; the round-5 MJPEG marker-walk and JPEG fill-byte
         # fixes carry their own pytest regressions, and the in-window

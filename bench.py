@@ -186,7 +186,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
              "temperature_mixture_docs", "deviational_ellipse_users",
              "cell_diversity_simpson", "rolling_wau_days",
              "trend_r2_by_type", "percentile_rank_events",
-             "rolling_anomaly_days", "ewma_daily_by_type"]
+             "rolling_anomaly_days", "ewma_daily_by_type",
+             "quadrat_vmr_points"]
     out = {}
     for name in picks:
         t0 = time.time()
